@@ -1,0 +1,171 @@
+"""Client / collection tests (mirrors reference: src/client.rs:499-851)."""
+
+import pytest
+
+from vectorlite_tpu import (
+    Collection,
+    FlatIndex,
+    IndexType,
+    MockEmbeddingFunction,
+    SimilarityMetric,
+    Vector,
+    VectorLiteClient,
+)
+from vectorlite_tpu.embed.mock import ConstantEmbeddingFunction
+from vectorlite_tpu.errors import (
+    CollectionAlreadyExists,
+    CollectionNotFound,
+    EmbeddingError,
+    MetricRequired,
+    VectorNotFound,
+)
+
+
+@pytest.fixture
+def client():
+    return VectorLiteClient(MockEmbeddingFunction(dimension=8))
+
+
+class TestCollectionCrud:
+    def test_create_and_list(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        client.create_collection(
+            "b", IndexType.HNSW, SimilarityMetric.COSINE
+        )
+        assert sorted(client.list_collections()) == ["a", "b"]
+        assert client.has_collection("a")
+        assert not client.has_collection("c")
+
+    def test_create_duplicate(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        with pytest.raises(CollectionAlreadyExists):
+            client.create_collection("a", IndexType.FLAT)
+
+    def test_hnsw_requires_metric(self, client):
+        # reference: src/client.rs:96
+        with pytest.raises(MetricRequired):
+            client.create_collection("h", IndexType.HNSW)
+
+    def test_delete_collection(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        client.delete_collection("a")
+        assert not client.has_collection("a")
+        with pytest.raises(CollectionNotFound):
+            client.delete_collection("a")
+
+    def test_collection_dimension_from_embedder(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        info = client.get_collection_info("a")
+        assert info.dimension == 8
+
+    def test_info_missing_collection(self, client):
+        with pytest.raises(CollectionNotFound):
+            client.get_collection_info("missing")
+
+
+class TestTextOps:
+    def test_id_sequencing(self, client):
+        # ids are 0, 1, 2, ... (reference: src/client.rs:350)
+        client.create_collection("a", IndexType.FLAT)
+        ids = [
+            client.add_text_to_collection("a", f"text {i}") for i in range(5)
+        ]
+        assert ids == [0, 1, 2, 3, 4]
+
+    def test_failed_embed_burns_id(self):
+        # reference: src/client.rs:350-353
+        class FailingEmbedder:
+            calls = 0
+
+            @property
+            def dimension(self):
+                return 4
+
+            def generate_embedding(self, text):
+                FailingEmbedder.calls += 1
+                if FailingEmbedder.calls == 2:
+                    raise RuntimeError("boom")
+                return [1.0, 0.0, 0.0, 0.0]
+
+            def embed_batch(self, texts):
+                return [self.generate_embedding(t) for t in texts]
+
+        client = VectorLiteClient(FailingEmbedder())
+        client.create_collection("a", IndexType.FLAT)
+        assert client.add_text_to_collection("a", "one") == 0
+        with pytest.raises(EmbeddingError):
+            client.add_text_to_collection("a", "two")
+        assert client.add_text_to_collection("a", "three") == 2  # 1 burned
+
+    def test_add_and_search(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        client.add_text_to_collection("a", "hello world", {"tag": "greet"})
+        client.add_text_to_collection("a", "completely different")
+        results = client.search_text_in_collection("a", "hello world", 1)
+        assert results[0].id == 0
+        assert results[0].text == "hello world"
+        assert results[0].metadata == {"tag": "greet"}
+        assert results[0].score > 0.999
+
+    def test_search_metric_autodetect_hnsw(self, client):
+        # HNSW -> its own metric (reference: src/client.rs:143-155)
+        client.create_collection(
+            "h", IndexType.HNSW, SimilarityMetric.EUCLIDEAN
+        )
+        client.add_text_to_collection("h", "abc")
+        # would raise MetricMismatch if the default Cosine were used
+        results = client.search_text_in_collection("h", "abc", 1, None)
+        assert len(results) == 1
+
+    def test_delete_vector(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        vid = client.add_text_to_collection("a", "hello")
+        client.delete_from_collection("a", vid)
+        assert client.get_vector_from_collection("a", vid) is None
+
+    def test_hnsw_delete_missing_raises(self, client):
+        client.create_collection(
+            "h", IndexType.HNSW, SimilarityMetric.COSINE
+        )
+        with pytest.raises(VectorNotFound):
+            client.delete_from_collection("h", 123)
+
+    def test_get_vector(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        vid = client.add_text_to_collection("a", "hello")
+        v = client.get_vector_from_collection("a", vid)
+        assert v.id == vid
+        assert v.text == "hello"
+        assert len(v.values) == 8
+
+    def test_batched_add_and_search(self, client):
+        client.create_collection("a", IndexType.FLAT)
+        ids = client.add_texts_to_collection(
+            "a", ["t0", "t1", "t2"], [{"i": 0}, None, None]
+        )
+        assert ids == [0, 1, 2]
+        batches = client.search_texts_in_collection("a", ["t0", "t2"], 1)
+        assert batches[0][0].id == 0
+        assert batches[1][0].id == 2
+
+
+class TestCollectionNextId:
+    def test_next_id_recovery(self):
+        # next_id = max_id + 1 on load (reference: src/client.rs:295-308)
+        vectors = [
+            Vector(id=5, values=[1.0, 0.0], text="a"),
+            Vector(id=9, values=[0.0, 1.0], text="b"),
+        ]
+        collection = Collection("c", FlatIndex(2, vectors))
+        assert collection.next_id() == 10
+
+    def test_next_id_empty(self):
+        collection = Collection("c", FlatIndex(2))
+        assert collection.next_id() == 0
+
+    def test_constant_embedder(self):
+        client = VectorLiteClient(ConstantEmbeddingFunction([1.0, 2.0, 3.0]))
+        client.create_collection("a", IndexType.FLAT)
+        client.add_text_to_collection("a", "x")
+        v = client.get_vector_from_collection("a", 0)
+        assert v.values == [1.0, 2.0, 3.0]

@@ -1,0 +1,192 @@
+"""FlatIndex tests (mirrors reference: src/index/flat.rs:138-275 plus
+TPU-specific coverage: growth, batching, dirty-row sync, tie order)."""
+
+import numpy as np
+import pytest
+
+from vectorlite_tpu import FlatIndex, SimilarityMetric, Vector
+from vectorlite_tpu.errors import DimensionMismatch, DuplicateVectorId
+
+
+def vec(id, values, text="test", metadata=None):
+    return Vector(id=id, values=list(values), text=text, metadata=metadata)
+
+
+class TestBasics:
+    def test_create_and_len(self):
+        idx = FlatIndex(3, [vec(0, [1, 2, 3]), vec(1, [4, 5, 6])])
+        assert len(idx) == 2
+        assert not idx.is_empty()
+        assert idx.dimension == 3
+        assert idx.index_type == "Flat"
+        assert idx.metric() is None
+
+    def test_add_dimension_mismatch(self):
+        idx = FlatIndex(3)
+        with pytest.raises(DimensionMismatch):
+            idx.add(vec(1, [1.0, 2.0]))
+
+    def test_add_duplicate_id(self):
+        idx = FlatIndex(3, [vec(1, [1, 2, 3])])
+        with pytest.raises(DuplicateVectorId):
+            idx.add(vec(1, [4, 5, 6]))
+
+    def test_delete_absent_id_succeeds(self):
+        # reference: src/index/flat.rs:93-96 (retain semantics)
+        idx = FlatIndex(3, [vec(1, [1, 2, 3])])
+        idx.delete(42)
+        assert len(idx) == 1
+
+    def test_delete_then_readd(self):
+        idx = FlatIndex(3, [vec(1, [1, 2, 3])])
+        idx.delete(1)
+        assert len(idx) == 0
+        idx.add(vec(1, [7, 8, 9]))
+        assert idx.get_vector(1).values == [7.0, 8.0, 9.0]
+
+    def test_get_vector(self):
+        meta = {"title": "Doc", "tags": ["a", "b"]}
+        idx = FlatIndex(3, [vec(5, [1, 2, 3], "hello", meta)])
+        v = idx.get_vector(5)
+        assert v.id == 5
+        assert v.values == [1.0, 2.0, 3.0]
+        assert v.text == "hello"
+        assert v.metadata == meta
+        assert idx.get_vector(99) is None
+
+    def test_max_id(self):
+        idx = FlatIndex(3)
+        assert idx.max_id() is None
+        idx.add(vec(7, [1, 2, 3]))
+        idx.add(vec(3, [1, 2, 3]))
+        assert idx.max_id() == 7
+        idx.delete(7)
+        assert idx.max_id() == 3
+
+
+class TestSearch:
+    def test_cosine(self):
+        idx = FlatIndex(
+            3,
+            [vec(1, [1, 0, 0]), vec(2, [0, 1, 0]), vec(3, [0, 0, 1])],
+        )
+        results = idx.search([1.0, 0.0, 0.0], 2, SimilarityMetric.COSINE)
+        assert len(results) == 2
+        assert results[0].id == 1
+        assert abs(results[0].score - 1.0) < 1e-6
+
+    def test_euclidean(self):
+        idx = FlatIndex(2, [vec(1, [0, 0]), vec(2, [3, 4]), vec(3, [6, 8])])
+        results = idx.search([0.0, 0.0], 2, SimilarityMetric.EUCLIDEAN)
+        assert results[0].id == 1
+        assert abs(results[0].score - 1.0) < 1e-6
+        assert abs(results[1].score - 1.0 / 6.0) < 1e-6
+
+    def test_manhattan(self):
+        idx = FlatIndex(2, [vec(1, [0, 0]), vec(2, [3, 4]), vec(3, [6, 8])])
+        results = idx.search([0.0, 0.0], 2, SimilarityMetric.MANHATTAN)
+        assert results[0].id == 1
+        assert abs(results[0].score - 1.0) < 1e-6
+        assert abs(results[1].score - 1.0 / 8.0) < 1e-6
+
+    def test_dot_product(self):
+        idx = FlatIndex(2, [vec(1, [1, 2]), vec(2, [2, 1]), vec(3, [0, 0])])
+        results = idx.search([1.0, 2.0], 2, SimilarityMetric.DOT_PRODUCT)
+        assert results[0].id == 1
+        assert abs(results[0].score - 5.0) < 1e-6
+
+    def test_metric_switching(self):
+        idx = FlatIndex(2, [vec(1, [1, 2]), vec(2, [2, 1])])
+        r_cos = idx.search([1.0, 2.0], 1, SimilarityMetric.COSINE)
+        r_dot = idx.search([1.0, 2.0], 1, SimilarityMetric.DOT_PRODUCT)
+        assert r_cos[0].id == 1 and r_dot[0].id == 1
+        assert r_cos[0].score != r_dot[0].score
+
+    def test_k_exceeds_len(self):
+        idx = FlatIndex(2, [vec(1, [1, 0]), vec(2, [0, 1])])
+        results = idx.search([1.0, 0.0], 10, SimilarityMetric.COSINE)
+        assert len(results) == 2
+
+    def test_empty_index_returns_empty(self):
+        idx = FlatIndex(3)
+        assert idx.search([1.0, 2.0, 3.0], 5, SimilarityMetric.COSINE) == []
+        # dim check skipped when empty (reference: src/index/flat.rs:99)
+        assert idx.search([1.0], 5, SimilarityMetric.COSINE) == []
+
+    def test_query_dim_mismatch_nonempty(self):
+        idx = FlatIndex(3, [vec(1, [1, 2, 3])])
+        with pytest.raises(DimensionMismatch):
+            idx.search([1.0, 2.0], 5, SimilarityMetric.COSINE)
+
+    def test_results_sorted_descending(self, rng):
+        vectors = [vec(i, rng.normal(size=8)) for i in range(50)]
+        idx = FlatIndex(8, vectors)
+        results = idx.search(rng.normal(size=8), 10, SimilarityMetric.COSINE)
+        scores = [r.score for r in results]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_tie_breaks_by_insertion_order(self):
+        # equal scores: the earlier-inserted vector wins
+        # (reference stable sort, src/index/flat.rs:116)
+        idx = FlatIndex(2, [vec(10, [1, 0]), vec(20, [1, 0]), vec(30, [1, 0])])
+        results = idx.search([1.0, 0.0], 3, SimilarityMetric.COSINE)
+        assert [r.id for r in results] == [10, 20, 30]
+
+    def test_delete_excluded_from_search(self):
+        idx = FlatIndex(2, [vec(1, [1, 0]), vec(2, [0.9, 0.1])])
+        idx.delete(1)
+        results = idx.search([1.0, 0.0], 5, SimilarityMetric.COSINE)
+        assert [r.id for r in results] == [2]
+
+    def test_matches_numpy_ground_truth(self, rng):
+        n, d = 300, 32
+        data = rng.normal(size=(n, d))
+        idx = FlatIndex(d, [vec(i, data[i]) for i in range(n)])
+        q = rng.normal(size=d)
+        for metric in SimilarityMetric:
+            results = idx.search(q, 7, metric)
+            want = np.array([metric.calculate(data[i], q) for i in range(n)])
+            order = np.argsort(-want, kind="stable")[:7]
+            assert [r.id for r in results] == [int(i) for i in order]
+            got_scores = np.array([r.score for r in results])
+            np.testing.assert_allclose(
+                got_scores, want[order], rtol=2e-4, atol=2e-4
+            )
+
+
+class TestGrowthAndBatch:
+    def test_capacity_growth(self, rng):
+        idx = FlatIndex(4)
+        data = rng.normal(size=(600, 4))
+        for i in range(600):
+            idx.add(vec(i, data[i]))
+            if i % 97 == 0:  # interleave searches to exercise dirty sync
+                idx.search(data[0], 3, SimilarityMetric.DOT_PRODUCT)
+        assert len(idx) == 600
+        results = idx.search(data[123], 1, SimilarityMetric.EUCLIDEAN)
+        assert results[0].id == 123
+
+    def test_search_batch(self, rng):
+        n, d, b = 100, 16, 9
+        data = rng.normal(size=(n, d))
+        idx = FlatIndex(d, [vec(i, data[i]) for i in range(n)])
+        queries = data[:b] + rng.normal(size=(b, d)) * 1e-4
+        batch = idx.search_batch(queries, 3, SimilarityMetric.COSINE)
+        assert len(batch) == b
+        for i, hits in enumerate(batch):
+            assert hits[0].id == i
+
+    def test_serde_roundtrip(self):
+        # mirrors reference: src/index/flat.rs:144-184
+        idx = FlatIndex(
+            3,
+            [vec(1, [1, 0, 0]), vec(2, [0, 1, 0]), vec(3, [0, 0, 1])],
+        )
+        payload = idx.index_to_json()
+        restored = FlatIndex.index_from_json(payload)
+        assert len(restored) == 3
+        assert restored.dimension == 3
+        results = restored.search([1.1, 0.1, 0.1], 2, SimilarityMetric.COSINE)
+        assert len(results) == 2
+        assert results[0].id == 1
+        assert results[0].score > 0.99

@@ -1,0 +1,239 @@
+"""Persistence tests (mirrors reference: src/persistence.rs:178-352) plus a
+golden-format check against the exact reference serde layout."""
+
+import json
+
+import pytest
+
+from vectorlite_tpu import (
+    Collection,
+    FlatIndex,
+    HNSWIndex,
+    SimilarityMetric,
+    Vector,
+    load_collection_from_file,
+    save_collection_to_file,
+)
+from vectorlite_tpu.embed.mock import ConstantEmbeddingFunction
+from vectorlite_tpu.errors import (
+    FileNotFound,
+    SerializationError,
+    VersionMismatch,
+)
+from vectorlite_tpu.persist.vlc import collection_to_json
+
+
+def make_flat_collection():
+    vectors = [
+        Vector(id=0, values=[1.0, 2.0, 3.0], text="test"),
+        Vector(id=1, values=[4.0, 5.0, 6.0], text="test"),
+    ]
+    return Collection("test_collection", FlatIndex(3, vectors))
+
+
+class TestCollectionData:
+    def test_payload_shape(self):
+        payload = collection_to_json(make_flat_collection())
+        assert payload["header"]["version"] == "1.0.0"
+        assert payload["header"]["format"] == "vectorlite-collection"
+        assert payload["header"]["created_at"].endswith("Z")
+        meta = payload["metadata"]
+        assert meta["name"] == "test_collection"
+        assert meta["vector_count"] == 2
+        assert meta["dimension"] == 3
+        assert meta["index_type"] == "Flat"
+        flat = payload["index"]["Flat"]
+        assert flat["dim"] == 3
+        assert flat["data"][0] == {
+            "id": 0,
+            "values": [1.0, 2.0, 3.0],
+            "text": "test",
+            "metadata": None,
+        }
+
+    def test_save_load_roundtrip(self, tmp_path):
+        path = tmp_path / "test_collection.vlc"
+        original = make_flat_collection()
+        save_collection_to_file(original, path)
+        assert path.exists()
+        loaded = load_collection_from_file(path)
+        assert loaded.name == original.name
+        assert loaded.next_id() == original.next_id() == 2
+        with loaded.index_read() as index:
+            assert len(index) == 2
+            results = index.search(
+                [1.1, 2.1, 3.1], 1, SimilarityMetric.COSINE
+            )
+            assert results[0].id == 0
+
+    def test_save_load_hnsw(self, tmp_path):
+        path = tmp_path / "test_hnsw.vlc"
+        index = HNSWIndex(3, SimilarityMetric.EUCLIDEAN)
+        collection = Collection("test_hnsw_collection", index)
+        embedder = ConstantEmbeddingFunction([1.0, 1.0, 1.0])
+        collection.add_text("test1", embedder)
+        embedder2 = ConstantEmbeddingFunction([2.0, 2.0, 2.0])
+        collection.add_text("test2", embedder2)
+        save_collection_to_file(collection, path)
+        loaded = load_collection_from_file(path)
+        assert loaded.name == "test_hnsw_collection"
+        with loaded.index_read() as idx:
+            assert len(idx) == 2
+            assert idx.dimension == 3
+            assert idx.metric() is SimilarityMetric.EUCLIDEAN
+            results = idx.search(
+                [1.0, 1.0, 1.0], 1, SimilarityMetric.EUCLIDEAN
+            )
+            assert results[0].text == "test1"
+
+    def test_values_roundtrip_exact_f64(self, tmp_path):
+        # host f64 staging preserves exact values through save/load
+        path = tmp_path / "exact.vlc"
+        values = [0.1, 1e-17, 123456789.123456789]
+        collection = Collection(
+            "c", FlatIndex(3, [Vector(id=0, values=values, text="t")])
+        )
+        save_collection_to_file(collection, path)
+        loaded = load_collection_from_file(path)
+        with loaded.index_read() as idx:
+            assert idx.get_vector(0).values == values
+
+    def test_invalid_json(self, tmp_path):
+        path = tmp_path / "invalid.vlc"
+        path.write_text("invalid json")
+        with pytest.raises(SerializationError):
+            load_collection_from_file(path)
+
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(FileNotFound):
+            load_collection_from_file(tmp_path / "nope.vlc")
+
+    def test_version_mismatch(self, tmp_path):
+        path = tmp_path / "v2.vlc"
+        payload = collection_to_json(make_flat_collection())
+        payload["header"]["version"] = "2.0.0"
+        path.write_text(json.dumps(payload))
+        with pytest.raises(VersionMismatch):
+            load_collection_from_file(path)
+
+    def test_invalid_format(self, tmp_path):
+        from vectorlite_tpu.errors import InvalidFormat
+
+        path = tmp_path / "fmt.vlc"
+        payload = collection_to_json(make_flat_collection())
+        payload["header"]["format"] = "something-else"
+        path.write_text(json.dumps(payload))
+        with pytest.raises(InvalidFormat):
+            load_collection_from_file(path)
+
+    def test_creates_parent_dirs(self, tmp_path):
+        path = tmp_path / "nested" / "dirs" / "c.vlc"
+        save_collection_to_file(make_flat_collection(), path)
+        assert path.exists()
+
+
+class TestReferenceFormatCompat:
+    """Read a hand-written file in the exact reference serde layout
+    (reference: src/persistence.rs:63-96, src/index/hnsw.rs:197-213)."""
+
+    def test_load_reference_flat_file(self, tmp_path):
+        payload = {
+            "header": {
+                "version": "1.0.0",
+                "format": "vectorlite-collection",
+                "created_at": "2025-01-21T10:00:00.000000Z",
+            },
+            "metadata": {
+                "name": "ref_flat",
+                "created_at": "2025-01-21T10:00:00.000000Z",
+                "vector_count": 2,
+                "dimension": 2,
+                "index_type": "Flat",
+            },
+            "index": {
+                "Flat": {
+                    "dim": 2,
+                    "data": [
+                        {
+                            "id": 3,
+                            "values": [1.0, 0.0],
+                            "text": "a",
+                            "metadata": {"tag": "x"},
+                        },
+                        {
+                            "id": 7,
+                            "values": [0.0, 1.0],
+                            "text": "b",
+                            "metadata": None,
+                        },
+                    ],
+                }
+            },
+        }
+        path = tmp_path / "ref.vlc"
+        path.write_text(json.dumps(payload))
+        loaded = load_collection_from_file(path)
+        assert loaded.name == "ref_flat"
+        assert loaded.next_id() == 8  # max_id + 1
+        with loaded.index_read() as idx:
+            v = idx.get_vector(3)
+            assert v.metadata == {"tag": "x"}
+
+    def test_load_reference_hnsw_file(self, tmp_path):
+        # includes id_to_index/index_to_id which loaders must ignore
+        payload = {
+            "header": {
+                "version": "1.0.0",
+                "format": "vectorlite-collection",
+                "created_at": "2025-01-21T10:00:00.000000Z",
+            },
+            "metadata": {
+                "name": "ref_hnsw",
+                "created_at": "2025-01-21T10:00:00.000000Z",
+                "vector_count": 2,
+                "dimension": 2,
+                "index_type": "HNSW",
+            },
+            "index": {
+                "HNSW": {
+                    "dim": 2,
+                    "metric": "Cosine",
+                    "id_to_index": {"1": 0, "2": 1},
+                    "index_to_id": {"0": 1, "1": 2},
+                    "metadata": {
+                        "1": {"text": "hello", "metadata": None},
+                        "2": {"text": "world", "metadata": {"n": 2}},
+                    },
+                    "vector_values": {
+                        "1": [1.0, 0.0],
+                        "2": [0.0, 1.0],
+                    },
+                }
+            },
+        }
+        path = tmp_path / "ref_hnsw.vlc"
+        path.write_text(json.dumps(payload))
+        loaded = load_collection_from_file(path)
+        with loaded.index_read() as idx:
+            assert len(idx) == 2
+            assert idx.metric() is SimilarityMetric.COSINE
+            results = idx.search([1.0, 0.05], 1, SimilarityMetric.COSINE)
+            assert results[0].id == 1
+            assert results[0].text == "hello"
+
+    def test_written_hnsw_payload_has_reference_fields(self):
+        idx = HNSWIndex(2, SimilarityMetric.DOT_PRODUCT)
+        idx.add(Vector(id=4, values=[1.0, 2.0], text="t"))
+        collection = Collection("c", idx)
+        payload = collection_to_json(collection)["index"]["HNSW"]
+        # all serde-visible fields present (reference: src/index/hnsw.rs:197-213)
+        assert set(payload) == {
+            "dim",
+            "metric",
+            "id_to_index",
+            "index_to_id",
+            "metadata",
+            "vector_values",
+        }
+        assert payload["metric"] == "DotProduct"
+        assert payload["vector_values"] == {"4": [1.0, 2.0]}

@@ -1,0 +1,411 @@
+"""HTTP surface tests — in-process, no real socket.
+
+Mirrors the reference's tower::oneshot-based integration suites
+(reference: tests/http_integration_test.rs, tests/persistence_api_test.rs):
+status codes, JSON body shapes, and the error ``{"message": ...}`` contract.
+"""
+
+import asyncio
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from vectorlite_tpu import VectorLiteClient
+from vectorlite_tpu.api.server import create_app
+from vectorlite_tpu.embed.mock import ConstantEmbeddingFunction
+
+
+def make_client():
+    # constant [1,2,3] mock (reference: tests/http_integration_test.rs:20-28)
+    return VectorLiteClient(ConstantEmbeddingFunction([1.0, 2.0, 3.0]))
+
+
+def http(coro_fn, client=None):
+    async def runner():
+        app = create_app(client or make_client())
+        async with TestClient(TestServer(app)) as tc:
+            return await coro_fn(tc)
+
+    return asyncio.run(runner())
+
+
+class TestHealthAndCollections:
+    def test_health(self):
+        async def go(tc):
+            resp = await tc.get("/health")
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["status"] == "healthy"
+            assert body["service"] == "vectorlite"
+
+        http(go)
+
+    def test_list_collections_empty(self):
+        async def go(tc):
+            resp = await tc.get("/collections")
+            assert resp.status == 200
+            assert (await resp.json())["collections"] == []
+
+        http(go)
+
+    def test_create_collection(self):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            assert resp.status == 200
+            assert (await resp.json())["name"] == "test_collection"
+            resp = await tc.get("/collections")
+            assert (await resp.json())["collections"] == ["test_collection"]
+
+        http(go)
+
+    def test_create_duplicate_collection_409(self):
+        async def go(tc):
+            payload = {"name": "test_collection", "index_type": "flat"}
+            assert (await tc.post("/collections", json=payload)).status == 200
+            resp = await tc.post("/collections", json=payload)
+            assert resp.status == 409
+            body = await resp.json()
+            assert (
+                body["message"]
+                == "Collection 'test_collection' already exists"
+            )
+
+        http(go)
+
+    def test_create_invalid_index_type_400(self):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections", json={"name": "x", "index_type": "btree"}
+            )
+            assert resp.status == 400
+            body = await resp.json()
+            assert (
+                body["message"]
+                == "Invalid index type: btree. Must be 'flat' or 'hnsw'"
+            )
+
+        http(go)
+
+    def test_create_hnsw_without_metric_400(self):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections", json={"name": "h", "index_type": "hnsw"}
+            )
+            assert resp.status == 400
+            assert "HNSW index requires an explicit similarity metric" in (
+                await resp.json()
+            )["message"]
+
+        http(go)
+
+    def test_create_hnsw_with_metric(self):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections",
+                json={
+                    "name": "h",
+                    "index_type": "HNSW",
+                    "metric": "Euclidean",
+                },
+            )
+            assert resp.status == 200
+
+        http(go)
+
+    def test_get_collection_info(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            resp = await tc.get("/collections/test_collection")
+            assert resp.status == 200
+            info = (await resp.json())["info"]
+            assert info["name"] == "test_collection"
+            assert info["count"] == 0
+            assert info["is_empty"] is True
+            assert info["dimension"] == 3
+
+        http(go)
+
+    def test_get_missing_collection_404(self):
+        async def go(tc):
+            resp = await tc.get("/collections/missing")
+            assert resp.status == 404
+            assert (await resp.json())["message"] == (
+                "Collection 'missing' not found"
+            )
+
+        http(go)
+
+    def test_delete_collection(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            resp = await tc.delete("/collections/test_collection")
+            assert resp.status == 200
+            assert (await resp.json())["name"] == "test_collection"
+            resp = await tc.delete("/collections/test_collection")
+            assert resp.status == 404
+
+        http(go)
+
+
+class TestVectorOps:
+    def test_add_text(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            resp = await tc.post(
+                "/collections/test_collection/text",
+                json={"text": "Hello world"},
+            )
+            assert resp.status == 200
+            assert (await resp.json())["id"] == 0
+
+        http(go)
+
+    def test_add_text_missing_collection_404(self):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections/missing/text", json={"text": "x"}
+            )
+            assert resp.status == 404
+
+        http(go)
+
+    def test_search_text(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            await tc.post(
+                "/collections/test_collection/text",
+                json={"text": "Hello world"},
+            )
+            resp = await tc.post(
+                "/collections/test_collection/search/text",
+                json={
+                    "query": "Hello",
+                    "k": 5,
+                    "similarity_metric": "cosine",
+                },
+            )
+            assert resp.status == 200
+            results = (await resp.json())["results"]
+            assert len(results) == 1
+            assert results[0]["id"] == 0
+            assert results[0]["text"] == "Hello world"
+
+        http(go)
+
+    def test_search_default_k(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            for i in range(12):
+                await tc.post(
+                    "/collections/c/text", json={"text": f"t{i}"}
+                )
+            resp = await tc.post(
+                "/collections/c/search/text", json={"query": "q"}
+            )
+            # default k = 10 (reference: src/server.rs:263)
+            assert len((await resp.json())["results"]) == 10
+
+        http(go)
+
+    def test_search_invalid_metric_400(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "q", "similarity_metric": "bogus"},
+            )
+            assert resp.status == 400
+
+        http(go)
+
+    def test_search_metric_mismatch_400(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={
+                    "name": "h",
+                    "index_type": "hnsw",
+                    "metric": "euclidean",
+                },
+            )
+            await tc.post("/collections/h/text", json={"text": "x"})
+            resp = await tc.post(
+                "/collections/h/search/text",
+                json={"query": "q", "similarity_metric": "cosine"},
+            )
+            assert resp.status == 400
+            assert "Metric mismatch" in (await resp.json())["message"]
+
+        http(go)
+
+    def test_get_vector(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            await tc.post(
+                "/collections/test_collection/text",
+                json={"text": "Hello world"},
+            )
+            resp = await tc.get("/collections/test_collection/vectors/0")
+            assert resp.status == 200
+            vector = (await resp.json())["vector"]
+            assert vector["id"] == 0
+            assert vector["values"] == [1.0, 2.0, 3.0]
+
+        http(go)
+
+    def test_get_missing_vector_404(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.get("/collections/c/vectors/99")
+            assert resp.status == 404
+            assert (await resp.json())["message"] == (
+                "Vector ID 99 does not exist"
+            )
+
+        http(go)
+
+    def test_delete_vector(self):
+        async def go(tc):
+            await tc.post(
+                "/collections",
+                json={"name": "test_collection", "index_type": "flat"},
+            )
+            await tc.post(
+                "/collections/test_collection/text",
+                json={"text": "Hello world"},
+            )
+            resp = await tc.delete("/collections/test_collection/vectors/0")
+            assert resp.status == 200
+            assert (await resp.json()) == {}
+
+        http(go)
+
+    def test_metadata_roundtrip(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            meta = {"author": "Kevin Malone", "year": 2005}
+            await tc.post(
+                "/collections/c/text",
+                json={"text": "beach", "metadata": meta},
+            )
+            resp = await tc.post(
+                "/collections/c/search/text", json={"query": "beach"}
+            )
+            results = (await resp.json())["results"]
+            assert results[0]["metadata"] == meta
+
+        http(go)
+
+
+class TestPersistenceApi:
+    """Mirrors reference: tests/persistence_api_test.rs."""
+
+    def test_save_and_load(self, tmp_path):
+        path = str(tmp_path / "c.vlc")
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post("/collections/c/text", json={"text": "hello"})
+            resp = await tc.post(
+                "/collections/c/save", json={"file_path": path}
+            )
+            assert resp.status == 200
+            assert (await resp.json())["file_path"] == path
+
+            resp = await tc.post(
+                "/collections/load",
+                json={"file_path": path, "collection_name": "restored"},
+            )
+            assert resp.status == 200
+            assert (await resp.json())["collection_name"] == "restored"
+
+            resp = await tc.get("/collections/restored")
+            info = (await resp.json())["info"]
+            assert info["count"] == 1
+
+        http(go)
+
+    def test_save_missing_collection_404(self, tmp_path):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections/missing/save",
+                json={"file_path": str(tmp_path / "x.vlc")},
+            )
+            assert resp.status == 404
+
+        http(go)
+
+    def test_load_missing_file_404(self, tmp_path):
+        async def go(tc):
+            resp = await tc.post(
+                "/collections/load",
+                json={"file_path": str(tmp_path / "nope.vlc")},
+            )
+            assert resp.status == 404
+            assert (await resp.json())["message"].startswith(
+                "File not found:"
+            )
+
+        http(go)
+
+    def test_load_existing_name_409(self, tmp_path):
+        path = str(tmp_path / "c.vlc")
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/c/save", json={"file_path": path}
+            )
+            resp = await tc.post(
+                "/collections/load", json={"file_path": path}
+            )
+            assert resp.status == 409
+
+        http(go)
+
+    def test_load_uses_name_from_file(self, tmp_path):
+        path = str(tmp_path / "c.vlc")
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "orig", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/orig/save", json={"file_path": path}
+            )
+            await tc.delete("/collections/orig")
+            resp = await tc.post(
+                "/collections/load", json={"file_path": path}
+            )
+            assert (await resp.json())["collection_name"] == "orig"
+
+        http(go)

@@ -1,0 +1,57 @@
+"""vectorlite-tpu — a TPU-native in-memory vector search engine.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the Rust
+VectorLite reference (crate root re-exports: reference src/lib.rs:124-137):
+exact flat search as MXU matmul + fused top-k over HBM-resident vector
+matrices, HNSW over flat adjacency arrays with batched beam search,
+on-device MiniLM embeddings, byte-compatible ``.vlc`` persistence, and the
+same HTTP/SDK surface.
+"""
+
+from .core.types import DEFAULT_VECTOR_DIMENSION, SearchResult, Vector
+from .core.metrics import (
+    SimilarityMetric,
+    cosine_similarity,
+    dot_product,
+    euclidean_similarity,
+    manhattan_similarity,
+)
+from .errors import VectorLiteError
+from .index.flat import FlatIndex
+from .index.hnsw import HNSWIndex
+from .embed.base import EmbeddingFunction
+from .embed.mock import ConstantEmbeddingFunction, MockEmbeddingFunction
+from .store.client import IndexType, Settings, VectorLiteClient
+from .store.collection import Collection, CollectionInfo
+from .persist.vlc import (
+    load_collection_from_file,
+    save_collection_to_file,
+)
+from .config import VectorLiteConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_VECTOR_DIMENSION",
+    "Vector",
+    "SearchResult",
+    "SimilarityMetric",
+    "cosine_similarity",
+    "euclidean_similarity",
+    "manhattan_similarity",
+    "dot_product",
+    "VectorLiteError",
+    "FlatIndex",
+    "HNSWIndex",
+    "EmbeddingFunction",
+    "MockEmbeddingFunction",
+    "ConstantEmbeddingFunction",
+    "VectorLiteClient",
+    "Collection",
+    "CollectionInfo",
+    "IndexType",
+    "Settings",
+    "VectorLiteConfig",
+    "save_collection_to_file",
+    "load_collection_from_file",
+]

@@ -1,0 +1,290 @@
+"""HTTP API — the reference's 11-route contract on aiohttp.
+
+Route table, request/response DTO shapes, default ``k=10``, case-insensitive
+index-type/metric parsing, permissive CORS, and the ``{"message": ...}``
+error body with the reference status-code mapping are all reproduced from
+the reference server (reference: src/server.rs:71-143 DTOs,
+src/server.rs:149-165 parsers, src/server.rs:182-359 handlers,
+src/server.rs:361-377 router).
+
+Locking mirrors the reference: vector ops take the client-map **read** lock
+(each collection has its own lock), while create/delete/load-collection take
+the **write** lock (reference: src/server.rs:212, 235, 336). Blocking work
+(embedding forward, device compute) runs in a thread-pool executor so the
+event loop — the tokio analogue — stays responsive.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import functools
+import logging
+from pathlib import Path
+
+from aiohttp import web
+
+from ..core.metrics import SimilarityMetric
+from ..errors import (
+    CollectionAlreadyExists,
+    CollectionNotFound,
+    VectorLiteError,
+    VectorNotFound,
+)
+from ..store.client import IndexType, VectorLiteClient
+from ..store.collection import Collection
+from ..utils import RWLock
+
+logger = logging.getLogger("vectorlite_tpu.server")
+
+_CLIENT_KEY = web.AppKey("vectorlite_client", VectorLiteClient)
+_LOCK_KEY = web.AppKey("vectorlite_lock", RWLock)
+
+
+def _error_response(err: VectorLiteError) -> web.Response:
+    # reference: src/server.rs:168-179
+    return web.json_response({"message": err.message}, status=err.status_code)
+
+
+@web.middleware
+async def error_middleware(request: web.Request, handler):
+    try:
+        response = await handler(request)
+    except VectorLiteError as e:
+        response = _error_response(e)
+    except web.HTTPException:
+        raise
+    except Exception as e:  # noqa: BLE001
+        logger.exception("unhandled error")
+        response = web.json_response(
+            {"message": f"Internal server error: {e}"}, status=500
+        )
+    # permissive CORS (reference: src/server.rs:374)
+    response.headers["Access-Control-Allow-Origin"] = "*"
+    response.headers["Access-Control-Allow-Methods"] = "*"
+    response.headers["Access-Control-Allow-Headers"] = "*"
+    return response
+
+
+async def _json_body(request: web.Request) -> dict:
+    try:
+        body = await request.json()
+    except Exception:  # noqa: BLE001
+        raise web.HTTPBadRequest(
+            text='{"message": "Invalid JSON body"}',
+            content_type="application/json",
+        ) from None
+    if not isinstance(body, dict):
+        raise web.HTTPBadRequest(
+            text='{"message": "Expected JSON object"}',
+            content_type="application/json",
+        )
+    return body
+
+
+def _require_field(body: dict, name: str):
+    if name not in body:
+        raise web.HTTPBadRequest(
+            text=f'{{"message": "Missing required field: {name}"}}',
+            content_type="application/json",
+        )
+    return body[name]
+
+
+async def _blocking(request: web.Request, fn, *args, **kwargs):
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(
+        None, functools.partial(fn, *args, **kwargs)
+    )
+
+
+# ------------------------------------------------------------------ handlers
+
+
+async def health_check(request: web.Request) -> web.Response:
+    # reference: src/server.rs:182-187
+    return web.json_response({"status": "healthy", "service": "vectorlite"})
+
+
+async def list_collections(request: web.Request) -> web.Response:
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].read():
+        collections = client.list_collections()
+    return web.json_response({"collections": collections})
+
+
+async def create_collection(request: web.Request) -> web.Response:
+    body = await _json_body(request)
+    name = str(_require_field(body, "name"))
+    index_type = IndexType.parse(str(_require_field(body, "index_type")))
+    metric_str = str(body.get("metric", ""))
+    # empty metric string means "not specified" (reference: src/server.rs:206-210)
+    metric = SimilarityMetric.parse(metric_str) if metric_str else None
+
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].write():
+            client.create_collection(name, index_type, metric)
+
+    await _blocking(request, run)
+    logger.info("Created collection: %s", name)
+    return web.json_response({"name": name})
+
+
+async def get_collection_info(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].read():
+        info = client.get_collection_info(name)
+    return web.json_response({"info": info.to_json()})
+
+
+async def delete_collection(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].write():
+        client.delete_collection(name)
+    logger.info("Deleted collection: %s", name)
+    return web.json_response({"name": name})
+
+
+async def add_text(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    text = str(_require_field(body, "text"))
+    metadata = body.get("metadata")
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.add_text_to_collection(name, text, metadata)
+
+    vid = await _blocking(request, run)
+    logger.info("Added text to collection '%s' with ID: %s", name, vid)
+    return web.json_response({"id": vid})
+
+
+async def search_text(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    query = str(_require_field(body, "query"))
+    k = int(body.get("k") or 10)  # default k=10 (reference: src/server.rs:263)
+    metric_str = body.get("similarity_metric")
+    metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.search_text_in_collection(name, query, k, metric)
+
+    results = await _blocking(request, run)
+    logger.info(
+        "Search completed for collection '%s' with %d results",
+        name,
+        len(results),
+    )
+    return web.json_response({"results": [r.to_json() for r in results]})
+
+
+def _parse_vector_id(request: web.Request) -> int:
+    raw = request.match_info["id"]
+    try:
+        return int(raw)
+    except ValueError:
+        raise web.HTTPBadRequest(
+            text='{"message": "Invalid vector id"}',
+            content_type="application/json",
+        ) from None
+
+
+async def get_vector(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    vid = _parse_vector_id(request)
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].read():
+        vector = client.get_vector_from_collection(name, vid)
+    if vector is None:
+        raise VectorNotFound(vid)
+    return web.json_response({"vector": vector.to_json()})
+
+
+async def delete_vector(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    vid = _parse_vector_id(request)
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].read():
+        client.delete_from_collection(name, vid)
+    logger.info("Deleted vector %s from collection '%s'", vid, name)
+    return web.json_response({})
+
+
+async def save_collection(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    file_path = str(_require_field(body, "file_path"))
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            collection = client.get_collection(name)
+            if collection is None:
+                raise CollectionNotFound(name)
+            collection.save_to_file(Path(file_path))
+
+    await _blocking(request, run)
+    logger.info("Saved collection '%s' to file: %s", name, file_path)
+    return web.json_response({"file_path": file_path})
+
+
+async def load_collection(request: web.Request) -> web.Response:
+    body = await _json_body(request)
+    file_path = str(_require_field(body, "file_path"))
+    requested_name = body.get("collection_name")
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        loaded = Collection.load_from_file(Path(file_path))
+        name = requested_name or loaded.name
+        with request.app[_LOCK_KEY].write():
+            if client.has_collection(name):
+                raise CollectionAlreadyExists(name)
+            # re-wrap under the requested name; next_id recomputed
+            # (reference: src/server.rs:344-353)
+            with loaded.index_read() as index:
+                client.add_collection(Collection(name, index))
+        return name
+
+    name = await _blocking(request, run)
+    logger.info("Loaded collection '%s' from file: %s", name, file_path)
+    return web.json_response({"collection_name": name})
+
+
+# --------------------------------------------------------------------- app
+
+
+def create_app(client: VectorLiteClient) -> web.Application:
+    """Router mirror of reference: src/server.rs:361-377."""
+    app = web.Application(middlewares=[error_middleware])
+    app[_CLIENT_KEY] = client
+    app[_LOCK_KEY] = RWLock()
+    app.router.add_get("/health", health_check)
+    app.router.add_get("/collections", list_collections)
+    app.router.add_post("/collections", create_collection)
+    app.router.add_get("/collections/{name}", get_collection_info)
+    app.router.add_delete("/collections/{name}", delete_collection)
+    app.router.add_post("/collections/{name}/text", add_text)
+    app.router.add_post("/collections/{name}/search/text", search_text)
+    app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
+    app.router.add_delete("/collections/{name}/vectors/{id}", delete_vector)
+    app.router.add_post("/collections/{name}/save", save_collection)
+    app.router.add_post("/collections/load", load_collection)
+    return app
+
+
+def start_server(
+    client: VectorLiteClient, host: str = "127.0.0.1", port: int = 3001
+) -> None:
+    """Blocking serve loop (reference: src/server.rs:379-392)."""
+    app = create_app(client)
+    logger.info("VectorLite server starting on %s:%s", host, port)
+    web.run_app(app, host=host, port=port, print=None)

@@ -1,0 +1,98 @@
+"""CLI entry point.
+
+Mirrors the reference binary (reference: src/main.rs:6-51): ``--filepath``
+preloads one ``.vlc`` collection, ``--port`` defaults to 3001, ``--host``
+defaults to 127.0.0.1. The embedder defaults to the on-device MiniLM
+encoder when model files are present, otherwise falls back to the
+deterministic mock (the reference requires model files on disk and fails
+hard; we degrade gracefully for model-less environments and log it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+logger = logging.getLogger("vectorlite_tpu.cli")
+
+
+def build_embedder(model_path: str | None, mock: bool):
+    if mock:
+        from .embed.mock import MockEmbeddingFunction
+
+        return MockEmbeddingFunction()
+    try:
+        from .embed.minilm import MiniLMEmbedder
+
+        return MiniLMEmbedder.from_pretrained(model_path)
+    except Exception as e:  # noqa: BLE001
+        logger.warning(
+            "Could not load embedding model (%s); using mock embedder", e
+        )
+        from .embed.mock import MockEmbeddingFunction
+
+        return MockEmbeddingFunction()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="vectorlite-tpu",
+        description=(
+            "VectorLite-TPU - a TPU-native, in-memory vector database "
+            "optimized for AI agent workloads"
+        ),
+    )
+    parser.add_argument(
+        "-f", "--filepath", default=None, help="Preload a .vlc collection"
+    )
+    parser.add_argument("-p", "--port", type=int, default=3001)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument(
+        "--model-path",
+        default=None,
+        help="Path to a MiniLM model dir (tokenizer.json + weights)",
+    )
+    parser.add_argument(
+        "--mock-embeddings",
+        action="store_true",
+        help="Use the deterministic mock embedder (no model files needed)",
+    )
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    logger.info("Starting VectorLite server...")
+    logger.info("Host: %s", args.host)
+    logger.info("Port: %s", args.port)
+
+    from .store.client import VectorLiteClient
+
+    client = VectorLiteClient(
+        build_embedder(args.model_path, args.mock_embeddings)
+    )
+
+    if args.filepath:
+        from .persist.vlc import load_collection_from_file
+
+        logger.info("Loading collection from VLC file: %s", args.filepath)
+        collection = load_collection_from_file(args.filepath)
+        client.add_collection(collection)
+        logger.info(
+            "Successfully loaded collection '%s' from %s",
+            collection.name,
+            args.filepath,
+        )
+    else:
+        logger.info("Starting with empty server - no collections loaded")
+
+    from .api.server import start_server
+
+    start_server(client, args.host, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,63 @@
+"""Runtime configuration profiles.
+
+The reference selects HNSW graph degree and dtype behavior at **compile
+time** via Cargo features (reference: Cargo.toml:15-22,
+src/index/hnsw.rs:95-109). Here profiles are runtime parameters:
+
+==================  ====  ====  =============
+profile              M     M0   device dtype
+==================  ====  ====  =============
+default (fast)       16    32   float32
+memory-optimized      8    16   bfloat16
+high-accuracy        32    64   float32
+==================  ====  ====  =============
+
+Select via ``VectorLiteConfig.profile("memory-optimized")`` or the
+``VECTORLITE_PROFILE`` environment variable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+_PROFILES = {
+    "default": dict(hnsw_m=16, hnsw_m0=32, device_dtype=jnp.float32),
+    "fast": dict(hnsw_m=16, hnsw_m0=32, device_dtype=jnp.float32),
+    "memory-optimized": dict(hnsw_m=8, hnsw_m0=16, device_dtype=jnp.bfloat16),
+    "high-accuracy": dict(hnsw_m=32, hnsw_m0=64, device_dtype=jnp.float32),
+}
+
+
+@dataclass
+class VectorLiteConfig:
+    hnsw_m: int = 16
+    hnsw_m0: int = 32
+    hnsw_ef_construction: int = 100
+    hnsw_ef_search: int = 64
+    device_dtype: object = jnp.float32
+    profile_name: str = "default"
+
+    @classmethod
+    def profile(cls, name: str, **overrides) -> "VectorLiteConfig":
+        params = _PROFILES.get(name)
+        if params is None:
+            raise ValueError(
+                f"Unknown profile '{name}'. "
+                f"Available: {sorted(_PROFILES)}"
+            )
+        return cls(profile_name=name, **{**params, **overrides})
+
+    @classmethod
+    def from_env(cls) -> "VectorLiteConfig":
+        name = os.environ.get("VECTORLITE_PROFILE", "default")
+        cfg = cls.profile(name)
+        ef_c = os.environ.get("VECTORLITE_EF_CONSTRUCTION")
+        ef_s = os.environ.get("VECTORLITE_EF_SEARCH")
+        if ef_c:
+            cfg.hnsw_ef_construction = int(ef_c)
+        if ef_s:
+            cfg.hnsw_ef_search = int(ef_s)
+        return cfg

@@ -1,0 +1,337 @@
+"""Exact (flat) index — HBM-resident matrix scan with fused top-k.
+
+TPU-native redesign of the reference FlatIndex (reference: src/index/flat.rs).
+The reference stores ``Vec<Vector>`` and linearly scans + sorts per query
+(reference: src/index/flat.rs:98-119). Here:
+
+* **Host staging** — float64 numpy ``[cap, D]`` is the source of truth
+  (exact storage/round-trip parity with the reference's f64 values), with
+  id / validity / text / metadata side tables.
+* **Device cache** — a float32 (configurable) ``[cap, D]`` HBM matrix plus a
+  cached squared-norm vector and validity mask, synchronized lazily with a
+  dirty-row watermark so inserts are O(D) host writes and the first search
+  after a burst pays one contiguous row upload (no per-insert device traffic).
+* **Search** — batched queries go through one jitted
+  score-matmul + ``lax.top_k`` program (kernels/topk.py). Capacity, batch and
+  k are bucketed to powers of two so XLA compiles a handful of programs total.
+* **Delete** — validity-mask clear (the reference's ``retain``
+  semantics: deleting an absent id succeeds, reference: src/index/flat.rs:93-96).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.metrics import SimilarityMetric
+from ..core.types import SearchResult, Vector
+from ..errors import DimensionMismatch, DuplicateVectorId
+from ..kernels.topk import next_pow2, row_sqnorms, search_topk, update_rows
+
+_MIN_CAPACITY = 256
+_MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
+
+
+class FlatIndex:
+    """Exact O(N) search over an HBM-resident vector matrix."""
+
+    def __init__(
+        self,
+        dim: int,
+        data: Sequence[Vector] = (),
+        *,
+        device_dtype=jnp.float32,
+    ):
+        if dim <= 0:
+            raise ValueError("FlatIndex dimension must be positive")
+        self.dim = int(dim)
+        self._device_dtype = device_dtype
+
+        cap = max(_MIN_CAPACITY, next_pow2(max(1, len(data))))
+        self._capacity = cap
+        self._values64 = np.zeros((cap, self.dim), dtype=np.float64)
+        self._ids = np.zeros(cap, dtype=np.uint64)
+        self._valid = np.zeros(cap, dtype=bool)
+        self._texts: list[Optional[str]] = [None] * cap
+        self._metas: list = [None] * cap
+        self._size = 0  # next append slot (monotonic until compaction)
+        self._count = 0  # number of live vectors
+        self._id_to_slot: dict[int, int] = {}
+
+        # Device cache state
+        self._dev_values: Optional[jax.Array] = None
+        self._dev_sqnorms: Optional[jax.Array] = None
+        self._dev_valid: Optional[jax.Array] = None
+        self._dirty_lo = 0
+        self._dirty_hi = 0
+        self._mask_dirty = True
+
+        for v in data:
+            self.add(v)
+
+    # ------------------------------------------------------------------ API
+
+    def add(self, vector: Vector) -> None:
+        """O(1) append (reference add: src/index/flat.rs:82-91)."""
+        if len(vector.values) != self.dim:
+            raise DimensionMismatch(self.dim, len(vector.values))
+        vid = int(vector.id)
+        if vid in self._id_to_slot:
+            raise DuplicateVectorId(vid)
+        if self._size >= self._capacity:
+            self._grow()
+        slot = self._size
+        self._values64[slot] = np.asarray(vector.values, dtype=np.float64)
+        self._ids[slot] = vid
+        self._valid[slot] = True
+        self._texts[slot] = vector.text
+        self._metas[slot] = vector.metadata
+        self._id_to_slot[vid] = slot
+        self._size += 1
+        self._count += 1
+        self._mark_dirty(slot)
+
+    def delete(self, id: int) -> None:
+        """Mask clear; absent ids succeed (reference: src/index/flat.rs:93-96)."""
+        slot = self._id_to_slot.pop(int(id), None)
+        if slot is None:
+            return
+        self._valid[slot] = False
+        self._texts[slot] = None
+        self._metas[slot] = None
+        self._count -= 1
+        self._mask_dirty = True
+
+    def search(
+        self, query: Sequence[float], k: int, metric: SimilarityMetric
+    ) -> list[SearchResult]:
+        results = self.search_batch([query], k, metric)
+        return results[0]
+
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        k: int,
+        metric: SimilarityMetric,
+    ) -> list[list[SearchResult]]:
+        """Batched exact top-k. The single-query API wraps this with B=1.
+
+        Dimension check only applies when the index is non-empty, matching the
+        reference quirk (reference: src/index/flat.rs:99).
+        """
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim != 2:
+            raise ValueError("queries must be [B, D]")
+        b = q.shape[0]
+        if self._count == 0:
+            return [[] for _ in range(b)]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        k = int(k)
+        if k <= 0:
+            return [[] for _ in range(b)]
+
+        self._sync_device()
+
+        k_eff = min(k, self._count)
+        k_pad = min(self._capacity, max(1, next_pow2(min(k_eff, _MAX_K_BUCKET))))
+        if k_eff > k_pad:  # k beyond the bucket ceiling: widen to exact need
+            k_pad = min(self._capacity, next_pow2(k_eff))
+        b_pad = next_pow2(b)
+        if b_pad > b:
+            q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
+
+        scores, slots = search_topk(
+            self._dev_values,
+            self._dev_sqnorms,
+            self._dev_valid,
+            jnp.asarray(q),
+            metric=metric,
+            k=k_pad,
+        )
+        scores = np.asarray(scores)[:b, :k_eff]
+        slots = np.asarray(slots)[:b, :k_eff]
+
+        out: list[list[SearchResult]] = []
+        for row_scores, row_slots in zip(scores, slots):
+            hits = []
+            for s, slot in zip(row_scores, row_slots):
+                if s == -np.inf:
+                    break
+                hits.append(
+                    SearchResult(
+                        id=int(self._ids[slot]),
+                        score=float(s),
+                        text=self._texts[slot] or "",
+                        metadata=self._metas[slot],
+                    )
+                )
+            out.append(hits)
+        return out
+
+    def search_batch_arrays(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metric: SimilarityMetric,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Array fast path: returns (ids [B,k] int64, scores [B,k] f32)
+        without materializing per-hit Python objects. Rows with fewer than k
+        live vectors are padded with id=-1 / score=-inf. This is the
+        production serving path for high-QPS batched search.
+        """
+        q = np.asarray(queries, dtype=np.float32)
+        b = q.shape[0]
+        if self._count == 0:
+            return (
+                np.full((b, k), -1, np.int64),
+                np.full((b, k), -np.inf, np.float32),
+            )
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        self._sync_device()
+        k_eff = min(int(k), self._count)
+        k_pad = min(self._capacity, next_pow2(max(1, k_eff)))
+        b_pad = next_pow2(b)
+        if b_pad > b:
+            q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
+        scores, slots = search_topk(
+            self._dev_values,
+            self._dev_sqnorms,
+            self._dev_valid,
+            jnp.asarray(q),
+            metric=metric,
+            k=k_pad,
+        )
+        scores = np.asarray(scores)[:b, :k_eff]
+        slots = np.asarray(slots)[:b, :k_eff]
+        ids = self._ids[slots].astype(np.int64)
+        ids[scores == -np.inf] = -1
+        if k_eff < k:
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+            scores = np.pad(
+                scores,
+                ((0, 0), (0, k - k_eff)),
+                constant_values=-np.inf,
+            )
+        return ids, scores
+
+    def __len__(self) -> int:
+        return self._count
+
+    def is_empty(self) -> bool:
+        return self._count == 0
+
+    def get_vector(self, id: int) -> Optional[Vector]:
+        slot = self._id_to_slot.get(int(id))
+        if slot is None:
+            return None
+        return Vector(
+            id=int(self._ids[slot]),
+            values=[float(x) for x in self._values64[slot]],
+            text=self._texts[slot] or "",
+            metadata=self._metas[slot],
+        )
+
+    @property
+    def dimension(self) -> int:
+        return self.dim
+
+    def metric(self) -> Optional[SimilarityMetric]:
+        return None  # Flat supports all metrics (reference: src/lib.rs:332-337)
+
+    @property
+    def index_type(self) -> str:
+        return "Flat"
+
+    def max_id(self) -> Optional[int]:
+        """Max live id (reference: src/index/flat.rs:76-78)."""
+        if not self._id_to_slot:
+            return None
+        return max(self._id_to_slot)
+
+    # ------------------------------------------------------- device plumbing
+
+    def device_state(self):
+        """(values, sqnorms, valid) device arrays — for dist/ sharded search."""
+        self._sync_device()
+        return self._dev_values, self._dev_sqnorms, self._dev_valid
+
+    def _mark_dirty(self, slot: int) -> None:
+        if self._dirty_hi == self._dirty_lo:
+            self._dirty_lo, self._dirty_hi = slot, slot + 1
+        else:
+            self._dirty_lo = min(self._dirty_lo, slot)
+            self._dirty_hi = max(self._dirty_hi, slot + 1)
+        self._mask_dirty = True
+
+    def _grow(self) -> None:
+        new_cap = self._capacity * 2
+        self._values64 = np.concatenate(
+            [self._values64, np.zeros((self._capacity, self.dim), np.float64)]
+        )
+        self._ids = np.concatenate(
+            [self._ids, np.zeros(self._capacity, np.uint64)]
+        )
+        self._valid = np.concatenate(
+            [self._valid, np.zeros(self._capacity, bool)]
+        )
+        self._texts.extend([None] * self._capacity)
+        self._metas.extend([None] * self._capacity)
+        self._capacity = new_cap
+        # Capacity changed: device buffers must be rebuilt wholesale.
+        self._dev_values = None
+        self._dev_sqnorms = None
+        self._dev_valid = None
+        self._dirty_lo, self._dirty_hi = 0, self._size
+        self._mask_dirty = True
+
+    def _sync_device(self) -> None:
+        if self._dev_values is None:
+            vals = jnp.asarray(self._values64, dtype=self._device_dtype)
+            self._dev_values = vals
+            self._dev_sqnorms = row_sqnorms(vals)
+            self._dev_valid = jnp.asarray(self._valid)
+            self._dirty_lo = self._dirty_hi = self._size
+            self._mask_dirty = False
+            return
+        if self._dirty_hi > self._dirty_lo:
+            lo, hi = self._dirty_lo, self._dirty_hi
+            rows = jnp.asarray(
+                self._values64[lo:hi], dtype=self._device_dtype
+            )
+            self._dev_values = update_rows(self._dev_values, rows, lo)
+            self._dev_sqnorms = update_rows(
+                self._dev_sqnorms, row_sqnorms(rows), lo
+            )
+            self._dirty_lo = self._dirty_hi = self._size
+        if self._mask_dirty:
+            self._dev_valid = jnp.asarray(self._valid)
+            self._mask_dirty = False
+
+    # ----------------------------------------------------------- persistence
+
+    def index_to_json(self) -> dict:
+        """Reference serde shape: ``{"dim": D, "data": [Vector...]}``
+        (reference: src/index/flat.rs:59-65), vectors in insertion order."""
+        data = []
+        for slot in range(self._size):
+            if not self._valid[slot]:
+                continue
+            data.append(
+                Vector(
+                    id=int(self._ids[slot]),
+                    values=[float(x) for x in self._values64[slot]],
+                    text=self._texts[slot] or "",
+                    metadata=self._metas[slot],
+                ).to_json()
+            )
+        return {"dim": self.dim, "data": data}
+
+    @classmethod
+    def index_from_json(cls, obj: dict, **kwargs) -> "FlatIndex":
+        vectors = [Vector.from_json(v) for v in obj.get("data", [])]
+        return cls(int(obj["dim"]), vectors, **kwargs)

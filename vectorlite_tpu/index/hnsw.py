@@ -1,0 +1,519 @@
+"""HNSW index — flat adjacency arrays, host build, batched search.
+
+Capability port of the reference HNSWIndex (reference: src/index/hnsw.rs),
+re-designed around flat arrays instead of the Rust ``hnsw`` crate's pointer
+graph:
+
+* **Adjacency** — per-level int32 ``[cap, M_level]`` arrays padded with -1
+  (level 0 has M0 slots, upper levels M), plus per-node levels and a single
+  entry point. This layout is directly consumable by the batched device beam
+  search kernel (kernels/beam.py) — neighbor expansion is a vectorized gather.
+* **Distances** — full-precision float32, NOT the reference's u64 fixed-point
+  (f64 × 1000) quantization (reference: src/index/hnsw.rs:113-174). The
+  distance→similarity conversion reproduces the reference formulas with the
+  quantization removed (reference: src/index/hnsw.rs:51-75), which makes
+  scores strictly more accurate; documented deviation.
+* **Delete** — soft tombstone: the graph node remains and keeps routing, only
+  the id/metadata mappings are dropped so the node can never be returned
+  (reference: src/index/hnsw.rs:400-414).
+* **Persistence** — stores vectors + metadata only; the graph is rebuilt by
+  re-inserting every vector on load (reference: src/index/hnsw.rs:272-360).
+
+Profiles (reference: src/index/hnsw.rs:95-109, compile-time in the reference,
+runtime here): default M=16/M0=32, memory-optimized M=8/M0=16,
+high-accuracy M=32/M0=64.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.metrics import SimilarityMetric
+from ..core.types import SearchResult, Vector
+from ..errors import (
+    DimensionMismatch,
+    DuplicateVectorId,
+    MetricMismatch,
+    VectorNotFound,
+)
+
+_MIN_CAPACITY = 256
+
+#: Beam width used during construction (standard HNSW ef_construction).
+DEFAULT_EF_CONSTRUCTION = 100
+
+#: Default search beam. The reference searches with ef == k
+#: (reference: src/index/hnsw.rs:437-448) which caps recall at small k;
+#: we default to a wider beam (pass ef_search=None at search time to widen,
+#: or construct with ef_search=0 for exact reference behavior).
+DEFAULT_EF_SEARCH = 64
+
+
+def convert_distance_to_similarity(
+    distance: float, metric: SimilarityMetric
+) -> float:
+    """Distance -> similarity, reference formulas without the x1000
+    quantization (reference: src/index/hnsw.rs:51-75).
+
+    Internal distances here: euclidean = L2, manhattan = L1,
+    cosine = 1 - cos, dotproduct = 1000 - clamp(dot, -1000, 1000)
+    (the reference's pre-scaling values).
+    """
+    if metric is SimilarityMetric.EUCLIDEAN:
+        return 1.0 / (1.0 + distance)
+    if metric is SimilarityMetric.COSINE:
+        return 1.0 - distance
+    if metric is SimilarityMetric.MANHATTAN:
+        return 1.0 / (1.0 + distance)
+    # DotProduct (reference: src/index/hnsw.rs:67-73)
+    return min(max((1000.0 - distance) / 1000.0, 0.0), 1.0)
+
+
+class HNSWIndex:
+    """Approximate nearest-neighbor index over flat adjacency arrays."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: SimilarityMetric,
+        *,
+        m: int = 16,
+        m0: int = 32,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        seed: int = 0x7E57,
+        store_f64: bool = True,
+    ):
+        if dim == 0:
+            raise ValueError("HNSW index dimension cannot be 0")
+        self.dim = int(dim)
+        self._metric = metric
+        self.m = int(m)
+        self.m0 = int(m0)
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)
+        self._ml = 1.0 / math.log(self.m)
+        self._rng = np.random.default_rng(seed)
+        self._store_f64 = store_f64
+
+        cap = _MIN_CAPACITY
+        self._capacity = cap
+        self._vecs = np.zeros((cap, self.dim), dtype=np.float32)
+        self._vecs64 = (
+            np.zeros((cap, self.dim), dtype=np.float64) if store_f64 else None
+        )
+        self._sqnorms = np.zeros(cap, dtype=np.float32)
+        self._norms = np.zeros(cap, dtype=np.float32)
+        self._levels = np.full(cap, -1, dtype=np.int32)
+        # adjacency: level -> int32 [cap, M_level], -1 padded
+        self._adj: list[np.ndarray] = [
+            np.full((cap, self.m0), -1, dtype=np.int32)
+        ]
+        self._num_nodes = 0
+        self._entry = -1
+        self._top_level = -1
+
+        # id bookkeeping (reference: src/index/hnsw.rs:197-213)
+        self._id_to_index: dict[int, int] = {}
+        self._index_to_id: dict[int, int] = {}
+        self._texts: dict[int, str] = {}
+        self._metas: dict[int, object] = {}
+        # device-search cache invalidation counter
+        self._version = 0
+
+    # ----------------------------------------------------------- distances
+
+    def _dist_to_many(self, q32: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+        """Distance from query to a set of internal nodes, vectorized."""
+        v = self._vecs[nodes]
+        m = self._metric
+        if m is SimilarityMetric.EUCLIDEAN:
+            d = v - q32
+            return np.sqrt(np.maximum(np.einsum("nd,nd->n", d, d), 0.0))
+        if m is SimilarityMetric.MANHATTAN:
+            return np.sum(np.abs(v - q32), axis=-1)
+        dot = v @ q32
+        if m is SimilarityMetric.DOT_PRODUCT:
+            # reference: src/index/hnsw.rs:162-174
+            return 1000.0 - np.clip(dot, -1000.0, 1000.0)
+        # cosine distance = 1 - cos; zero-norm -> max distance 1.0
+        # (reference: src/index/hnsw.rs:125-148, pre-scaling)
+        qn = float(np.sqrt(np.dot(q32, q32)))
+        vn = self._norms[nodes]
+        denom = qn * vn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0.0, dot / np.maximum(denom, 1e-30), 0.0)
+        out = 1.0 - cos
+        out = np.where((vn == 0.0) | (qn == 0.0), 1.0, out)
+        return out.astype(np.float32)
+
+    # ------------------------------------------------------------ graph ops
+
+    def _ensure_capacity(self, n: int) -> None:
+        if n <= self._capacity:
+            return
+        new_cap = self._capacity
+        while new_cap < n:
+            new_cap *= 2
+        grow = new_cap - self._capacity
+
+        def pad2(a, fill=0):
+            return np.concatenate(
+                [a, np.full((grow,) + a.shape[1:], fill, dtype=a.dtype)]
+            )
+
+        self._vecs = pad2(self._vecs)
+        if self._vecs64 is not None:
+            self._vecs64 = pad2(self._vecs64)
+        self._sqnorms = pad2(self._sqnorms)
+        self._norms = pad2(self._norms)
+        self._levels = pad2(self._levels, -1)
+        self._adj = [pad2(a, -1) for a in self._adj]
+        self._capacity = new_cap
+
+    def _ensure_level(self, level: int) -> None:
+        while len(self._adj) <= level:
+            self._adj.append(
+                np.full((self._capacity, self.m), -1, dtype=np.int32)
+            )
+
+    def _neighbors(self, node: int, level: int) -> np.ndarray:
+        row = self._adj[level][node]
+        return row[row >= 0]
+
+    def _search_layer(
+        self, q32: np.ndarray, eps: list[int], ef: int, level: int
+    ) -> list[tuple[float, int]]:
+        """Classic HNSW ef-search on one layer. Returns up to ef
+        (distance, node) pairs, ascending by distance."""
+        eps_arr = np.asarray(sorted(set(eps)), dtype=np.int64)
+        dists = self._dist_to_many(q32, eps_arr)
+        visited = set(int(n) for n in eps_arr)
+        # candidates: min-heap by distance; results: max-heap (negated)
+        cand = [(float(d), int(n)) for d, n in zip(dists, eps_arr)]
+        heapq.heapify(cand)
+        result = [(-d, n) for d, n in cand]
+        heapq.heapify(result)
+        while len(result) > ef:
+            heapq.heappop(result)
+
+        adj = self._adj[level]
+        while cand:
+            d_c, c = heapq.heappop(cand)
+            d_worst = -result[0][0]
+            if d_c > d_worst and len(result) >= ef:
+                break
+            row = adj[c]
+            neigh = row[row >= 0]
+            fresh = [int(n) for n in neigh if int(n) not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            fresh_arr = np.asarray(fresh, dtype=np.int64)
+            nd = self._dist_to_many(q32, fresh_arr)
+            for d, n in zip(nd, fresh):
+                d = float(d)
+                if len(result) < ef or d < -result[0][0]:
+                    heapq.heappush(cand, (d, n))
+                    heapq.heappush(result, (-d, n))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        out = [(-nd, n) for nd, n in result]
+        out.sort()
+        return out
+
+    def _select_heuristic(
+        self, candidates: list[tuple[float, int]], m: int
+    ) -> list[int]:
+        """Malkov's neighbor-selection heuristic (keeps diverse neighbors)."""
+        if len(candidates) <= m:
+            return [n for _, n in candidates]
+        selected: list[int] = []
+        selected_d: list[float] = []
+        for d, n in candidates:  # ascending
+            if len(selected) >= m:
+                break
+            if not selected:
+                selected.append(n)
+                selected_d.append(d)
+                continue
+            d_to_sel = self._dist_between(n, np.asarray(selected))
+            if np.all(d_to_sel > d):
+                selected.append(n)
+                selected_d.append(d)
+        # backfill with closest remaining if the heuristic was too picky
+        if len(selected) < m:
+            chosen = set(selected)
+            for d, n in candidates:
+                if len(selected) >= m:
+                    break
+                if n not in chosen:
+                    selected.append(n)
+                    chosen.add(n)
+        return selected
+
+    def _dist_between(self, node: int, others: np.ndarray) -> np.ndarray:
+        return self._dist_to_many(self._vecs[node], others)
+
+    def _link(self, node: int, neighbors: list[int], level: int) -> None:
+        m_max = self.m0 if level == 0 else self.m
+        row = self._adj[level][node]
+        row[: len(neighbors)] = neighbors[:m_max]
+        # reverse links with pruning
+        for nb in neighbors:
+            nrow = self._adj[level][nb]
+            free = np.nonzero(nrow < 0)[0]
+            if free.size:
+                nrow[free[0]] = node
+                continue
+            # prune: keep the m_max closest of existing + new
+            cand_nodes = np.concatenate([nrow, [node]]).astype(np.int64)
+            d = self._dist_between(nb, cand_nodes)
+            order = np.argsort(d, kind="stable")[:m_max]
+            self._adj[level][nb] = cand_nodes[order].astype(np.int32)
+
+    def _insert_node(self, values32: np.ndarray) -> int:
+        node = self._num_nodes
+        self._ensure_capacity(node + 1)
+        self._vecs[node] = values32
+        sq = float(np.dot(values32, values32))
+        self._sqnorms[node] = sq
+        self._norms[node] = math.sqrt(sq)
+        level = int(-math.log(self._rng.random()) * self._ml)
+        self._levels[node] = level
+        self._ensure_level(level)
+        self._num_nodes = node + 1
+
+        if self._entry < 0:
+            self._entry = node
+            self._top_level = level
+            return node
+
+        q32 = self._vecs[node]
+        ep = [self._entry]
+        # greedy descent above the node's level
+        for lvl in range(self._top_level, level, -1):
+            best = self._search_layer(q32, ep, 1, lvl)
+            ep = [best[0][1]] if best else ep
+        # ef-search + link from min(level, top) down to 0
+        for lvl in range(min(level, self._top_level), -1, -1):
+            cands = self._search_layer(q32, ep, self.ef_construction, lvl)
+            m_max = self.m0 if lvl == 0 else self.m
+            neigh = self._select_heuristic(cands, m_max)
+            self._link(node, neigh, lvl)
+            ep = [n for _, n in cands] or ep
+        if level > self._top_level:
+            self._entry = node
+            self._top_level = level
+        return node
+
+    # ------------------------------------------------------------------ API
+
+    def add(self, vector: Vector) -> None:
+        if len(vector.values) != self.dim:
+            raise DimensionMismatch(self.dim, len(vector.values))
+        vid = int(vector.id)
+        if vid in self._id_to_index:
+            raise DuplicateVectorId(vid)
+        v64 = np.asarray(vector.values, dtype=np.float64)
+        node = self._insert_node(v64.astype(np.float32))
+        if self._vecs64 is not None:
+            self._vecs64[node] = v64
+        self._id_to_index[vid] = node
+        self._index_to_id[node] = vid
+        self._texts[vid] = vector.text
+        self._metas[vid] = vector.metadata
+        self._version += 1
+
+    def delete(self, id: int) -> None:
+        """Soft tombstone (reference: src/index/hnsw.rs:400-414)."""
+        vid = int(id)
+        node = self._id_to_index.pop(vid, None)
+        if node is None:
+            raise VectorNotFound(vid)
+        self._index_to_id.pop(node, None)
+        self._texts.pop(vid, None)
+        self._metas.pop(vid, None)
+        self._version += 1
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int,
+        metric: SimilarityMetric,
+        *,
+        ef: Optional[int] = None,
+    ) -> list[SearchResult]:
+        return self.search_batch([query], k, metric, ef=ef)[0]
+
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        k: int,
+        metric: SimilarityMetric,
+        *,
+        ef: Optional[int] = None,
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim != 2:
+            raise ValueError("queries must be [B, D]")
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        # HNSW graphs are metric-specific (reference: src/index/hnsw.rs:425-430)
+        if metric is not self._metric:
+            raise MetricMismatch(metric, self._metric)
+        k = int(k)
+        live = len(self._id_to_index)
+        if live == 0 or k <= 0:
+            return [[] for _ in range(len(q))]
+
+        # Beam width: the reference uses ef == min(k, len)
+        # (reference: src/index/hnsw.rs:437-448); our default widens it.
+        if ef is None:
+            ef = self.ef_search
+        ef_eff = min(k, live) if ef <= 0 else max(min(k, live), ef)
+
+        out = []
+        for qi in q:
+            out.append(self._search_one(qi, k, ef_eff))
+        return out
+
+    def _search_one(self, q32: np.ndarray, k: int, ef: int):
+        ep = [self._entry]
+        for lvl in range(self._top_level, 0, -1):
+            best = self._search_layer(q32, ep, 1, lvl)
+            ep = [best[0][1]] if best else ep
+        cands = self._search_layer(q32, ep, ef, 0)
+        hits: list[SearchResult] = []
+        for d, node in cands:  # ascending distance == descending similarity
+            vid = self._index_to_id.get(node)
+            if vid is None:
+                continue  # tombstoned: routed through but never returned
+            hits.append(
+                SearchResult(
+                    id=vid,
+                    score=convert_distance_to_similarity(
+                        float(d), self._metric
+                    ),
+                    text=self._texts.get(vid, ""),
+                    metadata=self._metas.get(vid),
+                )
+            )
+            if len(hits) >= k:
+                break
+        return hits
+
+    def __len__(self) -> int:
+        return len(self._id_to_index)
+
+    def is_empty(self) -> bool:
+        return not self._id_to_index
+
+    def get_vector(self, id: int) -> Optional[Vector]:
+        vid = int(id)
+        node = self._id_to_index.get(vid)
+        if node is None:
+            return None
+        if self._vecs64 is not None:
+            values = [float(x) for x in self._vecs64[node]]
+        else:
+            values = [float(x) for x in self._vecs[node]]
+        return Vector(
+            id=vid,
+            values=values,
+            text=self._texts.get(vid, ""),
+            metadata=self._metas.get(vid),
+        )
+
+    @property
+    def dimension(self) -> int:
+        return self.dim
+
+    def metric(self) -> Optional[SimilarityMetric]:
+        return self._metric
+
+    @property
+    def index_type(self) -> str:
+        return "HNSW"
+
+    def max_id(self) -> Optional[int]:
+        if not self._id_to_index:
+            return None
+        return max(self._id_to_index)
+
+    # ----------------------------------------------------------- persistence
+
+    def index_to_json(self) -> dict:
+        """Reference serde shape (reference: src/index/hnsw.rs:197-213):
+        graph omitted, rebuilt on load by reinsertion."""
+        vector_values = {}
+        for vid, node in self._id_to_index.items():
+            src = self._vecs64 if self._vecs64 is not None else self._vecs
+            vector_values[str(vid)] = [float(x) for x in src[node]]
+        return {
+            "dim": self.dim,
+            "metric": self._metric.variant_name(),
+            "id_to_index": {
+                str(vid): node for vid, node in self._id_to_index.items()
+            },
+            "index_to_id": {
+                str(node): vid for node, vid in self._index_to_id.items()
+            },
+            "metadata": {
+                str(vid): {
+                    "text": self._texts.get(vid, ""),
+                    "metadata": self._metas.get(vid),
+                }
+                for vid in self._id_to_index
+            },
+            "vector_values": vector_values,
+        }
+
+    @classmethod
+    def index_from_json(cls, obj: dict, **kwargs) -> "HNSWIndex":
+        """Rebuild by re-inserting every stored vector
+        (reference: src/index/hnsw.rs:272-360). Only dim/metric/metadata/
+        vector_values are read; id_to_index/index_to_id are regenerated."""
+        dim = int(obj["dim"])
+        if dim == 0:
+            raise ValueError("Invalid dimension: cannot be 0")
+        metric = SimilarityMetric.from_serde(obj["metric"])
+        index = cls(dim, metric, **kwargs)
+        metadata = obj.get("metadata", {})
+        vector_values = obj.get("vector_values", {})
+        for vid_str in sorted(vector_values, key=int):
+            values = vector_values[vid_str]
+            if len(values) != dim:
+                raise ValueError(
+                    f"Vector dimension mismatch: expected {dim}, "
+                    f"got {len(values)}"
+                )
+            meta = metadata.get(vid_str) or {}
+            index.add(
+                Vector(
+                    id=int(vid_str),
+                    values=[float(v) for v in values],
+                    text=meta.get("text", ""),
+                    metadata=meta.get("metadata"),
+                )
+            )
+        return index
+
+    # --------------------------------------------------- device-search hooks
+
+    def graph_arrays(self):
+        """Flat CSR-style arrays for the device beam-search kernel:
+        (vectors f32 [cap,D], level0 adjacency int32 [cap,M0], entry, levels,
+        upper adjacency list). Consumed by kernels/beam.py."""
+        n = self._num_nodes
+        return (
+            self._vecs[:n],
+            self._adj[0][:n],
+            self._entry,
+            self._levels[:n],
+            [a[:n] for a in self._adj[1:]],
+        )

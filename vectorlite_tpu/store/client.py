@@ -1,0 +1,177 @@
+"""VectorLiteClient — the collection registry and top-level SDK entry point.
+
+Mirrors the reference ``VectorLiteClient`` (reference: src/client.rs:65-192):
+a map of named collections plus a shared embedding function. Collection
+dimension always comes from the embedder (reference: src/client.rs:88);
+HNSW creation requires an explicit metric (reference: src/client.rs:96).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional
+
+from ..core.metrics import SimilarityMetric
+from ..core.types import SearchResult, Vector
+from ..embed.base import EmbeddingFunction
+from ..errors import (
+    CollectionAlreadyExists,
+    CollectionNotFound,
+    InvalidIndexType,
+    MetricRequired,
+)
+from ..index.flat import FlatIndex
+from ..index.hnsw import HNSWIndex
+from .collection import Collection, CollectionInfo
+
+
+class IndexType(enum.Enum):
+    """Reference: src/client.rs:217-232."""
+
+    FLAT = "Flat"
+    HNSW = "HNSW"
+
+    @classmethod
+    def parse(cls, s: str) -> "IndexType":
+        """Case-insensitive parse (reference: src/server.rs:149-155)."""
+        t = s.lower()
+        if t == "flat":
+            return cls.FLAT
+        if t == "hnsw":
+            return cls.HNSW
+        raise InvalidIndexType(s)
+
+
+class Settings:
+    """Reserved for future configuration (reference: src/client.rs:73)."""
+
+
+class VectorLiteClient:
+    def __init__(self, embedding_function: EmbeddingFunction, *, config=None):
+        from ..config import VectorLiteConfig
+
+        self._collections: dict[str, Collection] = {}
+        self._embedding_function = embedding_function
+        self._config = config or VectorLiteConfig.from_env()
+
+    @property
+    def embedding_function(self) -> EmbeddingFunction:
+        return self._embedding_function
+
+    def create_collection(
+        self,
+        name: str,
+        index_type: IndexType,
+        metric: Optional[SimilarityMetric] = None,
+    ) -> None:
+        if name in self._collections:
+            raise CollectionAlreadyExists(name)
+        dimension = self._embedding_function.dimension
+        if index_type is IndexType.FLAT:
+            index = FlatIndex(
+                dimension, device_dtype=self._config.device_dtype
+            )
+        else:
+            if metric is None:
+                # no default: force explicit choice (reference: src/client.rs:96)
+                raise MetricRequired()
+            index = HNSWIndex(
+                dimension,
+                metric,
+                m=self._config.hnsw_m,
+                m0=self._config.hnsw_m0,
+                ef_construction=self._config.hnsw_ef_construction,
+                ef_search=self._config.hnsw_ef_search,
+            )
+        self._collections[name] = Collection(name, index)
+
+    def get_collection(self, name: str) -> Optional[Collection]:
+        return self._collections.get(name)
+
+    def list_collections(self) -> list[str]:
+        return list(self._collections.keys())
+
+    def delete_collection(self, name: str) -> None:
+        if self._collections.pop(name, None) is None:
+            raise CollectionNotFound(name)
+
+    def has_collection(self, name: str) -> bool:
+        return name in self._collections
+
+    def add_text_to_collection(
+        self,
+        collection_name: str,
+        text: str,
+        metadata: Optional[Any] = None,
+    ) -> int:
+        return self._require(collection_name).add_text_with_metadata(
+            text, self._embedding_function, metadata
+        )
+
+    def add_texts_to_collection(
+        self, collection_name: str, texts, metadatas=None
+    ) -> list[int]:
+        """Batched insert (TPU-native extension)."""
+        return self._require(collection_name).add_texts(
+            texts, self._embedding_function, metadatas
+        )
+
+    def search_text_in_collection(
+        self,
+        collection_name: str,
+        query_text: str,
+        k: int,
+        similarity_metric: Optional[SimilarityMetric] = None,
+    ) -> list[SearchResult]:
+        collection = self._require(collection_name)
+        metric = (
+            similarity_metric
+            if similarity_metric is not None
+            else collection.detected_metric()
+        )
+        return collection.search_text(
+            query_text, k, metric, self._embedding_function
+        )
+
+    def search_texts_in_collection(
+        self,
+        collection_name: str,
+        query_texts,
+        k: int,
+        similarity_metric: Optional[SimilarityMetric] = None,
+    ) -> list[list[SearchResult]]:
+        """Batched search (TPU-native extension)."""
+        collection = self._require(collection_name)
+        metric = (
+            similarity_metric
+            if similarity_metric is not None
+            else collection.detected_metric()
+        )
+        return collection.search_texts(
+            query_texts, k, metric, self._embedding_function
+        )
+
+    def delete_from_collection(self, collection_name: str, id: int) -> None:
+        self._require(collection_name).delete(id)
+
+    def get_vector_from_collection(
+        self, collection_name: str, id: int
+    ) -> Optional[Vector]:
+        return self._require(collection_name).get_vector(id)
+
+    def get_collection_info(self, collection_name: str) -> CollectionInfo:
+        return self._require(collection_name).get_info()
+
+    def add_collection(self, collection: Collection) -> None:
+        """Register a collection directly (used when loading from files,
+        reference: src/client.rs:183-191)."""
+        name = collection.name
+        if name in self._collections:
+            raise CollectionAlreadyExists(name)
+        self._collections[name] = collection
+
+    def _require(self, name: str) -> Collection:
+        collection = self._collections.get(name)
+        if collection is None:
+            raise CollectionNotFound(name)
+        return collection

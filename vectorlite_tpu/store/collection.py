@@ -1,0 +1,192 @@
+"""Collection: a named index behind a readers-writer lock with atomic ids.
+
+Mirrors the reference ``Collection`` (reference: src/client.rs:243-497):
+
+* per-collection RW lock + atomic next_id counter,
+* id allocated **before** embedding — a failed embed burns the id
+  (reference: src/client.rs:350-353),
+* embedding computed **outside** the lock; the write lock is held only for
+  the index mutation (reference: src/client.rs:349-379),
+* next_id recovered as max_id + 1 when constructed from a loaded index
+  (reference: src/client.rs:295-308).
+
+JAX device state inside the index is functional (replace-on-write), so a
+reader holding the lock never observes a partially-written device buffer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
+
+from ..core.metrics import SimilarityMetric
+from ..core.types import SearchResult, Vector
+from ..embed.base import EmbeddingFunction
+from ..errors import EmbeddingError, VectorLiteError
+from ..utils import AtomicCounter, RWLock
+
+
+@dataclass
+class CollectionInfo:
+    """Reference: src/client.rs:272-282."""
+
+    name: str
+    count: int
+    is_empty: bool
+    dimension: int
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "count": self.count,
+            "is_empty": self.is_empty,
+            "dimension": self.dimension,
+        }
+
+
+class Collection:
+    def __init__(self, name: str, index):
+        self._name = name
+        self._index = index
+        self._lock = RWLock()
+        max_id = index.max_id()
+        self._next_id = AtomicCounter(0 if max_id is None else max_id + 1)
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def next_id(self) -> int:
+        return self._next_id.load()
+
+    def add_text(
+        self,
+        text: str,
+        embedding_function: EmbeddingFunction,
+        metadata: Optional[Any] = None,
+    ) -> int:
+        # id allocated before embedding; burned if the embed fails
+        # (reference: src/client.rs:350-353)
+        vid = self._next_id.fetch_add(1)
+        embedding = _run_embed(embedding_function, text)
+        vector = Vector(id=vid, values=embedding, text=text, metadata=metadata)
+        with self._lock.write():
+            self._index.add(vector)
+        return vid
+
+    # Alias mirroring the reference's two-method surface
+    # (reference: src/client.rs:317-379).
+    add_text_with_metadata = add_text
+
+    def add_texts(
+        self,
+        texts: Sequence[str],
+        embedding_function: EmbeddingFunction,
+        metadatas: Optional[Sequence[Any]] = None,
+    ) -> list[int]:
+        """Batched insert — one embedder forward, one short write lock.
+
+        TPU-native extension: the reference embeds one text per rayon task
+        (reference: src/embeddings.rs:269-276); here the whole batch rides a
+        single batched forward pass.
+        """
+        ids = [self._next_id.fetch_add(1) for _ in texts]
+        try:
+            embeddings = embedding_function.embed_batch(list(texts))
+        except VectorLiteError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise EmbeddingError(str(e)) from e
+        metadatas = metadatas if metadatas is not None else [None] * len(texts)
+        with self._lock.write():
+            for vid, emb, text, meta in zip(ids, embeddings, texts, metadatas):
+                self._index.add(
+                    Vector(id=vid, values=emb, text=text, metadata=meta)
+                )
+        return ids
+
+    def search_text(
+        self,
+        query_text: str,
+        k: int,
+        metric: SimilarityMetric,
+        embedding_function: EmbeddingFunction,
+    ) -> list[SearchResult]:
+        # embed outside the lock (reference: src/client.rs:393-401)
+        query = _run_embed(embedding_function, query_text)
+        with self._lock.read():
+            return self._index.search(query, k, metric)
+
+    def search_texts(
+        self,
+        query_texts: Sequence[str],
+        k: int,
+        metric: SimilarityMetric,
+        embedding_function: EmbeddingFunction,
+    ) -> list[list[SearchResult]]:
+        """Batched search — TPU-native extension."""
+        queries = embedding_function.embed_batch(list(query_texts))
+        with self._lock.read():
+            return self._index.search_batch(queries, k, metric)
+
+    def delete(self, id: int) -> None:
+        with self._lock.write():
+            self._index.delete(id)
+
+    def get_vector(self, id: int) -> Optional[Vector]:
+        with self._lock.read():
+            return self._index.get_vector(id)
+
+    def get_info(self) -> CollectionInfo:
+        with self._lock.read():
+            return CollectionInfo(
+                name=self._name,
+                count=len(self._index),
+                is_empty=self._index.is_empty(),
+                dimension=self._index.dimension,
+            )
+
+    def index_read(self):
+        """Context manager yielding the index under the read lock."""
+        return _IndexReadGuard(self._lock, self._index)
+
+    def detected_metric(self) -> SimilarityMetric:
+        """Metric auto-detect: HNSW -> its metric, Flat -> Cosine default
+        (reference: src/client.rs:143-155)."""
+        with self._lock.read():
+            m = self._index.metric()
+        return m if m is not None else SimilarityMetric.COSINE
+
+    def save_to_file(self, path) -> None:
+        from ..persist.vlc import save_collection_to_file
+
+        save_collection_to_file(self, path)
+
+    @classmethod
+    def load_from_file(cls, path) -> "Collection":
+        from ..persist.vlc import load_collection_from_file
+
+        return load_collection_from_file(path)
+
+
+class _IndexReadGuard:
+    def __init__(self, lock: RWLock, index):
+        self._lock = lock
+        self._index = index
+
+    def __enter__(self):
+        self._cm = self._lock.read()
+        self._cm.__enter__()
+        return self._index
+
+    def __exit__(self, *exc):
+        return self._cm.__exit__(*exc)
+
+
+def _run_embed(embedding_function: EmbeddingFunction, text: str) -> list:
+    try:
+        return embedding_function.generate_embedding(text)
+    except VectorLiteError:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise EmbeddingError(str(e)) from e
