@@ -1,0 +1,92 @@
+"""Pallas fused tiled distance+top-k kernel vs the XLA reference path.
+
+Runs in interpreter mode on CPU (real lowering is exercised on TPU by
+bench.py); checks exact agreement of indices and scores including
+tombstones, ties, and all matmul-form metrics.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vectorlite_tpu.core.metrics import SimilarityMetric
+from vectorlite_tpu.kernels.pallas_scan import pallas_search_topk
+from vectorlite_tpu.kernels.topk import search_topk
+
+MATMUL_METRICS = [
+    SimilarityMetric.COSINE,
+    SimilarityMetric.EUCLIDEAN,
+    SimilarityMetric.DOT_PRODUCT,
+]
+
+
+def make_corpus(rng, n, d, invalid_frac=0.0):
+    values = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    sqnorms = jnp.sum(values * values, axis=-1)
+    valid = jnp.asarray(rng.random(n) >= invalid_frac)
+    return values, sqnorms, valid
+
+
+@pytest.mark.parametrize("metric", MATMUL_METRICS)
+def test_matches_xla_path(metric, rng):
+    n, d, b, k = 2048, 128, 8, 10
+    values, sqnorms, valid = make_corpus(rng, n, d, invalid_frac=0.1)
+    queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    s1, i1 = pallas_search_topk(
+        values, sqnorms, valid, queries,
+        metric=metric, k=k, tile_n=512, interpret=True,
+    )
+    s2, i2 = search_topk(values, sqnorms, valid, queries, metric=metric, k=k)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tie_break_lowest_row(rng):
+    # duplicate rows: winners must come back in ascending row order
+    n, d, b, k = 1024, 64, 8, 4
+    base = rng.normal(size=(1, d)).astype(np.float32)
+    data = rng.normal(size=(n, d)).astype(np.float32) * 10
+    for row in (7, 300, 900):
+        data[row] = base
+    values = jnp.asarray(data)
+    sqnorms = jnp.sum(values * values, axis=-1)
+    valid = jnp.ones(n, dtype=bool)
+    queries = jnp.asarray(np.repeat(base, b, axis=0))
+    s, i = pallas_search_topk(
+        values, sqnorms, valid, queries,
+        metric=SimilarityMetric.COSINE, k=k, tile_n=256, interpret=True,
+    )
+    assert list(np.asarray(i)[0][:3]) == [7, 300, 900]
+
+
+def test_k_larger_than_tile(rng):
+    # k is clamped to the tile size per tile; global merge still exact
+    n, d, b, k = 512, 32, 8, 96
+    values, sqnorms, valid = make_corpus(rng, n, d)
+    queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    s1, i1 = pallas_search_topk(
+        values, sqnorms, valid, queries,
+        metric=SimilarityMetric.DOT_PRODUCT, k=k, tile_n=128,
+        interpret=True,
+    )
+    s2, i2 = search_topk(
+        values, sqnorms, valid, queries,
+        metric=SimilarityMetric.DOT_PRODUCT, k=k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_all_invalid_returns_neg_inf(rng):
+    n, d, b, k = 512, 32, 8, 4
+    values, sqnorms, _ = make_corpus(rng, n, d)
+    valid = jnp.zeros(n, dtype=bool)
+    queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    s, i = pallas_search_topk(
+        values, sqnorms, valid, queries,
+        metric=SimilarityMetric.COSINE, k=k, tile_n=256, interpret=True,
+    )
+    assert np.all(np.asarray(s) == -np.inf)

@@ -34,6 +34,20 @@ from ..kernels.topk import next_pow2, row_sqnorms, search_topk, update_rows
 _MIN_CAPACITY = 256
 _MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
 
+#: Above this capacity the fused Pallas tiled scan takes over from the
+#: full-score-matrix XLA path (which needs a [B, cap] f32 intermediate).
+_PALLAS_MIN_CAPACITY = 1 << 17
+
+_PALLAS_TILE = 2048
+
+
+def _use_pallas(capacity: int, metric: SimilarityMetric) -> bool:
+    if capacity < _PALLAS_MIN_CAPACITY:
+        return False
+    if metric is SimilarityMetric.MANHATTAN:
+        return False  # no matmul form; tiled XLA path handles it
+    return jax.default_backend() == "tpu"
+
 
 class FlatIndex:
     """Exact O(N) search over an HBM-resident vector matrix."""
@@ -144,14 +158,7 @@ class FlatIndex:
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
 
-        scores, slots = search_topk(
-            self._dev_values,
-            self._dev_sqnorms,
-            self._dev_valid,
-            jnp.asarray(q),
-            metric=metric,
-            k=k_pad,
-        )
+        scores, slots = self._device_topk(q, k_pad, metric)
         scores = np.asarray(scores)[:b, :k_eff]
         slots = np.asarray(slots)[:b, :k_eff]
 
@@ -192,20 +199,12 @@ class FlatIndex:
             )
         if q.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, q.shape[1])
-        self._sync_device()
         k_eff = min(int(k), self._count)
         k_pad = min(self._capacity, next_pow2(max(1, k_eff)))
         b_pad = next_pow2(b)
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
-        scores, slots = search_topk(
-            self._dev_values,
-            self._dev_sqnorms,
-            self._dev_valid,
-            jnp.asarray(q),
-            metric=metric,
-            k=k_pad,
-        )
+        scores, slots = self._device_topk(q, k_pad, metric)
         scores = np.asarray(scores)[:b, :k_eff]
         slots = np.asarray(slots)[:b, :k_eff]
         ids = self._ids[slots].astype(np.int64)
@@ -254,6 +253,32 @@ class FlatIndex:
         return max(self._id_to_slot)
 
     # ------------------------------------------------------- device plumbing
+
+    def _device_topk(self, q: np.ndarray, k_pad: int, metric: SimilarityMetric):
+        """Dispatch to the fused Pallas tiled scan for huge corpora (no
+        [B, cap] intermediate) or the plain XLA path otherwise."""
+        self._sync_device()
+        queries = jnp.asarray(q)
+        if _use_pallas(self._capacity, metric):
+            from ..kernels.pallas_scan import pallas_search_topk
+
+            return pallas_search_topk(
+                self._dev_values,
+                self._dev_sqnorms,
+                self._dev_valid,
+                queries,
+                metric=metric,
+                k=k_pad,
+                tile_n=_PALLAS_TILE,
+            )
+        return search_topk(
+            self._dev_values,
+            self._dev_sqnorms,
+            self._dev_valid,
+            queries,
+            metric=metric,
+            k=k_pad,
+        )
 
     def device_state(self):
         """(values, sqnorms, valid) device arrays — for dist/ sharded search."""
