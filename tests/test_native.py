@@ -1,0 +1,109 @@
+"""Native C++ HNSW builder: parity with the pure-Python path."""
+
+import numpy as np
+import pytest
+
+from vectorlite_tpu import FlatIndex, HNSWIndex, SimilarityMetric, Vector
+from vectorlite_tpu import native as native_mod
+
+
+def vec(id, values, text="t"):
+    return Vector(id=id, values=list(values), text=text)
+
+
+needs_native = pytest.mark.skipif(
+    native_mod.load() is None, reason="native builder unavailable"
+)
+
+
+@needs_native
+class TestNativeBuilder:
+    @pytest.mark.parametrize(
+        "metric",
+        [
+            SimilarityMetric.COSINE,
+            SimilarityMetric.EUCLIDEAN,
+            SimilarityMetric.MANHATTAN,
+            SimilarityMetric.DOT_PRODUCT,
+        ],
+    )
+    def test_recall_vs_flat(self, metric, rng):
+        n, d, k = 600, 24, 10
+        data = rng.normal(size=(n, d)) * 0.1
+        idx = HNSWIndex(d, metric, native=True, seed=7)
+        idx.add_batch([vec(i, data[i]) for i in range(n)])
+        assert len(idx) == n
+        flat = FlatIndex(d, [vec(i, data[i]) for i in range(n)])
+        recalls = []
+        for _ in range(16):
+            q = list(rng.normal(size=d) * 0.1)
+            truth = {r.id for r in flat.search(q, k, metric)}
+            got = {r.id for r in idx.search(q, k, metric, use_device=False)}
+            recalls.append(len(truth & got) / k)
+        assert np.mean(recalls) >= 0.9, (metric, recalls)
+
+    def test_incremental_add_and_capacity_growth(self, rng):
+        d = 16
+        idx = HNSWIndex(d, SimilarityMetric.EUCLIDEAN, native=True)
+        data = rng.normal(size=(700, d))  # crosses the 256 -> 512 -> 1024 caps
+        for i in range(700):
+            idx.add(vec(i, data[i]))
+        res = idx.search(
+            list(data[650]), 1, SimilarityMetric.EUCLIDEAN, use_device=False
+        )
+        assert res[0].id == 650
+        assert abs(res[0].score - 1.0) < 1e-4
+
+    def test_device_search_over_native_graph(self, rng):
+        n, d = 500, 16
+        data = rng.normal(size=(n, d))
+        idx = HNSWIndex(d, SimilarityMetric.EUCLIDEAN, native=True, seed=3)
+        idx.add_batch([vec(i, data[i]) for i in range(n)])
+        # force device path; dirty rows must flow C++ -> device
+        res = idx.search(
+            list(data[123]), 5, SimilarityMetric.EUCLIDEAN, use_device=True
+        )
+        assert res[0].id == 123
+        idx.add(vec(9000, data[7] * 0.5))
+        res = idx.search(
+            list(data[7] * 0.5), 1, SimilarityMetric.EUCLIDEAN,
+            use_device=True,
+        )
+        assert res[0].id == 9000
+
+    def test_delete_tombstone(self, rng):
+        d = 8
+        data = rng.normal(size=(50, d))
+        idx = HNSWIndex(d, SimilarityMetric.COSINE, native=True)
+        idx.add_batch([vec(i, data[i]) for i in range(50)])
+        idx.delete(10)
+        res = idx.search(
+            list(data[10]), 10, SimilarityMetric.COSINE, use_device=False
+        )
+        assert 10 not in [r.id for r in res]
+
+    def test_serde_rebuild_uses_batch(self, rng):
+        d = 8
+        data = rng.normal(size=(40, d))
+        idx = HNSWIndex(d, SimilarityMetric.EUCLIDEAN, native=True)
+        idx.add_batch([vec(i, data[i], f"t{i}") for i in range(40)])
+        restored = HNSWIndex.index_from_json(idx.index_to_json())
+        assert len(restored) == 40
+        res = restored.search(
+            list(data[5]), 1, SimilarityMetric.EUCLIDEAN, use_device=False
+        )
+        assert res[0].id == 5
+        assert res[0].text == "t5"
+
+    def test_graph_arrays_export(self, rng):
+        d = 8
+        data = rng.normal(size=(300, d))
+        idx = HNSWIndex(d, SimilarityMetric.EUCLIDEAN, native=True)
+        idx.add_batch([vec(i, data[i]) for i in range(300)])
+        vecs, adj0, entry, levels, upper = idx.graph_arrays()
+        assert vecs.shape == (300, d)
+        assert adj0.shape == (300, idx.m0)
+        assert 0 <= entry < 300
+        assert (levels >= 0).all()
+        # every node must have at least one level-0 link (connected graph)
+        assert (adj0 >= 0).any(axis=1).all()

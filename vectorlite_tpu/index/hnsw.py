@@ -87,6 +87,7 @@ class HNSWIndex:
         ef_search: int = DEFAULT_EF_SEARCH,
         seed: int = 0x7E57,
         store_f64: bool = True,
+        native: Optional[bool] = None,
     ):
         if dim == 0:
             raise ValueError("HNSW index dimension cannot be 0")
@@ -122,8 +123,74 @@ class HNSWIndex:
         self._index_to_id: dict[int, int] = {}
         self._texts: dict[int, str] = {}
         self._metas: dict[int, object] = {}
-        # device-search cache invalidation counter
-        self._version = 0
+        # device-search cache: vectors synced by append watermark, level-0
+        # adjacency rows by dirty set (links/prunes touch scattered rows)
+        self._dev = None  # (vecs, sqnorms, adj0) jax arrays at _dev_n rows
+        self._dev_n = 0
+        self._vec_synced = 0
+        self._adj_dirty: set[int] = set()
+
+        # native C++ builder (graph construction + host search); the
+        # level-0 adjacency / vectors / levels buffers above are shared
+        # with it (see native/hnsw_builder.cpp memory contract)
+        self._nb = None
+        self._nb_lib = None
+        if native is not False:
+            from .. import native as native_mod
+
+            lib = native_mod.load()
+            if lib is not None:
+                self._nb_lib = lib
+                metric_code = {
+                    SimilarityMetric.COSINE: 0,
+                    SimilarityMetric.EUCLIDEAN: 1,
+                    SimilarityMetric.MANHATTAN: 2,
+                    SimilarityMetric.DOT_PRODUCT: 3,
+                }[metric]
+                self._nb = lib.hnsw_new(
+                    self.dim,
+                    metric_code,
+                    self.m,
+                    self.m0,
+                    self.ef_construction,
+                    seed & 0xFFFFFFFFFFFFFFFF,
+                )
+                self._native_bind()
+            elif native is True:
+                raise RuntimeError("native hnsw builder unavailable")
+
+    def __del__(self):
+        nb = getattr(self, "_nb", None)
+        if nb is not None and self._nb_lib is not None:
+            self._nb_lib.hnsw_free(nb)
+            self._nb = None
+
+    def _native_bind(self) -> None:
+        import ctypes as c
+
+        self._nb_lib.hnsw_bind(
+            self._nb,
+            self._vecs.ctypes.data_as(c.POINTER(c.c_float)),
+            self._sqnorms.ctypes.data_as(c.POINTER(c.c_float)),
+            self._norms.ctypes.data_as(c.POINTER(c.c_float)),
+            self._levels.ctypes.data_as(c.POINTER(c.c_int32)),
+            self._adj[0].ctypes.data_as(c.POINTER(c.c_int32)),
+            self._capacity,
+        )
+
+    def _native_drain_dirty(self) -> None:
+        import ctypes as c
+
+        if self._nb is None:
+            return
+        n = self._nb_lib.hnsw_dirty_count(self._nb)
+        if n <= 0:
+            return
+        buf = np.empty(n, dtype=np.int32)
+        got = self._nb_lib.hnsw_drain_dirty(
+            self._nb, buf.ctypes.data_as(c.POINTER(c.c_int32)), n
+        )
+        self._adj_dirty.update(int(x) for x in buf[:got])
 
     # ----------------------------------------------------------- distances
 
@@ -174,6 +241,8 @@ class HNSWIndex:
         self._levels = pad2(self._levels, -1)
         self._adj = [pad2(a, -1) for a in self._adj]
         self._capacity = new_cap
+        if self._nb is not None:
+            self._native_bind()  # buffers were reallocated
 
     def _ensure_level(self, level: int) -> None:
         while len(self._adj) <= level:
@@ -263,6 +332,9 @@ class HNSWIndex:
         m_max = self.m0 if level == 0 else self.m
         row = self._adj[level][node]
         row[: len(neighbors)] = neighbors[:m_max]
+        if level == 0:
+            self._adj_dirty.add(node)
+            self._adj_dirty.update(neighbors)
         # reverse links with pruning
         for nb in neighbors:
             nrow = self._adj[level][nb]
@@ -280,6 +352,12 @@ class HNSWIndex:
         node = self._num_nodes
         self._ensure_capacity(node + 1)
         self._vecs[node] = values32
+        if self._nb is not None:
+            self._nb_lib.hnsw_insert_batch(self._nb, node, 1)
+            self._num_nodes = node + 1
+            self._entry = int(self._nb_lib.hnsw_entry(self._nb))
+            self._top_level = int(self._nb_lib.hnsw_top_level(self._nb))
+            return node
         sq = float(np.dot(values32, values32))
         self._sqnorms[node] = sq
         self._norms[node] = math.sqrt(sq)
@@ -327,7 +405,38 @@ class HNSWIndex:
         self._index_to_id[node] = vid
         self._texts[vid] = vector.text
         self._metas[vid] = vector.metadata
-        self._version += 1
+
+    def add_batch(self, vectors: Sequence[Vector]) -> None:
+        """Bulk insert: one native call for the whole batch (used by
+        rebuild-on-load and high-throughput ingestion)."""
+        if self._nb is None:
+            for v in vectors:
+                self.add(v)
+            return
+        for v in vectors:
+            if len(v.values) != self.dim:
+                raise DimensionMismatch(self.dim, len(v.values))
+            if int(v.id) in self._id_to_index:
+                raise DuplicateVectorId(int(v.id))
+        start = self._num_nodes
+        count = len(vectors)
+        self._ensure_capacity(start + count)
+        for i, v in enumerate(vectors):
+            node = start + i
+            v64 = np.asarray(v.values, dtype=np.float64)
+            self._vecs[node] = v64.astype(np.float32)
+            if self._vecs64 is not None:
+                self._vecs64[node] = v64
+            vid = int(v.id)
+            self._id_to_index[vid] = node
+            self._index_to_id[node] = vid
+            self._texts[vid] = v.text
+            self._metas[vid] = v.metadata
+        self._nb_lib.hnsw_insert_batch(self._nb, start, count)
+        self._num_nodes = start + count
+        self._entry = int(self._nb_lib.hnsw_entry(self._nb))
+        self._top_level = int(self._nb_lib.hnsw_top_level(self._nb))
+
 
     def delete(self, id: int) -> None:
         """Soft tombstone (reference: src/index/hnsw.rs:400-414)."""
@@ -338,7 +447,7 @@ class HNSWIndex:
         self._index_to_id.pop(node, None)
         self._texts.pop(vid, None)
         self._metas.pop(vid, None)
-        self._version += 1
+
 
     def search(
         self,
@@ -347,8 +456,11 @@ class HNSWIndex:
         metric: SimilarityMetric,
         *,
         ef: Optional[int] = None,
+        use_device: Optional[bool] = None,
     ) -> list[SearchResult]:
-        return self.search_batch([query], k, metric, ef=ef)[0]
+        return self.search_batch(
+            [query], k, metric, ef=ef, use_device=use_device
+        )[0]
 
     def search_batch(
         self,
@@ -357,6 +469,7 @@ class HNSWIndex:
         metric: SimilarityMetric,
         *,
         ef: Optional[int] = None,
+        use_device: Optional[bool] = None,
     ) -> list[list[SearchResult]]:
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim != 2:
@@ -377,17 +490,151 @@ class HNSWIndex:
             ef = self.ef_search
         ef_eff = min(k, live) if ef <= 0 else max(min(k, live), ef)
 
+        if use_device is None:
+            use_device = self._num_nodes >= 4096
+        if use_device:
+            return self._search_device(q, k, ef_eff)
         out = []
         for qi in q:
             out.append(self._search_one(qi, k, ef_eff))
         return out
 
-    def _search_one(self, q32: np.ndarray, k: int, ef: int):
+    def _native_search(self, q32: np.ndarray, ef: int):
+        import ctypes as c
+
+        q = np.ascontiguousarray(q32, dtype=np.float32)
+        out_ids = np.empty(ef, np.int32)
+        out_d = np.empty(ef, np.float32)
+        n = self._nb_lib.hnsw_search(
+            self._nb,
+            q.ctypes.data_as(c.POINTER(c.c_float)),
+            ef,
+            out_ids.ctypes.data_as(c.POINTER(c.c_int32)),
+            out_d.ctypes.data_as(c.POINTER(c.c_float)),
+        )
+        return [(float(out_d[i]), int(out_ids[i])) for i in range(n)]
+
+    def _descend_entry(self, q32: np.ndarray) -> int:
+        """Host greedy 1-NN descent over levels >= 1."""
+        if self._nb is not None:
+            import ctypes as c
+
+            q = np.ascontiguousarray(q32, dtype=np.float32)
+            return int(
+                self._nb_lib.hnsw_descend(
+                    self._nb, q.ctypes.data_as(c.POINTER(c.c_float))
+                )
+            )
         ep = [self._entry]
         for lvl in range(self._top_level, 0, -1):
             best = self._search_layer(q32, ep, 1, lvl)
             ep = [best[0][1]] if best else ep
-        cands = self._search_layer(q32, ep, ef, 0)
+        return ep[0]
+
+    def _sync_device(self) -> None:
+        import jax.numpy as jnp
+
+        from ..kernels.topk import update_rows
+
+        self._native_drain_dirty()
+        n = self._num_nodes
+        if (
+            self._dev is None
+            or n > self._dev[0].shape[0]
+            or n < self._dev_n
+        ):
+            # full (re)build — capacity grew or state is fresh
+            self._dev = (
+                jnp.asarray(self._vecs[:n]),
+                jnp.asarray(self._sqnorms[:n]),
+                jnp.asarray(self._adj[0][:n]),
+            )
+        else:
+            vecs, sqn, adj = self._dev
+            if n > self._vec_synced:
+                lo = self._vec_synced
+                rows = jnp.asarray(self._vecs[lo:n])
+                vecs = update_rows(vecs, rows, lo)
+                sqn = update_rows(sqn, jnp.asarray(self._sqnorms[lo:n]), lo)
+            if self._adj_dirty:
+                idx = np.fromiter(
+                    (i for i in self._adj_dirty if i < n),
+                    dtype=np.int64,
+                )
+                adj = adj.at[jnp.asarray(idx)].set(
+                    jnp.asarray(self._adj[0][idx])
+                )
+            self._dev = (vecs, sqn, adj)
+        self._dev_n = n
+        self._vec_synced = n
+        self._adj_dirty.clear()
+
+    def _search_device(
+        self, q: np.ndarray, k: int, ef: int
+    ) -> list[list[SearchResult]]:
+        import jax.numpy as jnp
+
+        from ..kernels.beam import beam_search_l0
+        from ..kernels.topk import next_pow2
+
+        self._sync_device()
+        vecs, sqn, adj = self._dev
+        b = q.shape[0]
+        entries = np.fromiter(
+            (self._descend_entry(qi) for qi in q), dtype=np.int32, count=b
+        )
+        ef_pad = next_pow2(max(ef, 8))
+        b_pad = next_pow2(b)
+        if b_pad > b:
+            q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
+            entries = np.concatenate(
+                [entries, np.zeros(b_pad - b, np.int32)]
+            )
+        beam_ids, beam_dist = beam_search_l0(
+            vecs,
+            sqn,
+            adj,
+            jnp.asarray(entries),
+            jnp.asarray(q),
+            metric=self._metric,
+            ef=ef_pad,
+            max_iters=4 * ef_pad + 32,
+        )
+        beam_ids = np.asarray(beam_ids)[:b]
+        beam_dist = np.asarray(beam_dist)[:b]
+        out: list[list[SearchResult]] = []
+        for row_ids, row_dist in zip(beam_ids, beam_dist):
+            hits: list[SearchResult] = []
+            for node, d in zip(row_ids, row_dist):
+                if node < 0 or d == np.inf:
+                    continue
+                vid = self._index_to_id.get(int(node))
+                if vid is None:
+                    continue  # tombstoned
+                hits.append(
+                    SearchResult(
+                        id=vid,
+                        score=convert_distance_to_similarity(
+                            float(d), self._metric
+                        ),
+                        text=self._texts.get(vid, ""),
+                        metadata=self._metas.get(vid),
+                    )
+                )
+                if len(hits) >= k:
+                    break
+            out.append(hits)
+        return out
+
+    def _search_one(self, q32: np.ndarray, k: int, ef: int):
+        if self._nb is not None:
+            cands = self._native_search(q32, ef)
+        else:
+            ep = [self._entry]
+            for lvl in range(self._top_level, 0, -1):
+                best = self._search_layer(q32, ep, 1, lvl)
+                ep = [best[0][1]] if best else ep
+            cands = self._search_layer(q32, ep, ef, 0)
         hits: list[SearchResult] = []
         for d, node in cands:  # ascending distance == descending similarity
             vid = self._index_to_id.get(node)
@@ -485,6 +732,7 @@ class HNSWIndex:
         index = cls(dim, metric, **kwargs)
         metadata = obj.get("metadata", {})
         vector_values = obj.get("vector_values", {})
+        vectors = []
         for vid_str in sorted(vector_values, key=int):
             values = vector_values[vid_str]
             if len(values) != dim:
@@ -493,7 +741,7 @@ class HNSWIndex:
                     f"got {len(values)}"
                 )
             meta = metadata.get(vid_str) or {}
-            index.add(
+            vectors.append(
                 Vector(
                     id=int(vid_str),
                     values=[float(v) for v in values],
@@ -501,19 +749,36 @@ class HNSWIndex:
                     metadata=meta.get("metadata"),
                 )
             )
+        index.add_batch(vectors)
         return index
 
     # --------------------------------------------------- device-search hooks
 
     def graph_arrays(self):
         """Flat CSR-style arrays for the device beam-search kernel:
-        (vectors f32 [cap,D], level0 adjacency int32 [cap,M0], entry, levels,
+        (vectors f32 [n,D], level0 adjacency int32 [n,M0], entry, levels,
         upper adjacency list). Consumed by kernels/beam.py."""
+        import ctypes as c
+
         n = self._num_nodes
+        if self._nb is not None:
+            n_upper = self._nb_lib.hnsw_num_upper_levels(self._nb)
+            upper = []
+            for lvl in range(1, n_upper + 1):
+                buf = np.empty((n, self.m), np.int32)
+                self._nb_lib.hnsw_get_upper(
+                    self._nb,
+                    lvl,
+                    buf.ctypes.data_as(c.POINTER(c.c_int32)),
+                    n,
+                )
+                upper.append(buf)
+        else:
+            upper = [a[:n] for a in self._adj[1:]]
         return (
             self._vecs[:n],
             self._adj[0][:n],
             self._entry,
             self._levels[:n],
-            [a[:n] for a in self._adj[1:]],
+            upper,
         )

@@ -1,0 +1,123 @@
+"""Native extension loader: compiles the C++ HNSW builder on first use.
+
+ctypes-based (no pybind11 in this environment). The shared library is
+compiled once into ``native/build/`` and cached; set
+``VECTORLITE_NO_NATIVE=1`` to force the pure-Python fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+logger = logging.getLogger("vectorlite_tpu.native")
+
+_HERE = Path(__file__).parent
+_BUILD_DIR = _HERE / "build"
+_SRC = _HERE / "hnsw_builder.cpp"
+_LIB_PATH = _BUILD_DIR / "libhnsw_builder.so"
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+def _compile() -> None:
+    _BUILD_DIR.mkdir(exist_ok=True)
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-funroll-loops",
+        str(_SRC),
+        "-o",
+        str(_LIB_PATH),
+    ]
+    logger.info("compiling native hnsw builder: %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    c = ctypes
+    p = c.POINTER
+    lib.hnsw_new.restype = c.c_void_p
+    lib.hnsw_new.argtypes = [c.c_int32] * 5 + [c.c_uint64]
+    lib.hnsw_free.argtypes = [c.c_void_p]
+    lib.hnsw_bind.argtypes = [
+        c.c_void_p,
+        p(c.c_float),
+        p(c.c_float),
+        p(c.c_float),
+        p(c.c_int32),
+        p(c.c_int32),
+        c.c_int64,
+    ]
+    lib.hnsw_insert_batch.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
+    lib.hnsw_entry.restype = c.c_int64
+    lib.hnsw_entry.argtypes = [c.c_void_p]
+    lib.hnsw_top_level.restype = c.c_int32
+    lib.hnsw_top_level.argtypes = [c.c_void_p]
+    lib.hnsw_num_nodes.restype = c.c_int64
+    lib.hnsw_num_nodes.argtypes = [c.c_void_p]
+    lib.hnsw_num_upper_levels.restype = c.c_int32
+    lib.hnsw_num_upper_levels.argtypes = [c.c_void_p]
+    lib.hnsw_get_upper.argtypes = [
+        c.c_void_p,
+        c.c_int32,
+        p(c.c_int32),
+        c.c_int64,
+    ]
+    lib.hnsw_descend.restype = c.c_int64
+    lib.hnsw_descend.argtypes = [c.c_void_p, p(c.c_float)]
+    lib.hnsw_descend_batch.argtypes = [
+        c.c_void_p,
+        p(c.c_float),
+        c.c_int64,
+        p(c.c_int64),
+    ]
+    lib.hnsw_search.restype = c.c_int32
+    lib.hnsw_search.argtypes = [
+        c.c_void_p,
+        p(c.c_float),
+        c.c_int32,
+        p(c.c_int32),
+        p(c.c_float),
+    ]
+    lib.hnsw_drain_dirty.restype = c.c_int64
+    lib.hnsw_drain_dirty.argtypes = [c.c_void_p, p(c.c_int32), c.c_int64]
+    lib.hnsw_dirty_count.restype = c.c_int64
+    lib.hnsw_dirty_count.argtypes = [c.c_void_p]
+    return lib
+
+
+def load():
+    """Return the bound CDLL, or None when unavailable/disabled."""
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed or os.environ.get("VECTORLITE_NO_NATIVE") == "1":
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not _LIB_PATH.exists() or (
+                _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+            ):
+                _compile()
+            _lib = _bind(ctypes.CDLL(str(_LIB_PATH)))
+        except Exception as e:  # noqa: BLE001
+            logger.warning(
+                "native hnsw builder unavailable (%s); "
+                "falling back to pure Python",
+                e,
+            )
+            _load_failed = True
+            return None
+    return _lib
