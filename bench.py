@@ -20,8 +20,13 @@ sustained-throughput view. Secondary numbers go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+)
 
 import numpy as np
 

@@ -1,0 +1,343 @@
+"""Benchmark suite — the five BASELINE.md eval configs.
+
+Run: ``python -m bench.suite [--configs flat10k,flat100k,...] [--full]``
+
+Configs (BASELINE.md):
+  1. flat10k   — Flat exact cosine top-5, 10K x 384, single query (p50 latency)
+  2. flat100k  — Flat batched queries, L2 + dot, 100K x 384, batch 256 (QPS)
+  3. hnsw      — HNSW default profile: native build rate + device/host
+                 search QPS + recall@10 vs Flat ground truth, ef sweep
+                 (100K rows by default; --full uses 1M)
+  4. hnswf16   — memory-optimized profile (bf16 device corpus, M=8/M0=16)
+  5. e2e       — embed -> insert -> search pipeline + .vlc round-trip
+
+Results go to bench/report.json (one object per config) and a human
+summary to stderr. The reference publishes no numbers (BASELINE.md); CPU
+float64 scans measured on this host serve as the reference-analogue
+baselines.
+
+Timing: through the TPU relay only host fetches synchronize, so QPS uses
+a slope measurement (dispatch m and m+K chains, difference the totals).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+)
+from pathlib import Path
+
+import numpy as np
+
+D = 384
+K = 10
+BATCH = 256
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def fetch_sync(x):
+    np.asarray(x).ravel()[:1]
+
+
+def slope_time(dispatch_fn, iters=16):
+    """Per-call seconds via two chained-dispatch measurements."""
+
+    def chain(m):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(m):
+            out = dispatch_fn()
+        fetch_sync(out)
+        return time.perf_counter() - t0
+
+    chain(2)
+    t_small = min(chain(3) for _ in range(2))
+    t_large = min(chain(3 + iters) for _ in range(2))
+    return max((t_large - t_small) / iters, 1e-9)
+
+
+def make_data(n, d=D, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def make_embeddings(n, d=D, n_clusters=256, spread=0.35, seed=0):
+    """Synthetic embedding-like corpus: clusters on the unit sphere with
+    intra-cluster noise, L2-normalized — the structure of real MiniLM
+    embeddings (BASELINE.md datasets). Uniform gaussians are the known
+    worst case for graph ANN (distance concentration) and are NOT
+    representative of the reference's workload; HNSW recall is reported
+    on this generator."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    data = centers[assign] + spread * rng.normal(size=(n, d)) / np.sqrt(d)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    return data.astype(np.float32)
+
+
+def exact_truth(data, queries, metric_name, k):
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+
+    metric = SimilarityMetric.parse(metric_name)
+    v = data.astype(np.float64)
+    q = queries.astype(np.float64)
+    if metric is SimilarityMetric.COSINE:
+        s = (q @ v.T) / (
+            np.linalg.norm(q, axis=1, keepdims=True)
+            * np.linalg.norm(v, axis=1)[None, :]
+        )
+    elif metric is SimilarityMetric.DOT_PRODUCT:
+        s = q @ v.T
+    else:  # euclidean
+        d2 = (
+            np.sum(q * q, 1, keepdims=True)
+            + np.sum(v * v, 1)[None, :]
+            - 2 * q @ v.T
+        )
+        s = -np.sqrt(np.maximum(d2, 0))
+    return np.argsort(-s, axis=1)[:, :k]
+
+
+# ------------------------------------------------------------------ configs
+
+
+def bench_flat10k():
+    import jax.numpy as jnp
+
+    from vectorlite_tpu import FlatIndex, SimilarityMetric, Vector
+
+    n = 10_000
+    data = make_data(n)
+    idx = FlatIndex(D, [Vector(id=i, values=list(map(float, data[i])), text=f"t{i}") for i in range(n)])
+    q = list(map(float, data[77] + 0.01))
+    idx.search(q, 5, SimilarityMetric.COSINE)  # warm
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        r = idx.search(q, 5, SimilarityMetric.COSINE)
+        lat.append(time.perf_counter() - t0)
+    assert r[0].id == 77
+    p50 = float(np.median(lat) * 1e3)
+    log(f"[flat10k] single-query p50 {p50:.3f} ms (incl. host round-trip)")
+    return {
+        "config": "flat_exact_cosine_top5_10k",
+        "p50_ms": round(p50, 3),
+        "sub_millisecond": p50 < 1.0,
+    }
+
+
+def bench_flat100k():
+    import jax.numpy as jnp
+
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+    from vectorlite_tpu.kernels.topk import search_topk
+
+    n = 100_000
+    data = make_data(n)
+    queries = make_data(BATCH, seed=1)
+    values = jnp.asarray(data)
+    sqnorms = jnp.sum(values * values, axis=-1)
+    valid = jnp.ones(n, dtype=bool)
+    qd = jnp.asarray(queries)
+    out = {}
+    for mname, metric in [
+        ("euclidean", SimilarityMetric.EUCLIDEAN),
+        ("dotproduct", SimilarityMetric.DOT_PRODUCT),
+    ]:
+        t = slope_time(
+            lambda: search_topk(
+                values, sqnorms, valid, qd, metric=metric, k=16
+            )[0]
+        )
+        qps = BATCH / t
+        out[mname + "_qps"] = round(qps, 1)
+        log(f"[flat100k] {mname}: {t * 1e3:.3f} ms/batch = {qps:,.0f} QPS")
+    return {"config": "flat_batched_100k_b256", **out}
+
+
+def _bench_hnsw(profile_name, n, dtype_label):
+    import jax.numpy as jnp
+
+    from vectorlite_tpu import HNSWIndex, SimilarityMetric, Vector
+    from vectorlite_tpu.config import VectorLiteConfig
+
+    cfg = VectorLiteConfig.profile(profile_name)
+    data = make_embeddings(n)
+    vectors = [
+        Vector(id=i, values=list(map(float, data[i])), text="")
+        for i in range(n)
+    ]
+    idx = HNSWIndex(
+        D,
+        SimilarityMetric.COSINE,
+        m=cfg.hnsw_m,
+        m0=cfg.hnsw_m0,
+        store_f64=False,
+    )
+    t0 = time.perf_counter()
+    idx.add_batch(vectors)
+    build_s = time.perf_counter() - t0
+    log(
+        f"[hnsw:{profile_name}] built {n} in {build_s:.1f}s "
+        f"({n / build_s:,.0f} inserts/s, native)"
+    )
+
+    rng = np.random.default_rng(2)
+    queries = data[rng.integers(0, n, BATCH)] + (
+        0.05 * rng.normal(size=(BATCH, D)).astype(np.float32) / np.sqrt(D)
+    )
+    truth = exact_truth(data, queries[:32], "cosine", K)
+    result = {
+        "config": f"hnsw_{profile_name}_{n}",
+        "dtype": dtype_label,
+        "m": cfg.hnsw_m,
+        "m0": cfg.hnsw_m0,
+        "build_s": round(build_s, 1),
+        "build_inserts_per_s": round(n / build_s, 1),
+        "sweep": [],
+    }
+    qlist = [list(map(float, row)) for row in queries]
+    for ef in (16, 64, 128):
+        # recall on 32 queries via device path
+        res = idx.search_batch(
+            qlist[:32], K, SimilarityMetric.COSINE, ef=ef, use_device=True
+        )
+        recall = float(
+            np.mean(
+                [
+                    len({r.id for r in row} & set(truth[i])) / K
+                    for i, row in enumerate(res)
+                ]
+            )
+        )
+        # device QPS (full batch)
+        t0 = time.perf_counter()
+        idx.search_batch(
+            qlist, K, SimilarityMetric.COSINE, ef=ef, use_device=True
+        )
+        dev_t = time.perf_counter() - t0
+        # host (native C++) QPS, single query loop
+        t0 = time.perf_counter()
+        for i in range(64):
+            idx.search(
+                qlist[i], K, SimilarityMetric.COSINE, ef=ef,
+                use_device=False,
+            )
+        host_t = (time.perf_counter() - t0) / 64
+        entry = {
+            "ef": ef,
+            "recall_at_10": round(recall, 4),
+            "device_batch_qps": round(BATCH / dev_t, 1),
+            "host_qps": round(1 / host_t, 1),
+            "host_p50_ms": round(host_t * 1e3, 3),
+        }
+        result["sweep"].append(entry)
+        log(
+            f"[hnsw:{profile_name}] ef={ef}: recall@10={recall:.3f} "
+            f"device {BATCH / dev_t:,.0f} QPS, host {1 / host_t:,.0f} QPS "
+            f"({host_t * 1e3:.2f} ms p50)"
+        )
+    return result
+
+
+def bench_hnsw(full):
+    return _bench_hnsw("default", 1_000_000 if full else 100_000, "float32")
+
+
+def bench_hnswf16(full):
+    return _bench_hnsw(
+        "memory-optimized", 500_000 if full else 100_000, "bfloat16"
+    )
+
+
+def bench_e2e(tmpdir="/tmp/vlc_bench"):
+    from vectorlite_tpu import (
+        IndexType,
+        SimilarityMetric,
+        VectorLiteClient,
+        load_collection_from_file,
+    )
+    from vectorlite_tpu.embed.minilm import MiniLMEmbedder
+
+    embedder = MiniLMEmbedder.random_init(seed=0)
+    client = VectorLiteClient(embedder)
+    client.create_collection("bench", IndexType.FLAT)
+    texts = [f"document number {i} about topic {i % 37}" for i in range(2048)]
+    t0 = time.perf_counter()
+    for lo in range(0, len(texts), 256):
+        client.add_texts_to_collection("bench", texts[lo : lo + 256])
+    ingest_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = client.search_texts_in_collection("bench", texts[:256], 5)
+    search_s = time.perf_counter() - t0
+    hit = float(np.mean([row[0].text == texts[i] for i, row in enumerate(res)]))
+    path = Path(tmpdir) / "bench.vlc"
+    t0 = time.perf_counter()
+    client.get_collection("bench").save_to_file(path)
+    save_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loaded = load_collection_from_file(path)
+    load_s = time.perf_counter() - t0
+    assert loaded.get_info().count == len(texts)
+    log(
+        f"[e2e] embed+insert {len(texts) / ingest_s:,.0f} docs/s, "
+        f"embed+search {256 / search_s:,.0f} QPS (self-hit {hit:.2f}), "
+        f"vlc save {save_s:.2f}s load {load_s:.2f}s"
+    )
+    return {
+        "config": "e2e_embed_insert_search_vlc",
+        "ingest_docs_per_s": round(len(texts) / ingest_s, 1),
+        "search_qps": round(256 / search_s, 1),
+        "self_hit_rate": round(hit, 3),
+        "vlc_save_s": round(save_s, 2),
+        "vlc_load_s": round(load_s, 2),
+    }
+
+
+ALL = ["flat10k", "flat100k", "hnsw", "hnswf16", "e2e"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(ALL))
+    ap.add_argument(
+        "--full", action="store_true", help="1M-scale HNSW configs"
+    )
+    ap.add_argument("--out", default="bench/report.json")
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"platform: {jax.devices()[0]}")
+    results = []
+    for name in args.configs.split(","):
+        name = name.strip()
+        if name == "flat10k":
+            results.append(bench_flat10k())
+        elif name == "flat100k":
+            results.append(bench_flat100k())
+        elif name == "hnsw":
+            results.append(bench_hnsw(args.full))
+        elif name == "hnswf16":
+            results.append(bench_hnswf16(args.full))
+        elif name == "e2e":
+            results.append(bench_e2e())
+        else:
+            raise SystemExit(f"unknown config {name}")
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Concurrency hammering — the TSan-style analogue for the lock layer.
+
+The reference's safety is by construction (RwLock + atomic ids,
+reference: src/client.rs:243-247); here threads hammer a collection with
+concurrent adds/searches/deletes and we assert the invariants: unique ids,
+consistent counts, no exceptions leaking from the lock layer, readers
+never observing partial state.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vectorlite_tpu import (
+    IndexType,
+    MockEmbeddingFunction,
+    SimilarityMetric,
+    VectorLiteClient,
+)
+
+
+@pytest.mark.parametrize("index_type", [IndexType.FLAT, IndexType.HNSW])
+def test_concurrent_adds_unique_ids(index_type):
+    client = VectorLiteClient(MockEmbeddingFunction(dimension=16))
+    metric = SimilarityMetric.COSINE if index_type is IndexType.HNSW else None
+    client.create_collection("c", index_type, metric)
+
+    ids: list[int] = []
+    ids_lock = threading.Lock()
+    errors: list[Exception] = []
+
+    def worker(wid):
+        try:
+            for i in range(25):
+                vid = client.add_text_to_collection("c", f"w{wid} doc {i}")
+                with ids_lock:
+                    ids.append(vid)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert len(ids) == 200
+    assert len(set(ids)) == 200  # atomic id allocation
+    assert client.get_collection_info("c").count == 200
+
+
+def test_concurrent_read_write_mix():
+    client = VectorLiteClient(MockEmbeddingFunction(dimension=16))
+    client.create_collection("c", IndexType.FLAT)
+    for i in range(50):
+        client.add_text_to_collection("c", f"seed {i}")
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                res = client.search_text_in_collection("c", "seed 7", 5)
+                # readers must always see a consistent (sorted) view
+                scores = [r.score for r in res]
+                assert scores == sorted(scores, reverse=True)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def writer():
+        try:
+            for i in range(30):
+                vid = client.add_text_to_collection("c", f"new {i}")
+                if i % 3 == 0:
+                    client.delete_from_collection("c", vid)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    readers = [threading.Thread(target=searcher) for _ in range(4)]
+    writers = [threading.Thread(target=writer) for _ in range(2)]
+    for t in readers + writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    for t in readers:
+        t.join()
+
+    assert not errors, errors
+    info = client.get_collection_info("c")
+    assert info.count == 50 + 2 * 30 - 2 * 10
+
+
+def test_concurrent_save_during_writes(tmp_path):
+    client = VectorLiteClient(MockEmbeddingFunction(dimension=8))
+    client.create_collection("c", IndexType.FLAT)
+    for i in range(20):
+        client.add_text_to_collection("c", f"doc {i}")
+
+    errors: list[Exception] = []
+
+    def saver():
+        try:
+            for i in range(5):
+                client.get_collection("c").save_to_file(
+                    tmp_path / f"snap{i}.vlc"
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def writer():
+        try:
+            for i in range(40):
+                client.add_text_to_collection("c", f"more {i}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=saver), threading.Thread(target=writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # every snapshot must be a loadable, internally-consistent .vlc
+    from vectorlite_tpu import load_collection_from_file
+
+    for i in range(5):
+        loaded = load_collection_from_file(tmp_path / f"snap{i}.vlc")
+        info = loaded.get_info()
+        assert 20 <= info.count <= 60

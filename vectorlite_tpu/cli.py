@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 logger = logging.getLogger("vectorlite_tpu.cli")
@@ -50,8 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument(
         "--model-path",
-        default=None,
-        help="Path to a MiniLM model dir (tokenizer.json + weights)",
+        default=os.environ.get("VECTORLITE_MODEL_PATH"),
+        help="Path to a MiniLM model dir (tokenizer.json + weights); "
+        "defaults to $VECTORLITE_MODEL_PATH or ./models/all-MiniLM-L6-v2",
     )
     parser.add_argument(
         "--mock-embeddings",

@@ -20,6 +20,7 @@ The reference stores ``Vec<Vector>`` and linearly scans + sorts per query
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -75,7 +76,10 @@ class FlatIndex:
         self._count = 0  # number of live vectors
         self._id_to_slot: dict[int, int] = {}
 
-        # Device cache state
+        # Device cache state. The mutex makes sync + dispatch atomic:
+        # update_rows donates the old buffer, so a concurrent reader must
+        # never dispatch against a reference captured before a sync.
+        self._dev_lock = threading.Lock()
         self._dev_values: Optional[jax.Array] = None
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
@@ -147,8 +151,6 @@ class FlatIndex:
         k = int(k)
         if k <= 0:
             return [[] for _ in range(b)]
-
-        self._sync_device()
 
         k_eff = min(k, self._count)
         k_pad = min(self._capacity, max(1, next_pow2(min(k_eff, _MAX_K_BUCKET))))
@@ -256,34 +258,38 @@ class FlatIndex:
 
     def _device_topk(self, q: np.ndarray, k_pad: int, metric: SimilarityMetric):
         """Dispatch to the fused Pallas tiled scan for huge corpora (no
-        [B, cap] intermediate) or the plain XLA path otherwise."""
-        self._sync_device()
-        queries = jnp.asarray(q)
-        if _use_pallas(self._capacity, metric):
-            from ..kernels.pallas_scan import pallas_search_topk
+        [B, cap] intermediate) or the plain XLA path otherwise. Sync and
+        dispatch are atomic under the device mutex; the (async) result is
+        fetched by the caller outside it."""
+        with self._dev_lock:
+            self._sync_device()
+            queries = jnp.asarray(q)
+            if _use_pallas(self._capacity, metric):
+                from ..kernels.pallas_scan import pallas_search_topk
 
-            return pallas_search_topk(
+                return pallas_search_topk(
+                    self._dev_values,
+                    self._dev_sqnorms,
+                    self._dev_valid,
+                    queries,
+                    metric=metric,
+                    k=k_pad,
+                    tile_n=_PALLAS_TILE,
+                )
+            return search_topk(
                 self._dev_values,
                 self._dev_sqnorms,
                 self._dev_valid,
                 queries,
                 metric=metric,
                 k=k_pad,
-                tile_n=_PALLAS_TILE,
             )
-        return search_topk(
-            self._dev_values,
-            self._dev_sqnorms,
-            self._dev_valid,
-            queries,
-            metric=metric,
-            k=k_pad,
-        )
 
     def device_state(self):
         """(values, sqnorms, valid) device arrays — for dist/ sharded search."""
-        self._sync_device()
-        return self._dev_values, self._dev_sqnorms, self._dev_valid
+        with self._dev_lock:
+            self._sync_device()
+            return self._dev_values, self._dev_sqnorms, self._dev_valid
 
     def _mark_dirty(self, slot: int) -> None:
         if self._dirty_hi == self._dirty_lo:

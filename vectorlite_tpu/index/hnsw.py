@@ -129,6 +129,10 @@ class HNSWIndex:
         self._dev_n = 0
         self._vec_synced = 0
         self._adj_dirty: set[int] = set()
+        # sync + dispatch atomicity (update_rows donates old buffers)
+        import threading
+
+        self._dev_lock = threading.Lock()
 
         # native C++ builder (graph construction + host search); the
         # level-0 adjacency / vectors / levels buffers above are shared
@@ -491,7 +495,15 @@ class HNSWIndex:
         ef_eff = min(k, live) if ef <= 0 else max(min(k, live), ef)
 
         if use_device is None:
-            use_device = self._num_nodes >= 4096
+            # Measured policy: the native C++ host search wins whenever
+            # available (pointer-chasing beats sequential device beam
+            # iterations); the device beam wins over the *Python* host
+            # fallback for batched queries on larger graphs. Batched
+            # exact search should generally use FlatIndex instead —
+            # see README "Measured".
+            use_device = (
+                self._nb is None and self._num_nodes >= 4096 and len(q) >= 8
+            )
         if use_device:
             return self._search_device(q, k, ef_eff)
         out = []
@@ -577,8 +589,6 @@ class HNSWIndex:
         from ..kernels.beam import beam_search_l0
         from ..kernels.topk import next_pow2
 
-        self._sync_device()
-        vecs, sqn, adj = self._dev
         b = q.shape[0]
         entries = np.fromiter(
             (self._descend_entry(qi) for qi in q), dtype=np.int32, count=b
@@ -590,16 +600,19 @@ class HNSWIndex:
             entries = np.concatenate(
                 [entries, np.zeros(b_pad - b, np.int32)]
             )
-        beam_ids, beam_dist = beam_search_l0(
-            vecs,
-            sqn,
-            adj,
-            jnp.asarray(entries),
-            jnp.asarray(q),
-            metric=self._metric,
-            ef=ef_pad,
-            max_iters=4 * ef_pad + 32,
-        )
+        with self._dev_lock:
+            self._sync_device()
+            vecs, sqn, adj = self._dev
+            beam_ids, beam_dist = beam_search_l0(
+                vecs,
+                sqn,
+                adj,
+                jnp.asarray(entries),
+                jnp.asarray(q),
+                metric=self._metric,
+                ef=ef_pad,
+                max_iters=4 * ef_pad + 32,
+            )
         beam_ids = np.asarray(beam_ids)[:b]
         beam_dist = np.asarray(beam_dist)[:b]
         out: list[list[SearchResult]] = []
