@@ -409,3 +409,31 @@ class TestPersistenceApi:
             assert (await resp.json())["collection_name"] == "orig"
 
         http(go)
+
+
+class TestObservability:
+    def test_stats_endpoint(self):
+        async def go(tc):
+            await tc.get("/health")
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.get("/stats")
+            assert resp.status == 200
+            stats = await resp.json()
+            assert any("GET /health" in k for k in stats)
+            post_key = next(k for k in stats if k == "POST /collections")
+            assert stats[post_key]["count"] == 1
+            assert stats[post_key]["p50_ms"] >= 0
+
+        http(go)
+
+    def test_debug_trace_gated(self):
+        async def go(tc):
+            resp = await tc.post("/debug/trace")
+            assert resp.status == 400
+            assert "VECTORLITE_JAX_PROFILE_DIR" in (
+                await resp.json()
+            )["message"]
+
+        http(go)

@@ -30,6 +30,7 @@ from ..errors import (
     VectorLiteError,
     VectorNotFound,
 )
+from ..observability import LatencyRecorder, capture_device_trace
 from ..store.client import IndexType, VectorLiteClient
 from ..store.collection import Collection
 from ..utils import RWLock
@@ -38,6 +39,7 @@ logger = logging.getLogger("vectorlite_tpu.server")
 
 _CLIENT_KEY = web.AppKey("vectorlite_client", VectorLiteClient)
 _LOCK_KEY = web.AppKey("vectorlite_lock", RWLock)
+_STATS_KEY = web.AppKey("vectorlite_stats", LatencyRecorder)
 
 
 def _error_response(err: VectorLiteError) -> web.Response:
@@ -47,6 +49,9 @@ def _error_response(err: VectorLiteError) -> web.Response:
 
 @web.middleware
 async def error_middleware(request: web.Request, handler):
+    import time as _time
+
+    start = _time.perf_counter()
     try:
         response = await handler(request)
     except VectorLiteError as e:
@@ -57,6 +62,15 @@ async def error_middleware(request: web.Request, handler):
         logger.exception("unhandled error")
         response = web.json_response(
             {"message": f"Internal server error: {e}"}, status=500
+        )
+    stats = request.app.get(_STATS_KEY)
+    if stats is not None:
+        route = request.match_info.route.resource
+        route_name = route.canonical if route else request.path
+        stats.record(
+            f"{request.method} {route_name}",
+            _time.perf_counter() - start,
+            ok=response.status < 500,
         )
     # permissive CORS (reference: src/server.rs:374)
     response.headers["Access-Control-Allow-Origin"] = "*"
@@ -262,11 +276,34 @@ async def load_collection(request: web.Request) -> web.Response:
 # --------------------------------------------------------------------- app
 
 
+async def get_stats(request: web.Request) -> web.Response:
+    """Per-route latency percentiles (extension; SURVEY §5 observability)."""
+    return web.json_response(request.app[_STATS_KEY].snapshot())
+
+
+async def debug_trace(request: web.Request) -> web.Response:
+    """Capture a jax.profiler device trace (extension; gated by env)."""
+    import os
+
+    if not os.environ.get("VECTORLITE_JAX_PROFILE_DIR"):
+        return web.json_response(
+            {"message": "Set VECTORLITE_JAX_PROFILE_DIR to enable tracing"},
+            status=400,
+        )
+    seconds = float(request.query.get("seconds", "2"))
+    path = await _blocking(request, capture_device_trace, seconds)
+    return web.json_response({"trace_dir": path})
+
+
 def create_app(client: VectorLiteClient) -> web.Application:
-    """Router mirror of reference: src/server.rs:361-377."""
+    """Router mirror of reference: src/server.rs:361-377, plus the
+    /stats and /debug/trace observability extensions."""
     app = web.Application(middlewares=[error_middleware])
     app[_CLIENT_KEY] = client
     app[_LOCK_KEY] = RWLock()
+    app[_STATS_KEY] = LatencyRecorder()
+    app.router.add_get("/stats", get_stats)
+    app.router.add_post("/debug/trace", debug_trace)
     app.router.add_get("/health", health_check)
     app.router.add_get("/collections", list_collections)
     app.router.add_post("/collections", create_collection)

@@ -161,8 +161,10 @@ class FlatIndex:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
 
         scores, slots = self._device_topk(q, k_pad, metric)
-        scores = np.asarray(scores)[:b, :k_eff]
-        slots = np.asarray(slots)[:b, :k_eff]
+        # one fused device->host transfer (each np.asarray is a round trip)
+        scores, slots = jax.device_get((scores, slots))
+        scores = scores[:b, :k_eff]
+        slots = slots[:b, :k_eff]
 
         out: list[list[SearchResult]] = []
         for row_scores, row_slots in zip(scores, slots):
@@ -207,8 +209,10 @@ class FlatIndex:
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
         scores, slots = self._device_topk(q, k_pad, metric)
-        scores = np.asarray(scores)[:b, :k_eff]
-        slots = np.asarray(slots)[:b, :k_eff]
+        # one fused device->host transfer (each np.asarray is a round trip)
+        scores, slots = jax.device_get((scores, slots))
+        scores = scores[:b, :k_eff]
+        slots = slots[:b, :k_eff]
         ids = self._ids[slots].astype(np.int64)
         ids[scores == -np.inf] = -1
         if k_eff < k:

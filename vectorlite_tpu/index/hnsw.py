@@ -302,31 +302,23 @@ class HNSWIndex:
     def _select_heuristic(
         self, candidates: list[tuple[float, int]], m: int
     ) -> list[int]:
-        """Malkov's neighbor-selection heuristic (keeps diverse neighbors)."""
+        """Malkov's diversity heuristic (no closest-backfill, matching the
+        native builder): keep a candidate only if it is closer to the query
+        than to every already-kept neighbor. Plain closest-M severs the
+        inter-cluster edges and fragments the level-0 graph on clustered
+        corpora — see native/hnsw_builder.cpp."""
         if len(candidates) <= m:
             return [n for _, n in candidates]
         selected: list[int] = []
-        selected_d: list[float] = []
         for d, n in candidates:  # ascending
             if len(selected) >= m:
                 break
             if not selected:
                 selected.append(n)
-                selected_d.append(d)
                 continue
             d_to_sel = self._dist_between(n, np.asarray(selected))
-            if np.all(d_to_sel > d):
+            if np.all(d_to_sel >= d):
                 selected.append(n)
-                selected_d.append(d)
-        # backfill with closest remaining if the heuristic was too picky
-        if len(selected) < m:
-            chosen = set(selected)
-            for d, n in candidates:
-                if len(selected) >= m:
-                    break
-                if n not in chosen:
-                    selected.append(n)
-                    chosen.add(n)
         return selected
 
     def _dist_between(self, node: int, others: np.ndarray) -> np.ndarray:
@@ -346,11 +338,15 @@ class HNSWIndex:
             if free.size:
                 nrow[free[0]] = node
                 continue
-            # prune: keep the m_max closest of existing + new
+            # prune the overflowing row with the diversity heuristic
             cand_nodes = np.concatenate([nrow, [node]]).astype(np.int64)
             d = self._dist_between(nb, cand_nodes)
-            order = np.argsort(d, kind="stable")[:m_max]
-            self._adj[level][nb] = cand_nodes[order].astype(np.int32)
+            order = np.argsort(d, kind="stable")
+            cands = [(float(d[i]), int(cand_nodes[i])) for i in order]
+            kept = self._select_heuristic(cands, m_max)
+            new_row = np.full(m_max, -1, np.int32)
+            new_row[: len(kept)] = kept[:m_max]
+            self._adj[level][nb] = new_row
 
     def _insert_node(self, values32: np.ndarray) -> int:
         node = self._num_nodes

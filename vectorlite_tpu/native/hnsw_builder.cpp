@@ -177,7 +177,12 @@ struct Builder {
     std::reverse(out.begin(), out.end());
   }
 
-  // Malkov heuristic neighbor selection (matches index/hnsw.py)
+  // Malkov diversity heuristic (no closest-backfill, as in hnswlib's
+  // neighbor shrink): a candidate is kept only if it is closer to the
+  // query than to every already-kept neighbor. This preserves the
+  // long-range inter-cluster edges that plain closest-M pruning severs —
+  // closest-M was measured to fragment clustered corpora into per-cluster
+  // components (entry BFS reached 109 of 30000 nodes).
   void select_heuristic(const std::vector<DistNode>& cands, int mmax,
                         std::vector<int64_t>& out) {
     out.clear();
@@ -191,20 +196,12 @@ struct Builder {
       const float* cv = vecs + dn.second * dim;
       float cn = norms[dn.second];
       for (int64_t s : out) {
-        if (dist(cv, cn, s) <= dn.first) {
+        if (dist(cv, cn, s) < dn.first) {
           keep = false;
           break;
         }
       }
       if (keep) out.push_back(dn.second);
-    }
-    if (static_cast<int>(out.size()) < mmax) {
-      for (auto& dn : cands) {
-        if (static_cast<int>(out.size()) >= mmax) break;
-        if (std::find(out.begin(), out.end(), dn.second) == out.end()) {
-          out.push_back(dn.second);
-        }
-      }
     }
   }
 
@@ -226,9 +223,8 @@ struct Builder {
         nr[free_slot] = static_cast<int32_t>(node);
         continue;
       }
-      // prune: keep the mmax closest of existing + new. (The diversity
-      // heuristic here costs ~3x build time and measured no recall gain
-      // on either clustered-embedding or adversarial uniform data.)
+      // prune the overflowing row with the diversity heuristic — plain
+      // closest-M here disconnects clusters (see select_heuristic note)
       const float* nv = vecs + nb * dim;
       float nn = norms[nb];
       std::vector<DistNode> all;
@@ -239,7 +235,13 @@ struct Builder {
                        [](const DistNode& a, const DistNode& b) {
                          return a.first < b.first;
                        });
-      for (int j = 0; j < mmax; ++j) nr[j] = static_cast<int32_t>(all[j].second);
+      std::vector<int64_t> kept;
+      select_heuristic(all, mmax, kept);
+      for (int j = 0; j < mmax; ++j) {
+        nr[j] = j < static_cast<int>(kept.size())
+                    ? static_cast<int32_t>(kept[j])
+                    : -1;
+      }
     }
   }
 
