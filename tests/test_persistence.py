@@ -227,7 +227,16 @@ class TestReferenceFormatCompat:
         collection = Collection("c", idx)
         payload = collection_to_json(collection)["index"]["HNSW"]
         # all serde-visible fields present (reference: src/index/hnsw.rs:197-213)
-        assert set(payload) == {
+        # plus the optional "graph" CSR extension (ignored by serde readers)
+        assert set(payload) >= {
+            "dim",
+            "metric",
+            "id_to_index",
+            "index_to_id",
+            "metadata",
+            "vector_values",
+        }
+        assert set(payload) - {"graph"} == {
             "dim",
             "metric",
             "id_to_index",
@@ -237,3 +246,90 @@ class TestReferenceFormatCompat:
         }
         assert payload["metric"] == "DotProduct"
         assert payload["vector_values"] == {"4": [1.0, 2.0]}
+
+
+class TestGraphDumpExtension:
+    """The .vlc "graph" CSR extension: our loader skips rebuild-on-load;
+    the payload stays loadable by readers that ignore unknown fields."""
+
+    def _build(self, n=120, d=12, seed=4):
+        import numpy as np
+
+        from vectorlite_tpu import HNSWIndex
+
+        rng = np.random.default_rng(seed)
+        data = rng.normal(size=(n, d))
+        idx = HNSWIndex(d, SimilarityMetric.EUCLIDEAN, seed=9)
+        idx.add_batch(
+            [
+                Vector(id=i * 3, values=list(data[i]), text=f"t{i}")
+                for i in range(n)
+            ]
+        )
+        return idx, data
+
+    def test_dump_present_and_restores_without_rebuild(self):
+        import numpy as np
+
+        from vectorlite_tpu import HNSWIndex
+
+        idx, data = self._build()
+        payload = idx.index_to_json()
+        g = payload["graph"]
+        assert g["format"] == "vectorlite-tpu-csr-v1"
+        assert g["num_nodes"] == 120
+        restored = HNSWIndex.index_from_json(payload)
+        # identical graph, not a re-inserted one
+        assert restored._entry == idx._entry
+        assert np.array_equal(
+            restored._adj[0][:120], idx._adj[0][:120]
+        )
+        res = restored.search(
+            list(data[7]), 3, SimilarityMetric.EUCLIDEAN, use_device=False
+        )
+        assert res[0].id == 21
+        assert res[0].text == "t7"
+        # post-restore inserts keep working
+        restored.add(Vector(id=9999, values=list(data[5] * 0.5), text="new"))
+        res = restored.search(
+            list(data[5] * 0.5), 1, SimilarityMetric.EUCLIDEAN,
+            use_device=False,
+        )
+        assert res[0].id == 9999
+
+    def test_dump_skipped_with_tombstones(self):
+        idx, _ = self._build()
+        idx.delete(0)
+        payload = idx.index_to_json()
+        assert "graph" not in payload
+
+    def test_env_disables_dump(self, monkeypatch):
+        monkeypatch.setenv("VECTORLITE_VLC_GRAPH", "0")
+        idx, _ = self._build()
+        assert "graph" not in idx.index_to_json()
+
+    def test_corrupt_dump_falls_back_to_rebuild(self):
+        from vectorlite_tpu import HNSWIndex
+
+        idx, data = self._build()
+        payload = idx.index_to_json()
+        payload["graph"]["entry"] = 10**9  # invalid
+        restored = HNSWIndex.index_from_json(payload)
+        assert len(restored) == 120
+        res = restored.search(
+            list(data[7]), 1, SimilarityMetric.EUCLIDEAN, use_device=False
+        )
+        assert res[0].id == 21
+
+    def test_vlc_roundtrip_with_graph(self, tmp_path):
+        idx, data = self._build()
+        collection = Collection("g", idx)
+        path = tmp_path / "g.vlc"
+        save_collection_to_file(collection, path)
+        loaded = load_collection_from_file(path)
+        with loaded.index_read() as restored:
+            res = restored.search(
+                list(data[3]), 1, SimilarityMetric.EUCLIDEAN,
+                use_device=False,
+            )
+            assert res[0].id == 9

@@ -703,9 +703,37 @@ class HNSWIndex:
 
     # ----------------------------------------------------------- persistence
 
-    def index_to_json(self) -> dict:
-        """Reference serde shape (reference: src/index/hnsw.rs:197-213):
-        graph omitted, rebuilt on load by reinsertion."""
+    def index_to_json(self, include_graph: Optional[bool] = None) -> dict:
+        """Reference serde shape (reference: src/index/hnsw.rs:197-213),
+        plus an optional ``graph`` extension: a CSR dump of the adjacency
+        so our loader can skip the reference's O(N*insert) rebuild
+        (reference: src/index/hnsw.rs:272-360). The reference's serde
+        deserializer ignores unknown fields, so files with the extension
+        still load in the Rust engine. The dump is only emitted when no
+        tombstones exist (tombstoned routing nodes' vectors are not part
+        of the reference payload); disable via VECTORLITE_VLC_GRAPH=0."""
+        import os
+
+        if include_graph is None:
+            include_graph = os.environ.get("VECTORLITE_VLC_GRAPH") != "0"
+        payload = self._base_payload()
+        if include_graph and len(self._id_to_index) == self._num_nodes > 0:
+            n = self._num_nodes
+            _, adj0, entry, levels, upper = self.graph_arrays()
+            payload["graph"] = {
+                "format": "vectorlite-tpu-csr-v1",
+                "num_nodes": n,
+                "entry": int(entry),
+                "top_level": int(self._top_level),
+                "m": self.m,
+                "m0": self.m0,
+                "levels": [int(x) for x in levels],
+                "adj0": [int(x) for x in adj0.ravel()],
+                "upper": [[int(x) for x in a.ravel()] for a in upper],
+            }
+        return payload
+
+    def _base_payload(self) -> dict:
         vector_values = {}
         for vid, node in self._id_to_index.items():
             src = self._vecs64 if self._vecs64 is not None else self._vecs
@@ -738,28 +766,121 @@ class HNSWIndex:
         if dim == 0:
             raise ValueError("Invalid dimension: cannot be 0")
         metric = SimilarityMetric.from_serde(obj["metric"])
-        index = cls(dim, metric, **kwargs)
         metadata = obj.get("metadata", {})
         vector_values = obj.get("vector_values", {})
-        vectors = []
-        for vid_str in sorted(vector_values, key=int):
-            values = vector_values[vid_str]
+        for vid_str, values in vector_values.items():
             if len(values) != dim:
                 raise ValueError(
                     f"Vector dimension mismatch: expected {dim}, "
                     f"got {len(values)}"
                 )
+
+        graph = obj.get("graph")
+        if (
+            graph
+            and graph.get("format") == "vectorlite-tpu-csr-v1"
+            and graph.get("num_nodes") == len(vector_values)
+        ):
+            index = cls(
+                dim,
+                metric,
+                m=int(graph["m"]),
+                m0=int(graph["m0"]),
+                **kwargs,
+            )
+            try:
+                index._restore_graph(graph, obj)
+                return index
+            except Exception:  # noqa: BLE001
+                # corrupt/incompatible dump: fall through to a rebuild
+                index = None
+
+        index = cls(dim, metric, **kwargs)
+        vectors = []
+        for vid_str in sorted(vector_values, key=int):
             meta = metadata.get(vid_str) or {}
             vectors.append(
                 Vector(
                     id=int(vid_str),
-                    values=[float(v) for v in values],
+                    values=[float(v) for v in vector_values[vid_str]],
                     text=meta.get("text", ""),
                     metadata=meta.get("metadata"),
                 )
             )
         index.add_batch(vectors)
         return index
+
+    def _restore_graph(self, graph: dict, obj: dict) -> None:
+        """Load the CSR dump instead of re-inserting every vector."""
+        n = int(graph["num_nodes"])
+        id_to_index = {
+            int(vid): int(node)
+            for vid, node in obj["id_to_index"].items()
+        }
+        if len(id_to_index) != n:
+            raise ValueError("id_to_index does not cover the graph")
+        metadata = obj.get("metadata", {})
+        vector_values = obj["vector_values"]
+
+        self._ensure_capacity(n)
+        for vid, node in id_to_index.items():
+            v64 = np.asarray(vector_values[str(vid)], dtype=np.float64)
+            self._vecs[node] = v64.astype(np.float32)
+            if self._vecs64 is not None:
+                self._vecs64[node] = v64
+            sq = float(np.dot(self._vecs[node], self._vecs[node]))
+            self._sqnorms[node] = sq
+            self._norms[node] = math.sqrt(sq)
+            self._id_to_index[vid] = node
+            self._index_to_id[node] = vid
+            meta = metadata.get(str(vid)) or {}
+            self._texts[vid] = meta.get("text", "")
+            self._metas[vid] = meta.get("metadata")
+
+        adj0 = np.asarray(graph["adj0"], dtype=np.int32).reshape(n, self.m0)
+        self._adj[0][:n] = adj0
+        levels = np.asarray(graph["levels"], dtype=np.int32)
+        self._levels[:n] = levels
+        upper = [
+            np.asarray(a, dtype=np.int32).reshape(n, self.m)
+            for a in graph.get("upper", [])
+        ]
+        self._num_nodes = n
+        self._entry = int(graph["entry"])
+        self._top_level = int(graph["top_level"])
+        if not (0 <= self._entry < n):
+            raise ValueError("invalid entry point")
+        self._adj_dirty.update(range(n))
+
+        if self._nb is not None:
+            import ctypes as c
+
+            flat_upper = (
+                np.concatenate([a.ravel() for a in upper])
+                if upper
+                else np.zeros(0, np.int32)
+            )
+            flat_upper = np.ascontiguousarray(flat_upper, dtype=np.int32)
+            self._nb_lib.hnsw_restore(
+                self._nb,
+                n,
+                self._entry,
+                self._top_level,
+                len(upper),
+                flat_upper.ctypes.data_as(c.POINTER(c.c_int32)),
+            )
+        else:
+            for a in upper:
+                self._adj.append(
+                    np.concatenate(
+                        [
+                            a,
+                            np.full(
+                                (self._capacity - n, self.m), -1, np.int32
+                            ),
+                        ]
+                    )
+                )
 
     # --------------------------------------------------- device-search hooks
 

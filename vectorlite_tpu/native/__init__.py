@@ -89,6 +89,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p(c.c_int32),
         p(c.c_float),
     ]
+    lib.hnsw_restore.argtypes = [
+        c.c_void_p,
+        c.c_int64,
+        c.c_int64,
+        c.c_int32,
+        c.c_int32,
+        p(c.c_int32),
+    ]
     lib.hnsw_drain_dirty.restype = c.c_int64
     lib.hnsw_drain_dirty.argtypes = [c.c_void_p, p(c.c_int32), c.c_int64]
     lib.hnsw_dirty_count.restype = c.c_int64

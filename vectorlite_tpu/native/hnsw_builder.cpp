@@ -392,6 +392,33 @@ int32_t hnsw_search(Builder* b, const float* q, int32_t ef,
   return b->search(q, ef, out_ids, out_dists);
 }
 
+// Restore a previously exported graph (the .vlc "graph" extension —
+// avoids the reference's O(N·insert) rebuild-on-load). Level-0 adjacency
+// and levels are already in the Python-owned buffers; upper levels are
+// loaded here.
+void hnsw_restore(Builder* b, int64_t num_nodes, int64_t entry,
+                  int32_t top_level, int32_t num_upper,
+                  const int32_t* upper /* [num_upper, num_nodes, m] */) {
+  b->num_nodes = num_nodes;
+  b->entry = entry;
+  b->top_level = top_level;
+  b->adj_upper.clear();
+  for (int32_t l = 0; l < num_upper; ++l) {
+    b->adj_upper.emplace_back(b->cap * b->m, -1);
+    std::memcpy(b->adj_upper.back().data(),
+                upper + static_cast<int64_t>(l) * num_nodes * b->m,
+                sizeof(int32_t) * num_nodes * b->m);
+  }
+  // recompute norms for the restored vectors
+  for (int64_t i = 0; i < num_nodes; ++i) {
+    const float* v = b->vecs + i * b->dim;
+    float sq = 0.f;
+    for (int j = 0; j < b->dim; ++j) sq += v[j] * v[j];
+    b->sqnorms[i] = sq;
+    b->norms[i] = std::sqrt(sq);
+  }
+}
+
 // drain the level-0 dirty row list; returns count copied (deduped by caller)
 int64_t hnsw_drain_dirty(Builder* b, int32_t* out, int64_t max_out) {
   int64_t n = std::min<int64_t>(b->dirty.size(), max_out);
