@@ -28,8 +28,29 @@ from .persist.vlc import (
     save_collection_to_file,
 )
 from .config import VectorLiteConfig
+from .errors import FileNotFound, PersistenceError
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy re-exports mirroring the reference crate root
+    # (reference: src/lib.rs:131-137) without importing the HTTP stack or
+    # the embedder at package-import time.
+    if name in ("create_app", "start_server"):
+        from .api import server
+
+        return getattr(server, name)
+    if name == "EmbeddingGenerator":
+        # reference name for the built-in model embedder
+        from .embed.minilm import MiniLMEmbedder
+
+        return MiniLMEmbedder
+    if name == "MiniLMEmbedder":
+        from .embed.minilm import MiniLMEmbedder
+
+        return MiniLMEmbedder
+    raise AttributeError(f"module 'vectorlite_tpu' has no attribute {name!r}")
 
 __all__ = [
     "DEFAULT_VECTOR_DIMENSION",
@@ -52,6 +73,12 @@ __all__ = [
     "IndexType",
     "Settings",
     "VectorLiteConfig",
+    "PersistenceError",
+    "FileNotFound",
+    "create_app",
+    "start_server",
+    "EmbeddingGenerator",
+    "MiniLMEmbedder",
     "save_collection_to_file",
     "load_collection_from_file",
 ]
