@@ -90,3 +90,30 @@ def test_all_invalid_returns_neg_inf(rng):
         metric=SimilarityMetric.COSINE, k=k, tile_n=256, interpret=True,
     )
     assert np.all(np.asarray(s) == -np.inf)
+
+
+@pytest.mark.parametrize(
+    "metric",
+    [SimilarityMetric.COSINE, SimilarityMetric.EUCLIDEAN,
+     SimilarityMetric.DOT_PRODUCT],
+)
+def test_int8_kernel_matches_xla_int8(metric, rng):
+    from vectorlite_tpu.core.metrics import quantize_rows_int8
+    from vectorlite_tpu.kernels.pallas_scan import pallas_search_topk_int8
+    from vectorlite_tpu.kernels.topk import search_topk_int8
+
+    n, d, b, k = 1024, 128, 8, 10
+    values, sqnorms, valid = make_corpus(rng, n, d, invalid_frac=0.05)
+    values_q, scales = quantize_rows_int8(values)
+    queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    s1, i1 = pallas_search_topk_int8(
+        values_q, scales, sqnorms, valid, queries,
+        metric=metric, k=k, tile_n=256, interpret=True,
+    )
+    s2, i2 = search_topk_int8(
+        values_q, scales, sqnorms, valid, queries, metric=metric, k=k
+    )
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+    )

@@ -39,7 +39,11 @@ _MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
 #: full-score-matrix XLA path (which needs a [B, cap] f32 intermediate).
 _PALLAS_MIN_CAPACITY = 1 << 17
 
-_PALLAS_TILE = 2048
+#: Measured-best tiles at 1M x 384 (v5e): the exact kernel peaks at 2048
+#: for f32 and 4096 for bf16; the block-top1 kernel at 4096.
+_PALLAS_TILE_F32 = 2048
+_PALLAS_TILE_BF16 = 4096
+_PALLAS_TILE_BLOCK = 4096
 
 
 def _use_pallas(capacity: int, metric: SimilarityMetric) -> bool:
@@ -63,7 +67,13 @@ class FlatIndex:
         if dim <= 0:
             raise ValueError("FlatIndex dimension must be positive")
         self.dim = int(dim)
-        self._device_dtype = device_dtype
+        # "int8" selects the quantized profile: symmetric per-row int8
+        # corpus + int8-MXU scoring, with exact host re-scoring of the k
+        # winners (scores returned to callers are exact f64 math).
+        self._quantized = device_dtype in ("int8", jnp.int8)
+        self._device_dtype = (
+            jnp.int8 if self._quantized else device_dtype
+        )
 
         cap = max(_MIN_CAPACITY, next_pow2(max(1, len(data))))
         self._capacity = cap
@@ -81,6 +91,7 @@ class FlatIndex:
         # never dispatch against a reference captured before a sync.
         self._dev_lock = threading.Lock()
         self._dev_values: Optional[jax.Array] = None
+        self._dev_scales: Optional[jax.Array] = None  # int8 profile only
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
         self._dirty_lo = 0
@@ -134,13 +145,20 @@ class FlatIndex:
         queries: Sequence[Sequence[float]],
         k: int,
         metric: SimilarityMetric,
+        *,
+        approx: bool = False,
     ) -> list[list[SearchResult]]:
-        """Batched exact top-k. The single-query API wraps this with B=1.
+        """Batched top-k. The single-query API wraps this with B=1.
+
+        ``approx=True`` (Pallas-eligible corpora only) selects candidates
+        with the block-top1 kernel (~99.4% recall@10 at 1M, faster) and
+        re-scores them exactly; otherwise selection is exact.
 
         Dimension check only applies when the index is non-empty, matching the
         reference quirk (reference: src/index/flat.rs:99).
         """
-        q = np.asarray(queries, dtype=np.float32)
+        q64 = np.asarray(queries, dtype=np.float64)
+        q = q64.astype(np.float32)
         if q.ndim != 2:
             raise ValueError("queries must be [B, D]")
         b = q.shape[0]
@@ -160,11 +178,13 @@ class FlatIndex:
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
 
-        scores, slots = self._device_topk(q, k_pad, metric)
+        scores, slots = self._device_topk(q, k_pad, metric, approx)
         # one fused device->host transfer (each np.asarray is a round trip)
         scores, slots = jax.device_get((scores, slots))
         scores = scores[:b, :k_eff]
         slots = slots[:b, :k_eff]
+        if self._quantized or approx:
+            scores, slots = self._exact_rescore(q64, scores, slots, metric)
 
         out: list[list[SearchResult]] = []
         for row_scores, row_slots in zip(scores, slots):
@@ -188,13 +208,16 @@ class FlatIndex:
         queries: np.ndarray,
         k: int,
         metric: SimilarityMetric,
+        *,
+        approx: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Array fast path: returns (ids [B,k] int64, scores [B,k] f32)
         without materializing per-hit Python objects. Rows with fewer than k
         live vectors are padded with id=-1 / score=-inf. This is the
         production serving path for high-QPS batched search.
         """
-        q = np.asarray(queries, dtype=np.float32)
+        q64 = np.asarray(queries, dtype=np.float64)
+        q = q64.astype(np.float32)
         b = q.shape[0]
         if self._count == 0:
             return (
@@ -208,11 +231,13 @@ class FlatIndex:
         b_pad = next_pow2(b)
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
-        scores, slots = self._device_topk(q, k_pad, metric)
+        scores, slots = self._device_topk(q, k_pad, metric, approx)
         # one fused device->host transfer (each np.asarray is a round trip)
         scores, slots = jax.device_get((scores, slots))
         scores = scores[:b, :k_eff]
         slots = slots[:b, :k_eff]
+        if self._quantized or approx:
+            scores, slots = self._exact_rescore(q64, scores, slots, metric)
         ids = self._ids[slots].astype(np.int64)
         ids[scores == -np.inf] = -1
         if k_eff < k:
@@ -258,27 +283,116 @@ class FlatIndex:
             return None
         return max(self._id_to_slot)
 
+    def _exact_rescore(
+        self,
+        q64: np.ndarray,  # [B, D] original f64 queries (unpadded)
+        scores: np.ndarray,  # [B, k] approximate device scores
+        slots: np.ndarray,  # [B, k] slot indices
+        metric: SimilarityMetric,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Quantized profile: re-score the k winners in exact float64 host
+        math and re-sort each row, so returned scores match the scalar
+        reference formulas exactly. O(B*k*D) — negligible."""
+        q = q64[:, None, :]  # [B, 1, D]
+        v = self._values64[slots]  # [B, k, D]
+        if metric is SimilarityMetric.DOT_PRODUCT:
+            exact = np.einsum("bkd,bod->bk", v, q)
+        elif metric is SimilarityMetric.COSINE:
+            dot = np.einsum("bkd,bod->bk", v, q)
+            vn = np.linalg.norm(v, axis=-1)
+            qn = np.linalg.norm(q, axis=-1)
+            denom = vn * qn
+            with np.errstate(invalid="ignore", divide="ignore"):
+                exact = np.where(denom > 0.0, dot / np.maximum(denom, 1e-300), 0.0)
+        elif metric is SimilarityMetric.EUCLIDEAN:
+            exact = 1.0 / (1.0 + np.linalg.norm(v - q, axis=-1))
+        else:
+            exact = 1.0 / (1.0 + np.sum(np.abs(v - q), axis=-1))
+        exact = np.where(scores == -np.inf, -np.inf, exact)
+        order = np.argsort(-exact, axis=1, kind="stable")
+        return (
+            np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(slots, order, axis=1),
+        )
+
     # ------------------------------------------------------- device plumbing
 
-    def _device_topk(self, q: np.ndarray, k_pad: int, metric: SimilarityMetric):
+    def _device_topk(
+        self,
+        q: np.ndarray,
+        k_pad: int,
+        metric: SimilarityMetric,
+        approx: bool = False,
+    ):
         """Dispatch to the fused Pallas tiled scan for huge corpora (no
-        [B, cap] intermediate) or the plain XLA path otherwise. Sync and
+        [B, cap] intermediate) or the plain XLA path otherwise. With
+        ``approx`` (and a Pallas-eligible corpus), selection uses the
+        TPU-KNN block-top1 kernel (~99.4% recall@10 at 1M, ~1.6x faster);
+        scores are exactly re-scored on the host either way. Sync and
         dispatch are atomic under the device mutex; the (async) result is
         fetched by the caller outside it."""
         with self._dev_lock:
             self._sync_device()
             queries = jnp.asarray(q)
-            if _use_pallas(self._capacity, metric):
-                from ..kernels.pallas_scan import pallas_search_topk
+            pallas_ok = _use_pallas(self._capacity, metric)
+            if self._quantized:
+                if pallas_ok:
+                    from ..kernels.pallas_scan import (
+                        pallas_search_block_topk_int8,
+                        pallas_search_topk_int8,
+                    )
 
-                return pallas_search_topk(
+                    fn = (
+                        pallas_search_block_topk_int8
+                        if approx
+                        else pallas_search_topk_int8
+                    )
+                    return fn(
+                        self._dev_values,
+                        self._dev_scales,
+                        self._dev_sqnorms,
+                        self._dev_valid,
+                        queries,
+                        metric=metric,
+                        k=k_pad,
+                        tile_n=(
+                            _PALLAS_TILE_BLOCK
+                            if approx
+                            else _PALLAS_TILE_F32
+                        ),
+                    )
+                from ..kernels.topk import search_topk_int8
+
+                return search_topk_int8(
+                    self._dev_values,
+                    self._dev_scales,
+                    self._dev_sqnorms,
+                    self._dev_valid,
+                    queries,
+                    metric=metric,
+                    k=k_pad,
+                )
+            if pallas_ok:
+                from ..kernels.pallas_scan import (
+                    pallas_search_block_topk,
+                    pallas_search_topk,
+                )
+
+                fn = pallas_search_block_topk if approx else pallas_search_topk
+                if approx:
+                    tile = _PALLAS_TILE_BLOCK
+                elif self._device_dtype == jnp.bfloat16:
+                    tile = _PALLAS_TILE_BF16
+                else:
+                    tile = _PALLAS_TILE_F32
+                return fn(
                     self._dev_values,
                     self._dev_sqnorms,
                     self._dev_valid,
                     queries,
                     metric=metric,
                     k=k_pad,
-                    tile_n=_PALLAS_TILE,
+                    tile_n=tile,
                 )
             return search_topk(
                 self._dev_values,
@@ -319,29 +433,46 @@ class FlatIndex:
         self._capacity = new_cap
         # Capacity changed: device buffers must be rebuilt wholesale.
         self._dev_values = None
+        self._dev_scales = None
         self._dev_sqnorms = None
         self._dev_valid = None
         self._dirty_lo, self._dirty_hi = 0, self._size
         self._mask_dirty = True
 
     def _sync_device(self) -> None:
+        from ..core.metrics import quantize_rows_int8
+
         if self._dev_values is None:
-            vals = jnp.asarray(self._values64, dtype=self._device_dtype)
-            self._dev_values = vals
-            self._dev_sqnorms = row_sqnorms(vals)
+            vals32 = jnp.asarray(self._values64, dtype=jnp.float32)
+            self._dev_sqnorms = row_sqnorms(vals32)
+            if self._quantized:
+                self._dev_values, self._dev_scales = quantize_rows_int8(
+                    vals32
+                )
+            else:
+                self._dev_values = vals32.astype(self._device_dtype)
             self._dev_valid = jnp.asarray(self._valid)
             self._dirty_lo = self._dirty_hi = self._size
             self._mask_dirty = False
             return
         if self._dirty_hi > self._dirty_lo:
             lo, hi = self._dirty_lo, self._dirty_hi
-            rows = jnp.asarray(
-                self._values64[lo:hi], dtype=self._device_dtype
+            rows32 = jnp.asarray(
+                self._values64[lo:hi], dtype=jnp.float32
             )
-            self._dev_values = update_rows(self._dev_values, rows, lo)
             self._dev_sqnorms = update_rows(
-                self._dev_sqnorms, row_sqnorms(rows), lo
+                self._dev_sqnorms, row_sqnorms(rows32), lo
             )
+            if self._quantized:
+                rows_q, row_scales = quantize_rows_int8(rows32)
+                self._dev_values = update_rows(self._dev_values, rows_q, lo)
+                self._dev_scales = update_rows(
+                    self._dev_scales, row_scales, lo
+                )
+            else:
+                self._dev_values = update_rows(
+                    self._dev_values, rows32.astype(self._device_dtype), lo
+                )
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:
             self._dev_valid = jnp.asarray(self._valid)

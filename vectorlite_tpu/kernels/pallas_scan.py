@@ -34,6 +34,13 @@ NEG_INF = float("-inf")
 
 DEFAULT_TILE_N = 2048
 
+#: v5e has 128 MiB of VMEM; Mosaic's default scoped limit is 16 MiB.
+#: Larger tiles amortize per-grid-step overhead, which measures at
+#: ~5-10 us/step on this stack.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _tile_kernel(
     q_ref,  # [B, D] queries (VMEM, full)
@@ -95,6 +102,387 @@ def _tile_kernel(
     jax.lax.fori_loop(0, k, select, scores, unroll=True)
 
 
+BLOCK = 128  # lane width; one candidate survives per block in approx mode
+
+
+def _scores_tile(
+    q, qscale, qsq, v, vscale, sq_v, metric: SimilarityMetric, tile_n: int
+):
+    """[B, TILE] similarity tile; int8 inputs contract on the int8 MXU."""
+    if v.dtype == jnp.int8:
+        dot = (
+            jax.lax.dot_general(
+                q,
+                v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * qscale
+            * vscale.reshape(1, tile_n)
+        )
+    else:
+        dot = jax.lax.dot_general(
+            q,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(
+                None if v.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+            ),
+        )
+    sq_row = sq_v.reshape(1, tile_n)
+    if metric is SimilarityMetric.DOT_PRODUCT:
+        return dot
+    if metric is SimilarityMetric.COSINE:
+        denom = jnp.sqrt(qsq) * jnp.sqrt(sq_row)
+        return jnp.where(denom > 0.0, dot / jnp.maximum(denom, 1e-30), 0.0)
+    if metric is SimilarityMetric.EUCLIDEAN:
+        d_sq = jnp.maximum(qsq + sq_row - 2.0 * dot, 0.0)
+        return 1.0 / (1.0 + jnp.sqrt(d_sq))
+    raise NotImplementedError("manhattan uses the tiled XLA path")
+
+
+def _block_top1_kernel(
+    q_ref,
+    qscale_ref,
+    qsq_ref,
+    v_ref,
+    vscale_ref,
+    sq_ref,
+    valid_ref,
+    out_s_ref,  # [1, B, TILE/BLOCK]
+    out_i_ref,  # [1, B, TILE/BLOCK]
+    *,
+    metric: SimilarityMetric,
+    tile_n: int,
+):
+    """TPU-KNN-style partial reduction: keep only the best row of every
+    128-wide block (one reduction pass instead of K max/mask rounds). The
+    global top-k over all block winners loses a true neighbor only when
+    two of the top-k share a block: P(miss) ~ C(k,2) * BLOCK / N
+    (~0.6% for k=10 at N=1M). See PAPERS.md (TPU-KNN)."""
+    scores = _scores_tile(
+        q_ref[:], qscale_ref[:], qsq_ref[:], v_ref[:], vscale_ref[:],
+        sq_ref[:], metric, tile_n,
+    )
+    valid_row = valid_ref[:].reshape(1, tile_n) != 0
+    scores = jnp.where(valid_row, scores, NEG_INF)
+
+    b = scores.shape[0]
+    n_blocks = tile_n // BLOCK
+    s3 = scores.reshape(b, n_blocks, BLOCK)
+    best = jnp.max(s3, axis=2)  # [B, n_blocks]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks, BLOCK), 2)
+    cand = jnp.where(s3 >= best[:, :, None], lane, BLOCK)
+    lidx = jnp.min(cand, axis=2)  # [B, n_blocks] lane of the winner
+    tile_base = pl.program_id(0) * tile_n
+    blk = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks), 1)
+    out_s_ref[0] = best
+    out_i_ref[0] = tile_base + blk * BLOCK + lidx
+
+
+def _block_topk_call(
+    inputs: list,
+    in_specs: list,
+    *,
+    b: int,
+    n: int,
+    metric: SimilarityMetric,
+    k: int,
+    tile_n: int,
+    bytes_per_row: int,
+    interpret: bool,
+):
+    n_tiles = n // tile_n
+    n_blocks = tile_n // BLOCK
+    kernel = functools.partial(
+        _block_top1_kernel, metric=metric, tile_n=tile_n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, b, n_blocks), lambda j: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, b, n_blocks), lambda j: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, b, n_blocks), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b, n_blocks), jnp.int32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * inputs[0].shape[-1],
+            bytes_accessed=n * bytes_per_row + b * inputs[0].shape[-1] * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * n_blocks)
+    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * n_blocks)
+    s_top, pos = jax.lax.top_k(s_flat, k)
+    i_top = jnp.take_along_axis(i_flat, pos, axis=1)
+    return s_top, i_top
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "tile_n", "interpret")
+)
+def pallas_search_block_topk(
+    values: jax.Array,  # [N, D] f32/bf16
+    sqnorms: jax.Array,
+    valid: jax.Array,
+    queries: jax.Array,  # [B, D] f32
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+):
+    """Approximate (block-top1) top-k at peak throughput; recall@10 ~99.4%
+    at 1M. Pair with exact host re-scoring of the winners."""
+    n, d = values.shape
+    b = queries.shape[0]
+    assert n % tile_n == 0 and tile_n % BLOCK == 0
+    queries = queries.astype(jnp.float32)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    dummy_scale = jnp.ones((b, 1), jnp.float32)
+    inputs = [
+        queries,
+        dummy_scale,
+        qsq,
+        values,
+        sqnorms.reshape(n, 1),  # reused slot; unused for f32 dot
+        sqnorms.reshape(n, 1),
+        valid.astype(jnp.int8).reshape(n, 1),
+    ]
+    in_specs = [
+        pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    return _block_topk_call(
+        inputs,
+        in_specs,
+        b=b,
+        n=n,
+        metric=metric,
+        k=k,
+        tile_n=tile_n,
+        bytes_per_row=d * values.dtype.itemsize,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "tile_n", "interpret")
+)
+def pallas_search_block_topk_int8(
+    values_q: jax.Array,  # [N, D] int8
+    scales: jax.Array,
+    sqnorms: jax.Array,
+    valid: jax.Array,
+    queries: jax.Array,
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+):
+    from ..core.metrics import quantize_rows_int8
+
+    n, d = values_q.shape
+    b = queries.shape[0]
+    assert n % tile_n == 0 and tile_n % BLOCK == 0
+    queries = queries.astype(jnp.float32)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    q_q, q_scale = quantize_rows_int8(queries)
+    inputs = [
+        q_q,
+        q_scale[:, None],
+        qsq,
+        values_q,
+        scales.reshape(n, 1),
+        sqnorms.reshape(n, 1),
+        valid.astype(jnp.int8).reshape(n, 1),
+    ]
+    in_specs = [
+        pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    return _block_topk_call(
+        inputs,
+        in_specs,
+        b=b,
+        n=n,
+        metric=metric,
+        k=k,
+        tile_n=tile_n,
+        bytes_per_row=d,
+        interpret=interpret,
+    )
+
+
+def _tile_kernel_int8(
+    q_ref,  # [B, D] int8 quantized queries
+    qscale_ref,  # [B, 1] f32 query scales
+    qsq_ref,  # [B, 1] f32 exact query squared norms
+    v_ref,  # [TILE, D] int8 corpus tile
+    vscale_ref,  # [TILE, 1] f32 row scales
+    sq_ref,  # [TILE, 1] f32 exact row squared norms
+    valid_ref,  # [TILE, 1] int8 validity
+    out_s_ref,  # [1, B, K]
+    out_i_ref,  # [1, B, K]
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    tile_n: int,
+):
+    """int8 variant: the MXU contracts int8 x int8 -> int32 (2x bf16 peak,
+    4x less HBM); scores reconstruct with exact norms; callers re-score
+    the winners exactly on the host (index/flat.py)."""
+    dot_i32 = jax.lax.dot_general(
+        q_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dot = (
+        dot_i32.astype(jnp.float32)
+        * qscale_ref[:]
+        * vscale_ref[:].reshape(1, tile_n)
+    )
+    sq_v = sq_ref[:].reshape(1, tile_n)
+    if metric is SimilarityMetric.DOT_PRODUCT:
+        scores = dot
+    elif metric is SimilarityMetric.COSINE:
+        denom = jnp.sqrt(qsq_ref[:]) * jnp.sqrt(sq_v)
+        scores = jnp.where(denom > 0.0, dot / jnp.maximum(denom, 1e-30), 0.0)
+    elif metric is SimilarityMetric.EUCLIDEAN:
+        d_sq = jnp.maximum(qsq_ref[:] + sq_v - 2.0 * dot, 0.0)
+        scores = 1.0 / (1.0 + jnp.sqrt(d_sq))
+    else:
+        raise NotImplementedError("manhattan uses the tiled XLA path")
+
+    valid_row = valid_ref[:].reshape(1, tile_n) != 0
+    scores = jnp.where(valid_row, scores, NEG_INF)
+
+    b = scores.shape[0]
+    tile_base = pl.program_id(0) * tile_n
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+
+    def select(i, scores):
+        best = jnp.max(scores, axis=1, keepdims=True)
+        cand = jnp.where(scores >= best, col_ids, tile_n)
+        bidx = jnp.min(cand, axis=1, keepdims=True)
+        out_s_ref[0, :, pl.ds(i, 1)] = best
+        out_i_ref[0, :, pl.ds(i, 1)] = bidx + tile_base
+        return jnp.where(col_ids == bidx, NEG_INF, scores)
+
+    jax.lax.fori_loop(0, k, select, scores, unroll=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "tile_n", "interpret")
+)
+def pallas_search_topk_int8(
+    values_q: jax.Array,  # [N, D] int8
+    scales: jax.Array,  # [N] f32
+    sqnorms: jax.Array,  # [N] f32 exact squared norms
+    valid: jax.Array,  # [N] bool
+    queries: jax.Array,  # [B, D] f32
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+):
+    from ..core.metrics import quantize_rows_int8
+
+    n, d = values_q.shape
+    b = queries.shape[0]
+    assert n % tile_n == 0, (n, tile_n)
+    n_tiles = n // tile_n
+    k_tile = min(k, tile_n)
+
+    queries = queries.astype(jnp.float32)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    q_q, q_scale = quantize_rows_int8(queries)
+
+    kernel = functools.partial(
+        _tile_kernel_int8, metric=metric, k=k_tile, tile_n=tile_n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.int32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + b * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        q_q,
+        q_scale[:, None],
+        qsq,
+        values_q,
+        scales.reshape(n, 1),
+        sqnorms.reshape(n, 1),
+        valid.astype(jnp.int8).reshape(n, 1),
+    )
+
+    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * k_tile)
+    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * k_tile)
+    s_top, pos = jax.lax.top_k(s_flat, k)
+    i_top = jnp.take_along_axis(i_flat, pos, axis=1)
+    return s_top, i_top
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "k", "tile_n", "interpret")
 )
@@ -154,6 +542,7 @@ def pallas_search_topk(
             jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.int32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
             bytes_accessed=n * d * values.dtype.itemsize + b * d * 4,

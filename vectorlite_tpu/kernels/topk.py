@@ -40,6 +40,26 @@ def search_topk(
     return jax.lax.top_k(scores, k)
 
 
+@partial(jax.jit, static_argnames=("metric", "k"))
+def search_topk_int8(
+    values_q: jax.Array,  # [cap, D] int8
+    scales: jax.Array,  # [cap] f32
+    sqnorms: jax.Array,  # [cap] f32 exact squared norms
+    valid: jax.Array,  # [cap] bool
+    queries: jax.Array,  # [B, D] f32
+    *,
+    metric: SimilarityMetric,
+    k: int,
+):
+    """int8-MXU scored top-k (quantized profile); callers re-score the k
+    winners exactly on the host."""
+    from ..core.metrics import batched_scores_int8
+
+    scores = batched_scores_int8(values_q, scales, sqnorms, queries, metric)
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def update_rows(buffer: jax.Array, rows: jax.Array, start: int):
     """Write `rows` into `buffer[start:start+len(rows)]` in place (donated)."""
