@@ -1,0 +1,44 @@
+"""Optional real-dataset smoke test.
+
+Mirrors reference: tests/integration_test.rs:39-66 — loads a JSONL file of
+pre-computed embeddings (``{"id": ..., "text": ..., "embedding": [...]}``
+per line) into a FlatIndex and sanity-checks search. The dataset file is
+not committed; the test skips gracefully when absent, exactly like the
+reference.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from vectorlite_tpu import FlatIndex, SimilarityMetric, Vector
+
+DATASET = Path(__file__).parent / "datasets" / "github-issues.jsonl"
+
+
+@pytest.mark.skipif(
+    not DATASET.exists(), reason=f"dataset not present: {DATASET}"
+)
+def test_real_dataset_flat_search():
+    vectors = []
+    with DATASET.open() as f:
+        for i, line in enumerate(f):
+            row = json.loads(line)
+            emb = row.get("embedding") or row.get("values")
+            vectors.append(
+                Vector(
+                    id=int(row.get("id", i)),
+                    values=[float(x) for x in emb],
+                    text=str(row.get("text", "")),
+                )
+            )
+    assert vectors, "dataset file was empty"
+    dim = len(vectors[0].values)
+    index = FlatIndex(dim, vectors)
+    assert len(index) == len(vectors)
+
+    # self-query: every sampled vector must be its own nearest neighbor
+    for probe in vectors[:: max(1, len(vectors) // 20)]:
+        results = index.search(probe.values, 1, SimilarityMetric.COSINE)
+        assert results[0].id == probe.id
