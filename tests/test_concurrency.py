@@ -132,3 +132,34 @@ def test_concurrent_save_during_writes(tmp_path):
         loaded = load_collection_from_file(tmp_path / f"snap{i}.vlc")
         info = loaded.get_info()
         assert 20 <= info.count <= 60
+
+
+def test_concurrent_hnsw_native_searches():
+    """Regression: the native builder's visited/epoch scratch is shared;
+    concurrent searches under the read lock must not race (C++ mutex)."""
+    client = VectorLiteClient(MockEmbeddingFunction(dimension=24))
+    client.create_collection("h", IndexType.HNSW, SimilarityMetric.COSINE)
+    for i in range(300):
+        client.add_text_to_collection("h", f"doc {i}")
+
+    errors: list[Exception] = []
+    results: list[set] = []
+    res_lock = threading.Lock()
+
+    def searcher():
+        try:
+            for _ in range(40):
+                res = client.search_text_in_collection("h", "doc 7", 5)
+                with res_lock:
+                    results.append({r.id for r in res})
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=searcher) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # deterministic graph + query => every search returns the same set
+    assert len({frozenset(r) for r in results}) == 1

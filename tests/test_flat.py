@@ -190,3 +190,32 @@ class TestGrowthAndBatch:
         assert len(results) == 2
         assert results[0].id == 1
         assert results[0].score > 0.99
+
+
+class TestCompaction:
+    def test_churn_does_not_grow_capacity(self, rng):
+        idx = FlatIndex(8)
+        for i in range(4000):
+            idx.add(vec(i, rng.normal(size=8)))
+            if i >= 10:
+                idx.delete(i - 10)  # keep ~10 live
+        assert len(idx) == 10
+        # without compaction _size would be 4000 and capacity 4096
+        assert idx._size < 2048
+        assert idx._capacity <= 2048
+        live = [r.id for r in idx.search(
+            rng.normal(size=8), 20, SimilarityMetric.COSINE)]
+        assert set(live) == set(range(3990, 4000))
+
+    def test_compaction_preserves_order_and_values(self):
+        idx = FlatIndex(2)
+        for i in range(2000):
+            idx.add(vec(i, [float(i), 0.0]))
+        for i in range(0, 2000, 2):  # delete evens -> triggers compaction
+            idx.delete(i)
+        assert len(idx) == 1000
+        v = idx.get_vector(1999)
+        assert v.values == [1999.0, 0.0]
+        # ties: insertion order preserved after compaction
+        results = idx.search([0.0, 1.0], 3, SimilarityMetric.DOT_PRODUCT)
+        assert [r.id for r in results] == [1, 3, 5]

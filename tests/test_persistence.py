@@ -333,3 +333,30 @@ class TestGraphDumpExtension:
                 use_device=False,
             )
             assert res[0].id == 9
+
+
+def test_concurrent_saves_same_path(tmp_path):
+    """Regression: tmp files are unique per thread, so racing saves of the
+    same path always publish a complete snapshot."""
+    import threading
+
+    collection = make_flat_collection()
+    path = tmp_path / "race.vlc"
+    errors = []
+
+    def saver():
+        try:
+            for _ in range(10):
+                save_collection_to_file(collection, path)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=saver) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    loaded = load_collection_from_file(path)
+    assert loaded.get_info().count == 2
+    assert not list(tmp_path.glob("*.tmp"))

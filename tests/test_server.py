@@ -437,3 +437,57 @@ class TestObservability:
             )["message"]
 
         http(go)
+
+
+class TestReviewRegressions:
+    def test_k_zero_returns_empty(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post("/collections/c/text", json={"text": "x"})
+            resp = await tc.post(
+                "/collections/c/search/text", json={"query": "x", "k": 0}
+            )
+            assert resp.status == 200
+            assert (await resp.json())["results"] == []
+
+        http(go)
+
+    def test_k_non_integer_400(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "x", "k": "abc"},
+            )
+            assert resp.status == 400
+            assert "integer" in (await resp.json())["message"]
+
+        http(go)
+
+    def test_cors_preflight_and_error_headers(self):
+        async def go(tc):
+            resp = await tc.options("/collections/c/search/text")
+            assert resp.status == 204
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            # CORS headers must also ride error responses
+            resp = await tc.get("/collections/missing")
+            assert resp.status == 404
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+        http(go)
+
+    def test_add_texts_metadata_length_mismatch(self):
+        import pytest
+
+        from vectorlite_tpu import IndexType
+
+        client = make_client()
+        client.create_collection("c", IndexType.FLAT)
+        with pytest.raises(ValueError):
+            client.add_texts_to_collection("c", ["a", "b"], [{"m": 1}])
+        # no partial inserts
+        assert client.get_collection_info("c").count == 0

@@ -47,17 +47,28 @@ def _error_response(err: VectorLiteError) -> web.Response:
     return web.json_response({"message": err.message}, status=err.status_code)
 
 
+_CORS_HEADERS = {
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "*",
+    "Access-Control-Allow-Headers": "*",
+}
+
+
 @web.middleware
 async def error_middleware(request: web.Request, handler):
     import time as _time
 
+    # permissive CORS incl. preflight (reference: src/server.rs:374)
+    if request.method == "OPTIONS":
+        return web.Response(status=204, headers=_CORS_HEADERS)
     start = _time.perf_counter()
     try:
         response = await handler(request)
     except VectorLiteError as e:
         response = _error_response(e)
-    except web.HTTPException:
-        raise
+    except web.HTTPException as e:
+        # keep CORS + stats on aiohttp-raised errors (404 routes, bad JSON)
+        response = e
     except Exception as e:  # noqa: BLE001
         logger.exception("unhandled error")
         response = web.json_response(
@@ -72,10 +83,10 @@ async def error_middleware(request: web.Request, handler):
             _time.perf_counter() - start,
             ok=response.status < 500,
         )
-    # permissive CORS (reference: src/server.rs:374)
-    response.headers["Access-Control-Allow-Origin"] = "*"
-    response.headers["Access-Control-Allow-Methods"] = "*"
-    response.headers["Access-Control-Allow-Headers"] = "*"
+    for key, value in _CORS_HEADERS.items():
+        response.headers[key] = value
+    if isinstance(response, web.HTTPException):
+        raise response
     return response
 
 
@@ -182,7 +193,18 @@ async def search_text(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     body = await _json_body(request)
     query = str(_require_field(body, "query"))
-    k = int(body.get("k") or 10)  # default k=10 (reference: src/server.rs:263)
+    # default k=10 (reference: src/server.rs:263); explicit k=0 is honored
+    # (the reference truncates to 0 results); non-integers are a 400
+    k_raw = body.get("k", None)
+    if k_raw is None:
+        k = 10
+    elif isinstance(k_raw, int) and not isinstance(k_raw, bool):
+        k = k_raw
+    else:
+        raise web.HTTPBadRequest(
+            text='{"message": "Field k must be an integer"}',
+            content_type="application/json",
+        )
     metric_str = body.get("similarity_metric")
     metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
     client = request.app[_CLIENT_KEY]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.metrics import SimilarityMetric, batched_scores
-from ..kernels.topk import NEG_INF, next_pow2
+from ..kernels.topk import NEG_INF
 
 SHARD_AXIS = "shard"
 
@@ -76,7 +76,8 @@ def sharded_search_topk(
         # merge: gather every shard's candidates, reduce to global top-k
         s_all = jax.lax.all_gather(s, SHARD_AXIS, axis=1, tiled=True)
         gi_all = jax.lax.all_gather(gi, SHARD_AXIS, axis=1, tiled=True)
-        s_top, pos = jax.lax.top_k(s_all, k)
+        k_merge = min(k, s_all.shape[1])
+        s_top, pos = jax.lax.top_k(s_all, k_merge)
         gi_top = jnp.take_along_axis(gi_all, pos, axis=1)
         return s_top, gi_top
 
@@ -102,7 +103,8 @@ class ShardedFlatIndex:
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         n_dev = self.mesh.devices.size
-        self._capacity = max(256, next_pow2(n_dev))
+        # capacity must split evenly across the mesh
+        self._capacity = -(-max(256, n_dev) // n_dev) * n_dev
         self._host = np.zeros((self._capacity, self.dim), np.float32)
         self._valid = np.zeros(self._capacity, bool)
         self._ids = np.zeros(self._capacity, np.int64)
@@ -121,13 +123,15 @@ class ShardedFlatIndex:
         self._dev = None  # re-place on next search
 
     def _grow(self):
-        cap = self._capacity
+        n_dev = self.mesh.devices.size
+        new_cap = -(-self._capacity * 2 // n_dev) * n_dev
+        grow = new_cap - self._capacity
         self._host = np.concatenate(
-            [self._host, np.zeros((cap, self.dim), np.float32)]
+            [self._host, np.zeros((grow, self.dim), np.float32)]
         )
-        self._ids = np.concatenate([self._ids, np.zeros(cap, np.int64)])
-        self._valid = np.concatenate([self._valid, np.zeros(cap, bool)])
-        self._capacity *= 2
+        self._ids = np.concatenate([self._ids, np.zeros(grow, np.int64)])
+        self._valid = np.concatenate([self._valid, np.zeros(grow, bool)])
+        self._capacity = new_cap
 
     def _sync(self):
         if self._dev is None:
@@ -143,6 +147,9 @@ class ShardedFlatIndex:
         self._sync()
         values, sqnorms, valid = self._dev
         q = jnp.asarray(np.asarray(queries, np.float32))
+        # per-shard candidate pool is rows/shard; clamp k so the final
+        # merge's top_k never exceeds the gathered candidate count
+        k = min(int(k), self._capacity)
         scores, rows = sharded_search_topk(
             values, sqnorms, valid, q, metric=metric, k=k, mesh=self.mesh
         )

@@ -124,7 +124,11 @@ class FlatIndex:
         self._mark_dirty(slot)
 
     def delete(self, id: int) -> None:
-        """Mask clear; absent ids succeed (reference: src/index/flat.rs:93-96)."""
+        """Mask clear; absent ids succeed (reference: src/index/flat.rs:93-96).
+
+        When tombstones dominate, the slot array is compacted so add/delete
+        churn cannot grow capacity without bound (the reference's
+        ``Vec::retain`` frees rows eagerly; we amortize)."""
         slot = self._id_to_slot.pop(int(id), None)
         if slot is None:
             return
@@ -132,6 +136,34 @@ class FlatIndex:
         self._texts[slot] = None
         self._metas[slot] = None
         self._count -= 1
+        self._mask_dirty = True
+        if self._size > 1024 and self._count < self._size // 2:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Drop tombstoned slots, preserving insertion order."""
+        live = np.nonzero(self._valid[: self._size])[0]
+        n = len(live)
+        self._values64[:n] = self._values64[live]
+        self._ids[:n] = self._ids[live]
+        self._valid[:] = False
+        self._valid[:n] = True
+        self._texts = [self._texts[i] for i in live] + [None] * (
+            self._capacity - n
+        )
+        self._metas = [self._metas[i] for i in live] + [None] * (
+            self._capacity - n
+        )
+        self._size = n
+        self._id_to_slot = {
+            int(self._ids[slot]): slot for slot in range(n)
+        }
+        # device cache must be rebuilt wholesale
+        self._dev_values = None
+        self._dev_scales = None
+        self._dev_sqnorms = None
+        self._dev_valid = None
+        self._dirty_lo, self._dirty_hi = 0, n
         self._mask_dirty = True
 
     def search(
@@ -335,6 +367,10 @@ class FlatIndex:
             self._sync_device()
             queries = jnp.asarray(q)
             pallas_ok = _use_pallas(self._capacity, metric)
+            # block-top1 keeps one winner per 128-lane block; for huge k
+            # fall back to exact selection so top_k has enough candidates
+            if approx and k_pad * 128 > self._capacity:
+                approx = False
             if self._quantized:
                 if pallas_ok:
                     from ..kernels.pallas_scan import (
@@ -402,12 +438,6 @@ class FlatIndex:
                 metric=metric,
                 k=k_pad,
             )
-
-    def device_state(self):
-        """(values, sqnorms, valid) device arrays — for dist/ sharded search."""
-        with self._dev_lock:
-            self._sync_device()
-            return self._dev_values, self._dev_sqnorms, self._dev_valid
 
     def _mark_dirty(self, slot: int) -> None:
         if self._dirty_hi == self._dirty_lo:

@@ -361,7 +361,7 @@ class HNSWIndex:
         sq = float(np.dot(values32, values32))
         self._sqnorms[node] = sq
         self._norms[node] = math.sqrt(sq)
-        level = int(-math.log(self._rng.random()) * self._ml)
+        level = int(-math.log(max(self._rng.random(), 1e-300)) * self._ml)
         self._levels[node] = level
         self._ensure_level(level)
         self._num_nodes = node + 1

@@ -25,6 +25,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <queue>
 #include <random>
 #include <utility>
@@ -65,7 +66,12 @@ struct Builder {
   std::mt19937_64 rng;
   std::uniform_real_distribution<double> unif{0.0, 1.0};
 
-  // visited-epoch trick: no clearing between searches
+  // visited-epoch trick: no clearing between searches. The scratch is
+  // shared Builder state, so every entry point that touches it (search,
+  // descend, insert) serializes on this mutex — Python's per-collection
+  // RW lock allows concurrent readers, and two concurrent searches would
+  // otherwise race on visited[]/epoch (and ensure_visited's resize).
+  std::mutex scratch_mu;
   std::vector<uint32_t> visited;
   uint32_t epoch = 0;
 
@@ -246,7 +252,10 @@ struct Builder {
   }
 
   // insert node `node` whose vector Python already wrote into vecs[node]
+  // (exclusive with searches via scratch_mu; Python's write lock already
+  // excludes concurrent inserts)
   void insert(int64_t node) {
+    std::lock_guard<std::mutex> lock(scratch_mu);
     const float* v = vecs + node * dim;
     float sq = 0.f;
     for (int i = 0; i < dim; ++i) sq += v[i] * v[i];
@@ -292,6 +301,7 @@ struct Builder {
   }
 
   int64_t descend(const float* q) {
+    std::lock_guard<std::mutex> lock(scratch_mu);
     if (entry < 0) return -1;
     float q_sq = 0.f;
     for (int i = 0; i < dim; ++i) q_sq += q[i] * q[i];
@@ -307,6 +317,7 @@ struct Builder {
 
   // full search: descend + level-0 ef-search; returns count written
   int search(const float* q, int ef, int32_t* out_ids, float* out_dists) {
+    std::lock_guard<std::mutex> lock(scratch_mu);
     if (entry < 0) return 0;
     float q_sq = 0.f;
     for (int i = 0; i < dim; ++i) q_sq += q[i] * q[i];

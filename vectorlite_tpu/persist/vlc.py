@@ -88,11 +88,21 @@ def save_collection_to_file(collection: Collection, path) -> None:
     payload = collection_to_json(collection)
     if path.parent != Path(""):
         os.makedirs(path.parent, exist_ok=True)
-    # tmp + atomic rename (reference: src/persistence.rs:137-143)
-    tmp_path = path.with_suffix(".tmp")
-    with open(tmp_path, "w", encoding="utf-8") as f:
-        json.dump(payload, f, indent=2)
-    os.replace(tmp_path, path)
+    # tmp + atomic rename (reference: src/persistence.rs:137-143); the
+    # tmp name is unique per process/thread so concurrent saves to the
+    # same (or same-stem) paths never interleave writes
+    import threading
+
+    tmp_path = path.with_name(
+        f"{path.name}.{os.getpid()}.{threading.get_ident()}.tmp"
+    )
+    try:
+        with open(tmp_path, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp_path, path)
+    finally:
+        if tmp_path.exists():
+            tmp_path.unlink(missing_ok=True)
 
 
 def load_collection_from_file(path) -> Collection:

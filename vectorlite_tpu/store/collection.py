@@ -90,13 +90,24 @@ class Collection:
         (reference: src/embeddings.rs:269-276); here the whole batch rides a
         single batched forward pass.
         """
+        texts = list(texts)
+        if metadatas is not None and len(metadatas) != len(texts):
+            raise ValueError(
+                f"metadatas length {len(metadatas)} != texts length "
+                f"{len(texts)}"
+            )
         ids = [self._next_id.fetch_add(1) for _ in texts]
         try:
-            embeddings = embedding_function.embed_batch(list(texts))
+            embeddings = embedding_function.embed_batch(texts)
         except VectorLiteError:
             raise
         except Exception as e:  # noqa: BLE001
             raise EmbeddingError(str(e)) from e
+        if len(embeddings) != len(texts):
+            raise EmbeddingError(
+                f"embedder returned {len(embeddings)} embeddings for "
+                f"{len(texts)} texts"
+            )
         metadatas = metadatas if metadatas is not None else [None] * len(texts)
         with self._lock.write():
             for vid, emb, text, meta in zip(ids, embeddings, texts, metadatas):
