@@ -257,18 +257,15 @@ def batched_scores_int8(
         dists = jnp.moveaxis(dists, 0, 1).reshape(b, n_chunks * chunk)[:, :n]
         return 1.0 / (1.0 + dists)
 
-    q_q, q_scale = quantize_rows_int8(queries)
-    dot_i32 = jax.lax.dot_general(
-        q_q,
-        values_q,
+    # int8 rows cast to f32 for the contraction (queries stay f32):
+    # measured much faster than the int8 dot on this stack, and only row
+    # quantization contributes error (callers re-score winners exactly)
+    dot = jax.lax.dot_general(
+        queries.astype(jnp.float32),
+        values_q.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [B, N]
-    dot = (
-        dot_i32.astype(jnp.float32)
-        * q_scale[:, None]
-        * scales[None, :]
-    )
+        preferred_element_type=jnp.float32,
+    ) * scales[None, :]  # [B, N]
     if metric is SimilarityMetric.DOT_PRODUCT:
         return dot
     queries = queries.astype(jnp.float32)
