@@ -491,3 +491,58 @@ class TestReviewRegressions:
             client.add_texts_to_collection("c", ["a", "b"], [{"m": 1}])
         # no partial inserts
         assert client.get_collection_info("c").count == 0
+
+
+class TestBatchedEndpoints:
+    def test_add_and_search_texts(self):
+        from vectorlite_tpu import MockEmbeddingFunction, VectorLiteClient
+
+        # hash-based mock: distinct texts get distinct embeddings
+        client = VectorLiteClient(MockEmbeddingFunction(dimension=16))
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/texts",
+                json={
+                    "texts": ["a", "b", "c"],
+                    "metadatas": [{"i": 0}, None, None],
+                },
+            )
+            assert resp.status == 200
+            assert (await resp.json())["ids"] == [0, 1, 2]
+            resp = await tc.post(
+                "/collections/c/search/texts",
+                json={"queries": ["a", "c"], "k": 1},
+            )
+            assert resp.status == 200
+            results = (await resp.json())["results"]
+            assert len(results) == 2
+            assert results[0][0]["id"] == 0
+            assert results[1][0]["id"] == 2
+
+        http(go, client=client)
+
+    def test_batch_validation(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/texts", json={"texts": "not a list"}
+            )
+            assert resp.status == 400
+            resp = await tc.post(
+                "/collections/c/texts",
+                json={"texts": ["a", "b"], "metadatas": [1]},
+            )
+            assert resp.status == 400
+            resp = await tc.post(
+                "/collections/c/search/texts",
+                json={"queries": [1, 2]},
+            )
+            assert resp.status == 400
+
+        http(go)

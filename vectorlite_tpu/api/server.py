@@ -222,6 +222,78 @@ async def search_text(request: web.Request) -> web.Response:
     return web.json_response({"results": [r.to_json() for r in results]})
 
 
+async def add_texts(request: web.Request) -> web.Response:
+    """Batched insert (TPU-native extension): one embedder forward for the
+    whole batch. Body: {"texts": [...], "metadatas": [...]?}."""
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    texts = _require_field(body, "texts")
+    if not isinstance(texts, list) or not all(
+        isinstance(t, str) for t in texts
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field texts must be a list of strings"}',
+            content_type="application/json",
+        )
+    metadatas = body.get("metadatas")
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.add_texts_to_collection(name, texts, metadatas)
+
+    try:
+        ids = await _blocking(request, run)
+    except ValueError as e:
+        raise web.HTTPBadRequest(
+            text=f'{{"message": "{e}"}}', content_type="application/json"
+        ) from None
+    logger.info(
+        "Added %d texts to collection '%s'", len(ids), name
+    )
+    return web.json_response({"ids": ids})
+
+
+async def search_texts(request: web.Request) -> web.Response:
+    """Batched search (TPU-native extension): the whole query batch rides
+    one device program. Body: {"queries": [...], "k"?, "similarity_metric"?}.
+    """
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    queries = _require_field(body, "queries")
+    if not isinstance(queries, list) or not all(
+        isinstance(q, str) for q in queries
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field queries must be a list of strings"}',
+            content_type="application/json",
+        )
+    k = body.get("k", 10)
+    if not isinstance(k, int) or isinstance(k, bool):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field k must be an integer"}',
+            content_type="application/json",
+        )
+    metric_str = body.get("similarity_metric")
+    metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.search_texts_in_collection(
+                name, queries, k, metric
+            )
+
+    batches = await _blocking(request, run)
+    return web.json_response(
+        {
+            "results": [
+                [r.to_json() for r in batch] for batch in batches
+            ]
+        }
+    )
+
+
 def _parse_vector_id(request: web.Request) -> int:
     raw = request.match_info["id"]
     try:
@@ -333,6 +405,9 @@ def create_app(client: VectorLiteClient) -> web.Application:
     app.router.add_delete("/collections/{name}", delete_collection)
     app.router.add_post("/collections/{name}/text", add_text)
     app.router.add_post("/collections/{name}/search/text", search_text)
+    # batched extensions (one device program per batch)
+    app.router.add_post("/collections/{name}/texts", add_texts)
+    app.router.add_post("/collections/{name}/search/texts", search_texts)
     app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
     app.router.add_delete("/collections/{name}/vectors/{id}", delete_vector)
     app.router.add_post("/collections/{name}/save", save_collection)
