@@ -305,6 +305,55 @@ def bench_e2e(tmpdir="/tmp/vlc_bench"):
     }
 
 
+def bench_flat4m():
+    """Scale demo (not in the default set): exact + approx cosine top-k
+    over 4M x 384 f32 (6 GB in HBM) on one chip."""
+    import jax.numpy as jnp
+
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+    from vectorlite_tpu.kernels.pallas_scan import (
+        pallas_search_block_topk,
+        pallas_search_topk,
+    )
+
+    n = 4_194_304
+    rng = np.random.default_rng(0)
+    log(f"[flat4m] generating {n}x{D} corpus...")
+    data = rng.standard_normal((n, D), dtype=np.float32)
+    values = jnp.asarray(data)
+    sqnorms = jnp.sum(values * values, axis=-1)
+    valid = jnp.ones(n, dtype=bool)
+    queries = jnp.asarray(make_data(BATCH, seed=1))
+
+    t_exact = slope_time(
+        lambda: pallas_search_topk(
+            values, sqnorms, valid, queries,
+            metric=SimilarityMetric.COSINE, k=16, tile_n=2048,
+        )[0],
+        iters=8,
+    )
+    log(
+        f"[flat4m] exact: {t_exact * 1e3:.2f} ms/batch "
+        f"({BATCH / t_exact:,.0f} QPS)"
+    )
+    t_approx = slope_time(
+        lambda: pallas_search_block_topk(
+            values, sqnorms, valid, queries,
+            metric=SimilarityMetric.COSINE, k=16, tile_n=4096,
+        )[0],
+        iters=8,
+    )
+    log(
+        f"[flat4m] block-approx: {t_approx * 1e3:.2f} ms/batch "
+        f"({BATCH / t_approx:,.0f} QPS)"
+    )
+    return {
+        "config": "flat_4m_x384_b256",
+        "exact_qps": round(BATCH / t_exact, 1),
+        "approx_qps": round(BATCH / t_approx, 1),
+    }
+
+
 ALL = ["flat10k", "flat100k", "hnsw", "hnswf16", "e2e"]
 
 
@@ -333,6 +382,8 @@ def main():
             results.append(bench_hnswf16(args.full))
         elif name == "e2e":
             results.append(bench_e2e())
+        elif name == "flat4m":
+            results.append(bench_flat4m())
         else:
             raise SystemExit(f"unknown config {name}")
     Path(args.out).write_text(json.dumps(results, indent=2))

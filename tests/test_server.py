@@ -546,3 +546,22 @@ class TestBatchedEndpoints:
             assert resp.status == 400
 
         http(go)
+
+
+def test_flat_with_metric_allowed():
+    # reference: metric is optional and unused for Flat collections
+    async def go(tc):
+        resp = await tc.post(
+            "/collections",
+            json={"name": "fm", "index_type": "flat", "metric": "euclidean"},
+        )
+        assert resp.status == 200
+        # searches may still use any metric
+        await tc.post("/collections/fm/text", json={"text": "x"})
+        resp = await tc.post(
+            "/collections/fm/search/text",
+            json={"query": "x", "similarity_metric": "manhattan"},
+        )
+        assert resp.status == 200
+
+    http(go)

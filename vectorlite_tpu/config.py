@@ -19,7 +19,7 @@ Select via ``VectorLiteConfig.profile("memory-optimized")`` or the
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 

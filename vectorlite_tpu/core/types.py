@@ -8,7 +8,7 @@ the indexes — the per-record representation only exists at the API boundary.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
 #: Default vector dimension for embedding models (reference: src/lib.rs:142).
