@@ -151,3 +151,119 @@ class TestMiniLMComputePath:
         for got, want in zip(params["layers"], ref["layers"]):
             for k in want:
                 assert got[k].shape == want[k].shape, k
+
+
+class TestPretrainedLoadPath:
+    """End-to-end from_pretrained: write a real torch state dict + a
+    minimal WordPiece tokenizer.json to disk, load through the same path
+    the reference's model layout uses, and compare outputs against the
+    directly-constructed encoder."""
+
+    def test_torch_state_dict_roundtrip(self, tmp_path, minilm):
+        import json
+
+        import numpy as np
+        import torch
+
+        from vectorlite_tpu.embed.minilm import MiniLMEmbedder
+
+        config = dict(minilm._config)
+        params = minilm._params
+
+        # inverse of _map_hf_params: our pytree -> HF-named state dict
+        state = {
+            "embeddings.word_embeddings.weight": params["word_emb"],
+            "embeddings.position_embeddings.weight": params["pos_emb"],
+            "embeddings.token_type_embeddings.weight": params["type_emb"],
+            "embeddings.LayerNorm.weight": params["emb_ln_w"],
+            "embeddings.LayerNorm.bias": params["emb_ln_b"],
+        }
+        pairs = [
+            ("attention.self.query", "q_w", "q_b"),
+            ("attention.self.key", "k_w", "k_b"),
+            ("attention.self.value", "v_w", "v_b"),
+            ("attention.output.dense", "ao_w", "ao_b"),
+            ("intermediate.dense", "i_w", "i_b"),
+            ("output.dense", "o_w", "o_b"),
+        ]
+        for i, layer in enumerate(params["layers"]):
+            p = f"encoder.layer.{i}."
+            for hf, w, b in pairs:
+                state[p + hf + ".weight"] = np.asarray(layer[w]).T
+                state[p + hf + ".bias"] = np.asarray(layer[b])
+            state[p + "attention.output.LayerNorm.weight"] = layer["ao_ln_w"]
+            state[p + "attention.output.LayerNorm.bias"] = layer["ao_ln_b"]
+            state[p + "output.LayerNorm.weight"] = layer["o_ln_w"]
+            state[p + "output.LayerNorm.bias"] = layer["o_ln_b"]
+        torch_state = {
+            k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+            for k, v in state.items()
+        }
+        model_dir = tmp_path / "model"
+        model_dir.mkdir()
+        torch.save(torch_state, model_dir / "pytorch_model.bin")
+        (model_dir / "config.json").write_text(json.dumps(config))
+
+        vocab = {"[UNK]": 0, "[CLS]": 101, "[SEP]": 102}
+        for i, word in enumerate(["hello", "world", "vector", "search"]):
+            vocab[word] = 200 + i
+        tokenizer_json = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": [],
+            "normalizer": {"type": "Lowercase"},
+            "pre_tokenizer": {"type": "Whitespace"},
+            "post_processor": {
+                "type": "TemplateProcessing",
+                "single": [
+                    {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                    {"Sequence": {"id": "A", "type_id": 0}},
+                    {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+                ],
+                "pair": [
+                    {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                    {"Sequence": {"id": "A", "type_id": 0}},
+                    {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+                    {"Sequence": {"id": "B", "type_id": 1}},
+                ],
+                "special_tokens": {
+                    "[CLS]": {"id": "[CLS]", "ids": [101], "tokens": ["[CLS]"]},
+                    "[SEP]": {"id": "[SEP]", "ids": [102], "tokens": ["[SEP]"]},
+                },
+            },
+            "decoder": None,
+            "model": {
+                "type": "WordPiece",
+                "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": vocab,
+            },
+        }
+        (model_dir / "tokenizer.json").write_text(json.dumps(tokenizer_json))
+
+        loaded = MiniLMEmbedder.from_pretrained(str(model_dir))
+        assert loaded.dimension == config["hidden_size"]
+        emb = loaded.generate_embedding("hello world")
+        assert len(emb) == config["hidden_size"]
+        norm = float(np.sqrt(np.dot(emb, emb)))
+        assert abs(norm - 1.0) < 1e-5
+
+        # identical params + identical token ids => identical embedding
+        ids = loaded._encode("hello world")
+        assert ids[0] == 101 and ids[-1] == 102  # CLS ... SEP
+        from vectorlite_tpu.embed.minilm import _embed_step
+        import jax.numpy as jnp
+
+        direct = _embed_step(
+            minilm._params,
+            jnp.asarray(np.array([ids + [0] * (16 - len(ids))], np.int32)),
+            jnp.asarray(
+                np.array([[1] * len(ids) + [0] * (16 - len(ids))], np.int32)
+            ),
+            config_key=minilm._config_key,
+        )
+        np.testing.assert_allclose(
+            np.asarray(direct)[0], np.asarray(emb), atol=1e-5
+        )
