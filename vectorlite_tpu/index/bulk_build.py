@@ -1,0 +1,194 @@
+"""TPU-accelerated bulk HNSW construction.
+
+Classic HNSW insertion runs one graph beam search per vector on the host —
+inherently sequential and memory-latency bound (~600-2200 inserts/s at
+384-d on this machine). For bulk ingestion, everything except the final
+link wiring runs on the TPU:
+
+1. New vector rows are staged host-side; the whole corpus buffer lives on
+   the device as one ``[cap, D]`` matrix; per-batch candidate validity is
+   an iota comparison.
+2. Per query chunk, ONE fused device program computes each new node's
+   top-K candidates among all earlier rows (plus the current batch, so
+   intra-batch edges form) and converts scores to internal distances —
+   one small ([B,K] x2) host fetch per chunk.
+3. The native builder (hnsw_bulk_link_heuristic_l0) runs the diversity
+   heuristic with on-demand distances (cheap random row reads in C++;
+   TPU row-gathers for on-device pairwise matrices measured ~10 s per
+   chunk and host-fetching them saturated the relay) and wires forward +
+   reverse links.
+4. The ~6% of nodes drawing level >= 1 go through the classic native
+   insert (they carry the upper-layer routing structure and the entry
+   point).
+
+Candidate quality is exact (or block-approximate above the Pallas
+threshold) kNN — a strict superset of what ef-search finds — so graph
+quality matches or beats the classic build; recall parity is asserted in
+tests/test_bulk_build.py. Manhattan has no matmul form and keeps the
+classic path.
+"""
+
+from __future__ import annotations
+
+import ctypes as c
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.metrics import SimilarityMetric
+
+#: top-k candidates considered per node (pow2; includes the self-match)
+CAND_K = 64
+#: vectors per insertion batch (defines the candidate horizon)
+INSERT_BATCH = 4096
+#: query rows per fused device call (one host fetch each)
+QUERY_CHUNK = 1024
+
+_INF = float("inf")
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "use_pallas"))
+def _chunk_candidates(
+    values,
+    sqnorms,
+    batch_end,
+    queries,
+    node_ids,  # [B] int32 global row of each query (for self-removal)
+    *,
+    metric,
+    k,
+    use_pallas,
+):
+    """One fused program: top-k scan over [0, batch_end), similarity ->
+    internal distance conversion, self-removal. Returns
+    (rows [B,k] int32 with -1 for removed, dists [B,k] f32).
+    Candidate-pairwise work happens in native code — TPU row gathers for
+    the pairwise matrices measured ~10 s per 1024-query chunk."""
+    n = values.shape[0]
+    valid_rows = jnp.arange(n) < batch_end
+    if use_pallas:
+        from ..kernels.pallas_scan import pallas_search_block_topk
+
+        scores, rows = pallas_search_block_topk(
+            values, sqnorms, valid_rows, queries,
+            metric=metric, k=k, tile_n=4096,
+        )
+    else:
+        from ..kernels.topk import search_topk
+
+        scores, rows = search_topk(
+            values, sqnorms, valid_rows, queries, metric=metric, k=k
+        )
+
+    # similarity -> internal HNSW distance (ascending order preserved)
+    if metric is SimilarityMetric.COSINE:
+        cd = 1.0 - scores
+    elif metric is SimilarityMetric.EUCLIDEAN:
+        cd = 1.0 / jnp.maximum(scores, 1e-30) - 1.0
+    else:  # dot product
+        cd = 1000.0 - jnp.clip(scores, -1000.0, 1000.0)
+
+    ok = (rows != node_ids[:, None]) & jnp.isfinite(scores)
+    return (
+        jnp.where(ok, rows, -1).astype(jnp.int32),
+        jnp.where(ok, cd, jnp.inf).astype(jnp.float32),
+    )
+
+
+def bulk_build(index, start: int, count: int) -> None:
+    """Build graph links for rows [start, start+count) of `index`.
+
+    Preconditions (enforced by HNSWIndex.add_batch): native builder
+    present, vector rows already written to the shared buffers, id maps
+    populated, metric has a matmul form.
+    """
+    lib = index._nb_lib
+    nb = index._nb
+    metric = index._metric
+    m0 = index.m0
+    end_total = start + count
+
+    levels = np.empty(count, np.int32)
+    lib.hnsw_draw_levels(
+        nb, count, levels.ctypes.data_as(c.POINTER(c.c_int32))
+    )
+
+    # one upload of the full (pow2-capacity) corpus buffer
+    values = jnp.asarray(index._vecs, dtype=jnp.float32)
+    sqnorms = jnp.sum(values * values, axis=-1)
+    cap = values.shape[0]
+    use_pallas = (
+        cap >= (1 << 17)
+        and cap % 4096 == 0
+        and jax.default_backend() == "tpu"
+    )
+
+    for b_lo in range(0, count, INSERT_BATCH):
+        b_hi = min(b_lo + INSERT_BATCH, count)
+        batch_levels = levels[b_lo:b_hi]
+        batch_nodes = np.arange(start + b_lo, start + b_hi, dtype=np.int64)
+
+        # classic insert for upper-level nodes (entry/routing structure)
+        for off in np.nonzero(batch_levels > 0)[0]:
+            lib.hnsw_insert_leveled(
+                nb, int(batch_nodes[off]), int(batch_levels[off])
+            )
+        low_mask_all = batch_levels == 0
+        if not low_mask_all.any():
+            continue
+
+        batch_end = start + b_hi  # candidate horizon
+        idx_parts, dist_parts, node_parts = [], [], []
+        for q_lo in range(b_lo, b_hi, QUERY_CHUNK):
+            q_hi = min(q_lo + QUERY_CHUNK, b_hi)
+            n_q = q_hi - q_lo
+            q = index._vecs[start + q_lo : start + q_hi].astype(np.float32)
+            ids = np.arange(start + q_lo, start + q_hi, dtype=np.int32)
+            if n_q < QUERY_CHUNK:
+                pad = QUERY_CHUNK - n_q
+                q = np.concatenate(
+                    [q, np.zeros((pad, q.shape[1]), np.float32)]
+                )
+                ids = np.concatenate([ids, np.full(pad, -1, np.int32)])
+            rows, dists = jax.device_get(
+                _chunk_candidates(
+                    values,
+                    sqnorms,
+                    batch_end,
+                    jnp.asarray(q),
+                    jnp.asarray(ids),
+                    metric=metric,
+                    k=CAND_K,
+                    use_pallas=use_pallas,
+                )
+            )
+            low = low_mask_all[q_lo - b_lo : q_hi - b_lo]
+            if not low.any():
+                continue
+            idx_parts.append(np.ascontiguousarray(rows[:n_q][low], np.int32))
+            dist_parts.append(
+                np.ascontiguousarray(dists[:n_q][low], np.float32)
+            )
+            node_parts.append(
+                np.arange(start + q_lo, start + q_hi, dtype=np.int64)[low]
+            )
+
+        if not node_parts:
+            continue
+        cand_idx = np.ascontiguousarray(np.concatenate(idx_parts))
+        cand_dist = np.ascontiguousarray(np.concatenate(dist_parts))
+        low_nodes = np.ascontiguousarray(np.concatenate(node_parts))
+        lib.hnsw_bulk_link_heuristic_l0(
+            nb,
+            low_nodes.ctypes.data_as(c.POINTER(c.c_int64)),
+            len(low_nodes),
+            CAND_K,
+            cand_idx.ctypes.data_as(c.POINTER(c.c_int32)),
+            cand_dist.ctypes.data_as(c.POINTER(c.c_float)),
+        )
+
+    index._num_nodes = end_total
+    index._entry = int(lib.hnsw_entry(nb))
+    index._top_level = int(lib.hnsw_top_level(nb))

@@ -59,6 +59,32 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64,
     ]
     lib.hnsw_insert_batch.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
+    lib.hnsw_insert_leveled.argtypes = [c.c_void_p, c.c_int64, c.c_int32]
+    lib.hnsw_draw_levels.argtypes = [c.c_void_p, c.c_int64, p(c.c_int32)]
+    lib.hnsw_bulk_link_heuristic_l0.argtypes = [
+        c.c_void_p,
+        p(c.c_int64),
+        c.c_int64,
+        c.c_int32,
+        p(c.c_int32),
+        p(c.c_float),
+    ]
+    lib.hnsw_bulk_set_links_l0.argtypes = [
+        c.c_void_p,
+        p(c.c_int64),
+        c.c_int64,
+        c.c_int32,
+        p(c.c_int32),
+    ]
+    lib.hnsw_bulk_link_l0.argtypes = [
+        c.c_void_p,
+        p(c.c_int64),
+        c.c_int64,
+        c.c_int32,
+        p(c.c_int32),
+        p(c.c_float),
+        p(c.c_float),
+    ]
     lib.hnsw_entry.restype = c.c_int64
     lib.hnsw_entry.argtypes = [c.c_void_p]
     lib.hnsw_top_level.restype = c.c_int32

@@ -251,22 +251,28 @@ struct Builder {
     }
   }
 
-  // insert node `node` whose vector Python already wrote into vecs[node]
-  // (exclusive with searches via scratch_mu; Python's write lock already
-  // excludes concurrent inserts)
-  void insert(int64_t node) {
-    std::lock_guard<std::mutex> lock(scratch_mu);
+  int draw_level() {
+    return static_cast<int>(-std::log(std::max(unif(rng), 1e-300)) * ml);
+  }
+
+  void register_node(int64_t node) {
     const float* v = vecs + node * dim;
     float sq = 0.f;
     for (int i = 0; i < dim; ++i) sq += v[i] * v[i];
     sqnorms[node] = sq;
     norms[node] = std::sqrt(sq);
+    num_nodes = std::max(num_nodes, node + 1);
+  }
 
-    int level = static_cast<int>(-std::log(
-                    std::max(unif(rng), 1e-300)) * ml);
+  // insert node `node` whose vector Python already wrote into vecs[node]
+  // (exclusive with searches via scratch_mu; Python's write lock already
+  // excludes concurrent inserts). forced_level < 0 draws from the rng.
+  void insert(int64_t node, int forced_level = -1) {
+    std::lock_guard<std::mutex> lock(scratch_mu);
+    register_node(node);
+    int level = forced_level >= 0 ? forced_level : draw_level();
     levels[node] = level;
     ensure_level(level);
-    num_nodes = std::max(num_nodes, node + 1);
     // mark the (still-empty) level-0 row dirty so the device picks it up
     dirty.push_back(static_cast<int32_t>(node));
 
@@ -276,6 +282,7 @@ struct Builder {
       return;
     }
 
+    const float* v = vecs + node * dim;
     float q_norm = norms[node];
     std::vector<int64_t> eps{entry};
     std::vector<DistNode> cands;
@@ -297,6 +304,47 @@ struct Builder {
     if (level > top_level) {
       entry = node;
       top_level = level;
+    }
+  }
+
+  // Bulk-link level-0 nodes whose candidate lists (ascending by
+  // distance) and candidate-pairwise distances were computed on the TPU.
+  // The diversity heuristic runs on the precomputed matrices — no
+  // distance evaluation happens here except inside reverse-link pruning.
+  void bulk_link_l0(const int64_t* node_ids, int64_t count, int32_t c,
+                    const int32_t* cand_idx, const float* cand_dist,
+                    const float* cc_dist) {
+    std::lock_guard<std::mutex> lock(scratch_mu);
+    std::vector<int64_t> neighbors;
+    std::vector<int> kept;
+    for (int64_t i = 0; i < count; ++i) {
+      int64_t node = node_ids[i];
+      register_node(node);
+      levels[node] = 0;
+      dirty.push_back(static_cast<int32_t>(node));
+      const int32_t* ci = cand_idx + i * c;
+      const float* cd = cand_dist + i * c;
+      const float* cc = cc_dist + i * static_cast<int64_t>(c) * c;
+      kept.clear();
+      neighbors.clear();
+      for (int32_t j = 0; j < c; ++j) {
+        if (ci[j] < 0) continue;
+        if (static_cast<int>(kept.size()) >= m0) break;
+        bool keep = true;
+        for (int s : kept) {
+          if (cc[static_cast<int64_t>(j) * c + s] < cd[j]) {
+            keep = false;
+            break;
+          }
+        }
+        if (keep) kept.push_back(j);
+      }
+      for (int j : kept) neighbors.push_back(ci[j]);
+      link(node, neighbors, 0);
+      if (entry < 0) {
+        entry = node;
+        top_level = 0;
+      }
     }
   }
 
@@ -374,6 +422,87 @@ void hnsw_bind(Builder* b, float* vecs, float* sqnorms, float* norms,
 
 void hnsw_insert_batch(Builder* b, int64_t start, int64_t count) {
   for (int64_t i = 0; i < count; ++i) b->insert(start + i);
+}
+
+void hnsw_insert_leveled(Builder* b, int64_t node, int32_t level) {
+  b->insert(node, level);
+}
+
+void hnsw_draw_levels(Builder* b, int64_t count, int32_t* out) {
+  for (int64_t i = 0; i < count; ++i) {
+    out[i] = static_cast<int32_t>(b->draw_level());
+  }
+}
+
+void hnsw_bulk_link_l0(Builder* b, const int64_t* node_ids, int64_t count,
+                       int32_t c, const int32_t* cand_idx,
+                       const float* cand_dist, const float* cc_dist) {
+  b->bulk_link_l0(node_ids, count, c, cand_idx, cand_dist, cc_dist);
+}
+
+// Bulk-link level-0 nodes from device-computed candidate lists
+// (ascending by distance). The diversity heuristic runs here with
+// on-demand distance evaluation and early termination — C++ owns the
+// vector buffers, so random row reads are cheap, unlike TPU gathers.
+void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
+                                 int64_t count, int32_t c,
+                                 const int32_t* cand_idx,
+                                 const float* cand_dist) {
+  std::lock_guard<std::mutex> lock(b->scratch_mu);
+  std::vector<int64_t> kept;
+  for (int64_t i = 0; i < count; ++i) {
+    int64_t node = node_ids[i];
+    b->register_node(node);
+    b->levels[node] = 0;
+    b->dirty.push_back(static_cast<int32_t>(node));
+    const int32_t* ci = cand_idx + i * c;
+    const float* cd = cand_dist + i * c;
+    kept.clear();
+    for (int32_t j = 0; j < c; ++j) {
+      if (ci[j] < 0) continue;
+      if (static_cast<int>(kept.size()) >= b->m0) break;
+      const float* cv = b->vecs + static_cast<int64_t>(ci[j]) * b->dim;
+      float cn = b->norms[ci[j]];
+      bool keep = true;
+      for (int64_t s : kept) {
+        if (b->dist(cv, cn, s) < cd[j]) {
+          keep = false;
+          break;
+        }
+      }
+      if (keep) kept.push_back(ci[j]);
+    }
+    b->link(node, kept, 0);
+    if (b->entry < 0) {
+      b->entry = node;
+      b->top_level = 0;
+    }
+  }
+}
+
+// Link pre-selected neighbors (diversity heuristic already ran on the
+// TPU): register each node at level 0 and wire forward + reverse links.
+void hnsw_bulk_set_links_l0(Builder* b, const int64_t* node_ids,
+                            int64_t count, int32_t m,
+                            const int32_t* neighbors) {
+  std::lock_guard<std::mutex> lock(b->scratch_mu);
+  std::vector<int64_t> nbrs;
+  for (int64_t i = 0; i < count; ++i) {
+    int64_t node = node_ids[i];
+    b->register_node(node);
+    b->levels[node] = 0;
+    b->dirty.push_back(static_cast<int32_t>(node));
+    nbrs.clear();
+    const int32_t* row = neighbors + i * m;
+    for (int32_t j = 0; j < m; ++j) {
+      if (row[j] >= 0) nbrs.push_back(row[j]);
+    }
+    b->link(node, nbrs, 0);
+    if (b->entry < 0) {
+      b->entry = node;
+      b->top_level = 0;
+    }
+  }
 }
 
 int64_t hnsw_entry(Builder* b) { return b->entry; }
