@@ -69,11 +69,13 @@ def _chunk_candidates(
     n = values.shape[0]
     valid_rows = jnp.arange(n) < batch_end
     if use_pallas:
-        from ..kernels.pallas_scan import pallas_search_block_topk
+        # exact per-tile selection: the block-top1 kernel loses near-tie
+        # cluster neighbors at scale (measured recall@64 0.83 vs 1.0)
+        from ..kernels.pallas_scan import pallas_search_topk
 
-        scores, rows = pallas_search_block_topk(
+        scores, rows = pallas_search_topk(
             values, sqnorms, valid_rows, queries,
-            metric=metric, k=k, tile_n=4096,
+            metric=metric, k=k, tile_n=2048,
         )
     else:
         from ..kernels.topk import search_topk

@@ -69,22 +69,6 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p(c.c_int32),
         p(c.c_float),
     ]
-    lib.hnsw_bulk_set_links_l0.argtypes = [
-        c.c_void_p,
-        p(c.c_int64),
-        c.c_int64,
-        c.c_int32,
-        p(c.c_int32),
-    ]
-    lib.hnsw_bulk_link_l0.argtypes = [
-        c.c_void_p,
-        p(c.c_int64),
-        c.c_int64,
-        c.c_int32,
-        p(c.c_int32),
-        p(c.c_float),
-        p(c.c_float),
-    ]
     lib.hnsw_entry.restype = c.c_int64
     lib.hnsw_entry.argtypes = [c.c_void_p]
     lib.hnsw_top_level.restype = c.c_int32

@@ -307,47 +307,6 @@ struct Builder {
     }
   }
 
-  // Bulk-link level-0 nodes whose candidate lists (ascending by
-  // distance) and candidate-pairwise distances were computed on the TPU.
-  // The diversity heuristic runs on the precomputed matrices — no
-  // distance evaluation happens here except inside reverse-link pruning.
-  void bulk_link_l0(const int64_t* node_ids, int64_t count, int32_t c,
-                    const int32_t* cand_idx, const float* cand_dist,
-                    const float* cc_dist) {
-    std::lock_guard<std::mutex> lock(scratch_mu);
-    std::vector<int64_t> neighbors;
-    std::vector<int> kept;
-    for (int64_t i = 0; i < count; ++i) {
-      int64_t node = node_ids[i];
-      register_node(node);
-      levels[node] = 0;
-      dirty.push_back(static_cast<int32_t>(node));
-      const int32_t* ci = cand_idx + i * c;
-      const float* cd = cand_dist + i * c;
-      const float* cc = cc_dist + i * static_cast<int64_t>(c) * c;
-      kept.clear();
-      neighbors.clear();
-      for (int32_t j = 0; j < c; ++j) {
-        if (ci[j] < 0) continue;
-        if (static_cast<int>(kept.size()) >= m0) break;
-        bool keep = true;
-        for (int s : kept) {
-          if (cc[static_cast<int64_t>(j) * c + s] < cd[j]) {
-            keep = false;
-            break;
-          }
-        }
-        if (keep) kept.push_back(j);
-      }
-      for (int j : kept) neighbors.push_back(ci[j]);
-      link(node, neighbors, 0);
-      if (entry < 0) {
-        entry = node;
-        top_level = 0;
-      }
-    }
-  }
-
   int64_t descend(const float* q) {
     std::lock_guard<std::mutex> lock(scratch_mu);
     if (entry < 0) return -1;
@@ -434,12 +393,6 @@ void hnsw_draw_levels(Builder* b, int64_t count, int32_t* out) {
   }
 }
 
-void hnsw_bulk_link_l0(Builder* b, const int64_t* node_ids, int64_t count,
-                       int32_t c, const int32_t* cand_idx,
-                       const float* cand_dist, const float* cc_dist) {
-  b->bulk_link_l0(node_ids, count, c, cand_idx, cand_dist, cc_dist);
-}
-
 // Bulk-link level-0 nodes from device-computed candidate lists
 // (ascending by distance). The diversity heuristic runs here with
 // on-demand distance evaluation and early termination — C++ owns the
@@ -473,31 +426,6 @@ void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
       if (keep) kept.push_back(ci[j]);
     }
     b->link(node, kept, 0);
-    if (b->entry < 0) {
-      b->entry = node;
-      b->top_level = 0;
-    }
-  }
-}
-
-// Link pre-selected neighbors (diversity heuristic already ran on the
-// TPU): register each node at level 0 and wire forward + reverse links.
-void hnsw_bulk_set_links_l0(Builder* b, const int64_t* node_ids,
-                            int64_t count, int32_t m,
-                            const int32_t* neighbors) {
-  std::lock_guard<std::mutex> lock(b->scratch_mu);
-  std::vector<int64_t> nbrs;
-  for (int64_t i = 0; i < count; ++i) {
-    int64_t node = node_ids[i];
-    b->register_node(node);
-    b->levels[node] = 0;
-    b->dirty.push_back(static_cast<int32_t>(node));
-    nbrs.clear();
-    const int32_t* row = neighbors + i * m;
-    for (int32_t j = 0; j < m; ++j) {
-      if (row[j] >= 0) nbrs.push_back(row[j]);
-    }
-    b->link(node, nbrs, 0);
     if (b->entry < 0) {
       b->entry = node;
       b->top_level = 0;
