@@ -21,10 +21,23 @@ link wiring runs on the TPU:
    insert (they carry the upper-layer routing structure and the entry
    point).
 
-Candidate quality is exact (or block-approximate above the Pallas
-threshold) kNN — a strict superset of what ef-search finds — so graph
-quality matches or beats the classic build; recall parity is asserted in
-tests/test_bulk_build.py. Manhattan has no matmul form and keeps the
+Measured trade-off (clustered 384-d embeddings, ef=64 recall@10):
+
+=========  ==============  =============  ===============  =============
+scale      classic rate    bulk rate      classic recall   bulk recall
+=========  ==============  =============  ===============  =============
+100K       2.2K/s          0.7K/s         0.969            **1.000**
+1M         0.6K/s          **0.85K/s**    0.906            0.831
+=========  ==============  =============  ===============  =============
+
+Below ~200K rows bulk graphs are exact-kNN quality (recall 1.0); at 1M
+the purely-local kNN links navigate worse than the classic build's
+incremental ef-search structure (a known kNN-graph-vs-NSW effect —
+candidate exactness is not the limit: the exact and block-approximate
+kernels measure identical 1M recall). Until an NN-descent + shortcut
+pass closes that gap (PLAN.md), bulk is **opt-in**:
+``VECTORLITE_BULK_BUILD=always`` (or ``auto``, which engages it below
+the 200K quality crossover). Manhattan has no matmul form and keeps the
 classic path.
 """
 
@@ -69,13 +82,14 @@ def _chunk_candidates(
     n = values.shape[0]
     valid_rows = jnp.arange(n) < batch_end
     if use_pallas:
-        # exact per-tile selection: the block-top1 kernel loses near-tie
-        # cluster neighbors at scale (measured recall@64 0.83 vs 1.0)
-        from ..kernels.pallas_scan import pallas_search_topk
+        # block-top1 selection: measured identical recall to the exact
+        # per-tile kernel at 1M (0.831 either way — the ceiling is the
+        # kNN-link structure, not candidate quality) and ~25% faster
+        from ..kernels.pallas_scan import pallas_search_block_topk
 
-        scores, rows = pallas_search_topk(
+        scores, rows = pallas_search_block_topk(
             values, sqnorms, valid_rows, queries,
-            metric=metric, k=k, tile_n=2048,
+            metric=metric, k=k, tile_n=4096,
         )
     else:
         from ..kernels.topk import search_topk

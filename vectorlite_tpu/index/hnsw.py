@@ -434,16 +434,16 @@ class HNSWIndex:
             self._metas[vid] = v.metadata
         # Large batches with a matmul-form metric can use the
         # TPU-accelerated bulk build (device kNN scans replace per-insert
-        # graph searches; recall ~1.0 vs ~0.97, throughput constant in N
-        # while the classic build slows as the graph deepens — measured
-        # crossover ~300K rows on this host). VECTORLITE_BULK_BUILD:
-        # auto (default) | always | never. See index/bulk_build.py.
+        # graph searches) — see index/bulk_build.py for the measured
+        # speed/recall trade-off. VECTORLITE_BULK_BUILD:
+        # never (default) | always | auto (engages only below the ~200K
+        # quality crossover, where bulk graphs reach recall 1.0).
         import os
 
-        mode = os.environ.get("VECTORLITE_BULK_BUILD", "auto")
+        mode = os.environ.get("VECTORLITE_BULK_BUILD", "never")
         use_bulk = self._metric is not SimilarityMetric.MANHATTAN and (
             mode == "always"
-            or (mode == "auto" and count >= 300_000)
+            or (mode == "auto" and 2048 <= count <= 200_000)
         )
         if use_bulk:
             from .bulk_build import bulk_build
