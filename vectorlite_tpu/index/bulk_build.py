@@ -27,8 +27,11 @@ Measured trade-off (clustered 384-d embeddings, ef=64 recall@10):
 scale      classic rate    bulk rate      classic recall   bulk recall
 =========  ==============  =============  ===============  =============
 100K       2.2K/s          0.7K/s         0.969            **1.000**
-1M         0.6K/s          **0.85K/s**    0.906            0.831
+1M         0.6K/s          **0.85K/s**    0.906            0.856
 =========  ==============  =============  ===============  =============
+
+(1M bulk recall was 0.831 with nearest-only candidates; mid-range mixing
+recovered +2.5pt at no cost.)
 
 Below ~200K rows bulk graphs are exact-kNN quality (recall 1.0); at 1M
 the purely-local kNN links navigate worse than the classic build's
@@ -52,8 +55,15 @@ import jax.numpy as jnp
 
 from ..core.metrics import SimilarityMetric
 
-#: top-k candidates considered per node (pow2; includes the self-match)
-CAND_K = 64
+#: candidates handed to the linking heuristic per node: the nearest
+#: NEAR_K plus MID_K mid-range rows strided from ranks [NEAR_K, SCAN_K).
+#: Mid-range entries let the diversity heuristic keep shortcut edges —
+#: with nearest-only candidates the 1M graph degrades to a hard-to-
+#: navigate pure kNN graph (recall@64 0.831 vs classic 0.906).
+SCAN_K = 256
+NEAR_K = 48
+MID_K = 16
+CAND_K = NEAR_K + MID_K
 #: vectors per insertion batch (defines the candidate horizon)
 INSERT_BATCH = 4096
 #: query rows per fused device call (one host fetch each)
@@ -107,10 +117,17 @@ def _chunk_candidates(
         cd = 1000.0 - jnp.clip(scores, -1000.0, 1000.0)
 
     ok = (rows != node_ids[:, None]) & jnp.isfinite(scores)
-    return (
-        jnp.where(ok, rows, -1).astype(jnp.int32),
-        jnp.where(ok, cd, jnp.inf).astype(jnp.float32),
+    rows = jnp.where(ok, rows, -1).astype(jnp.int32)
+    cd = jnp.where(ok, cd, jnp.inf).astype(jnp.float32)
+    # nearest NEAR_K + strided mid-range sample, ascending by distance
+    stride = (k - NEAR_K) // MID_K
+    sel = jnp.concatenate(
+        [
+            jnp.arange(NEAR_K),
+            NEAR_K + stride * jnp.arange(MID_K),
+        ]
     )
+    return rows[:, sel], cd[:, sel]
 
 
 def bulk_build(index, start: int, count: int) -> None:
@@ -176,7 +193,7 @@ def bulk_build(index, start: int, count: int) -> None:
                     jnp.asarray(q),
                     jnp.asarray(ids),
                     metric=metric,
-                    k=CAND_K,
+                    k=SCAN_K,
                     use_pallas=use_pallas,
                 )
             )
