@@ -218,7 +218,8 @@ class HNSWIndex:
         denom = qn * vn
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = np.where(denom > 0.0, dot / np.maximum(denom, 1e-30), 0.0)
-        out = 1.0 - cos
+        # clamp: f32 cos can exceed 1 by an ulp for identical vectors
+        out = np.maximum(1.0 - cos, 0.0)
         out = np.where((vn == 0.0) | (qn == 0.0), 1.0, out)
         return out.astype(np.float32)
 

@@ -59,10 +59,10 @@ def _neighbor_dists(
     )
     if metric is SimilarityMetric.DOT_PRODUCT:
         return 1000.0 - jnp.clip(dot, -1000.0, 1000.0)
-    # cosine: 1 - cos, zero-norm -> 1.0
+    # cosine: 1 - cos, zero-norm -> 1.0 (clamped: f32 cos can pass 1)
     denom = q_norm * jnp.sqrt(n_sq)
     cos = jnp.where(denom > 0.0, dot / jnp.maximum(denom, 1e-30), 0.0)
-    return jnp.where(denom > 0.0, 1.0 - cos, 1.0)
+    return jnp.where(denom > 0.0, jnp.maximum(1.0 - cos, 0.0), 1.0)
 
 
 @partial(jax.jit, static_argnames=("metric", "ef", "max_iters"))

@@ -99,12 +99,12 @@ struct Builder {
         s = std::min(std::max(s, -1000.f), 1000.f);
         return 1000.f - s;
       }
-      default: {  // cosine
+      default: {  // cosine; clamp: f32 cos can exceed 1 by an ulp
         float s = 0.f;
         for (int i = 0; i < dim; ++i) s += q[i] * v[i];
         float denom = q_norm * norms[node];
         if (denom <= 0.f) return 1.f;
-        return 1.f - s / denom;
+        return std::max(0.f, 1.f - s / denom);
       }
     }
   }
