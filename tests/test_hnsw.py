@@ -53,6 +53,23 @@ class TestBasics:
         with pytest.raises(DimensionMismatch):
             idx.add(vec(1, [1, 2]))
 
+    def test_add_batch_duplicate_within_batch(self):
+        # a batch containing the same id twice must be rejected before any
+        # insertion — otherwise two graph nodes map to one id and a later
+        # delete leaves a stale node that still resolves
+        idx = HNSWIndex(3, SimilarityMetric.COSINE)
+        batch = [vec(1, [1, 0, 0]), vec(2, [0, 1, 0]), vec(1, [0, 0, 1])]
+        with pytest.raises(DuplicateVectorId):
+            idx.add_batch(batch)
+        assert len(idx) == 0  # nothing partially inserted
+
+    def test_add_batch_duplicate_of_existing(self):
+        idx = HNSWIndex(3, SimilarityMetric.COSINE)
+        idx.add(vec(7, [1, 0, 0]))
+        with pytest.raises(DuplicateVectorId):
+            idx.add_batch([vec(8, [0, 1, 0]), vec(7, [0, 0, 1])])
+        assert len(idx) == 1
+
     def test_delete_soft_tombstone(self):
         # reference: src/index/hnsw.rs:400-414
         idx = HNSWIndex(2, SimilarityMetric.EUCLIDEAN)

@@ -321,6 +321,37 @@ class TestGraphDumpExtension:
         )
         assert res[0].id == 21
 
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            # out-of-range level-0 neighbor (>= num_nodes but within capacity)
+            lambda g: g["adj0"].__setitem__(0, g["num_nodes"] + 5),
+            # negative level
+            lambda g: g["levels"].__setitem__(0, -3),
+            # out-of-range upper-level neighbor
+            lambda g: (
+                g["upper"][0].__setitem__(0, g["num_nodes"] + 1)
+                if g.get("upper")
+                else g["adj0"].__setitem__(1, 10**6)
+            ),
+        ],
+        ids=["adj0-range", "neg-level", "upper-range"],
+    )
+    def test_corrupt_adjacency_falls_back_to_rebuild(self, mutate):
+        # corrupt neighbor indices / levels must not load silently as a
+        # broken graph scanning zero-filled rows
+        from vectorlite_tpu import HNSWIndex
+
+        idx, data = self._build()
+        payload = idx.index_to_json()
+        mutate(payload["graph"])
+        restored = HNSWIndex.index_from_json(payload)
+        assert len(restored) == 120
+        res = restored.search(
+            list(data[7]), 1, SimilarityMetric.EUCLIDEAN, use_device=False
+        )
+        assert res[0].id == 21
+
     def test_vlc_roundtrip_with_graph(self, tmp_path):
         idx, data = self._build()
         collection = Collection("g", idx)

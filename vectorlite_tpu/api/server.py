@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import functools
+import json
 import logging
 from pathlib import Path
 
@@ -109,7 +110,7 @@ async def _json_body(request: web.Request) -> dict:
 def _require_field(body: dict, name: str):
     if name not in body:
         raise web.HTTPBadRequest(
-            text=f'{{"message": "Missing required field: {name}"}}',
+            text=json.dumps({"message": f"Missing required field: {name}"}),
             content_type="application/json",
         )
     return body[name]
@@ -246,7 +247,8 @@ async def add_texts(request: web.Request) -> web.Response:
         ids = await _blocking(request, run)
     except ValueError as e:
         raise web.HTTPBadRequest(
-            text=f'{{"message": "{e}"}}', content_type="application/json"
+            text=json.dumps({"message": str(e)}),
+            content_type="application/json",
         ) from None
     logger.info(
         "Added %d texts to collection '%s'", len(ids), name

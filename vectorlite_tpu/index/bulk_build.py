@@ -110,7 +110,10 @@ def _chunk_candidates(
 
     # similarity -> internal HNSW distance (ascending order preserved)
     if metric is SimilarityMetric.COSINE:
-        cd = 1.0 - scores
+        # clamp: f32 rounding can push cosine scores past 1.0, which would
+        # make the internal distance slightly negative (same fix as the
+        # three search implementations)
+        cd = jnp.maximum(1.0 - scores, 0.0)
     elif metric is SimilarityMetric.EUCLIDEAN:
         cd = 1.0 / jnp.maximum(scores, 1e-30) - 1.0
     else:  # dot product

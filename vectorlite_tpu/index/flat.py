@@ -217,6 +217,10 @@ class FlatIndex:
         slots = slots[:b, :k_eff]
         if self._quantized or approx:
             scores, slots = self._exact_rescore(q64, scores, slots, metric)
+        elif metric is SimilarityMetric.COSINE:
+            # f32 device rounding can overshoot 1.0; clamp for consistency
+            # with the exact-rescore path and the HNSW distance clamp
+            scores = np.minimum(scores, 1.0)
 
         out: list[list[SearchResult]] = []
         for row_scores, row_slots in zip(scores, slots):
@@ -270,6 +274,10 @@ class FlatIndex:
         slots = slots[:b, :k_eff]
         if self._quantized or approx:
             scores, slots = self._exact_rescore(q64, scores, slots, metric)
+        elif metric is SimilarityMetric.COSINE:
+            # f32 device rounding can overshoot 1.0; clamp for consistency
+            # with the exact-rescore path and the HNSW distance clamp
+            scores = np.minimum(scores, 1.0)
         ids = self._ids[slots].astype(np.int64)
         ids[scores == -np.inf] = -1
         if k_eff < k:

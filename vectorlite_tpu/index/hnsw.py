@@ -414,11 +414,14 @@ class HNSWIndex:
             for v in vectors:
                 self.add(v)
             return
+        batch_ids: set[int] = set()
         for v in vectors:
             if len(v.values) != self.dim:
                 raise DimensionMismatch(self.dim, len(v.values))
-            if int(v.id) in self._id_to_index:
-                raise DuplicateVectorId(int(v.id))
+            vid = int(v.id)
+            if vid in self._id_to_index or vid in batch_ids:
+                raise DuplicateVectorId(vid)
+            batch_ids.add(vid)
         start = self._num_nodes
         count = len(vectors)
         self._ensure_capacity(start + count)
@@ -857,13 +860,23 @@ class HNSWIndex:
             self._metas[vid] = meta.get("metadata")
 
         adj0 = np.asarray(graph["adj0"], dtype=np.int32).reshape(n, self.m0)
-        self._adj[0][:n] = adj0
         levels = np.asarray(graph["levels"], dtype=np.int32)
-        self._levels[:n] = levels
         upper = [
             np.asarray(a, dtype=np.int32).reshape(n, self.m)
             for a in graph.get("upper", [])
         ]
+        # Reject corrupt dumps (out-of-range neighbor indices or negative
+        # levels) so the caller's except-fallback rebuilds from vectors
+        # instead of silently scanning zero-filled adjacency rows.
+        if adj0.size and (adj0.min() < -1 or adj0.max() >= n):
+            raise ValueError("adj0 neighbor index out of range")
+        if levels.size != n or (levels.size and levels.min() < 0):
+            raise ValueError("invalid levels array")
+        for a in upper:
+            if a.size and (a.min() < -1 or a.max() >= n):
+                raise ValueError("upper neighbor index out of range")
+        self._adj[0][:n] = adj0
+        self._levels[:n] = levels
         self._num_nodes = n
         self._entry = int(graph["entry"])
         self._top_level = int(graph["top_level"])
