@@ -12,12 +12,14 @@ import jax
 import jax.numpy as jnp
 
 from vectorlite_tpu.core.metrics import SimilarityMetric
+from vectorlite_tpu.core.types import Vector
 from vectorlite_tpu.dist.sharding import (
-    ShardedFlatIndex,
     make_mesh,
     shard_corpus,
     sharded_search_topk,
+    update_rows_sharded,
 )
+from vectorlite_tpu.index.flat import FlatIndex
 from vectorlite_tpu.kernels.topk import search_topk
 
 
@@ -73,25 +75,142 @@ def test_sharded_tie_break_global_row_order(mesh, rng):
     assert list(np.asarray(i)[0][:3]) == [5, 400, 900]
 
 
-class TestShardedFlatIndex:
-    def test_add_and_search(self, mesh, rng):
-        n, d = 500, 32
-        data = rng.normal(size=(n, d)).astype(np.float32)
-        idx = ShardedFlatIndex(d, mesh)
-        idx.add_batch(np.arange(n) * 7, data)  # non-trivial ids
-        ids, scores = idx.search_batch_arrays(
-            data[:16] + 1e-4, 3, SimilarityMetric.EUCLIDEAN
-        )
-        assert list(ids[:, 0]) == [i * 7 for i in range(16)]
+def test_update_rows_sharded_scatter(mesh, rng):
+    # the incremental insert path: a replicated row block lands on the
+    # right shards without re-placing the corpus
+    cap, d = 64, 8
+    base = rng.normal(size=(cap, d)).astype(np.float32)
+    buf = jax.device_put(
+        base.copy(),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("shard", None)
+        ),
+    )
+    rows = rng.normal(size=(5, d)).astype(np.float32)
+    start = 6  # straddles the shard-0/shard-1 boundary (8 rows/shard)
+    out = update_rows_sharded(buf, jnp.asarray(rows), start, mesh=mesh)
+    expect = base.copy()
+    expect[start : start + 5] = rows
+    np.testing.assert_array_equal(np.asarray(out), expect)
 
-    def test_growth(self, mesh, rng):
+
+def _mk_vectors(data, id_step=1):
+    return [
+        Vector(id=i * id_step, values=list(map(float, row)), text=f"t{i}")
+        for i, row in enumerate(data)
+    ]
+
+
+class TestMeshFlatIndex:
+    """FlatIndex(mesh=...): full index semantics over a sharded device
+    cache — the multi-chip serving path (VERDICT round-1 item 2)."""
+
+    def _pair(self, d, mesh, **kw):
+        return FlatIndex(d, mesh=mesh, **kw), FlatIndex(d, **kw)
+
+    def test_parity_with_single_device(self, mesh, rng):
+        n, d, k = 500, 32, 5
+        data = rng.normal(size=(n, d))
+        sharded, single = self._pair(d, mesh)
+        for idx in (sharded, single):
+            for v in _mk_vectors(data, id_step=7):
+                idx.add(v)
+        q = rng.normal(size=(9, d))
+        for metric in SimilarityMetric:
+            ids_s, sc_s = sharded.search_batch_arrays(q, k, metric)
+            ids_1, sc_1 = single.search_batch_arrays(q, k, metric)
+            assert np.array_equal(ids_s, ids_1), metric
+            np.testing.assert_allclose(sc_s, sc_1, rtol=1e-5, atol=1e-6)
+
+    def test_delete_and_incremental_insert(self, mesh, rng):
+        n, d = 300, 16
+        data = rng.normal(size=(n, d))
+        idx = FlatIndex(d, mesh=mesh)
+        for v in _mk_vectors(data[:200]):
+            idx.add(v)
+        # first search places the corpus; later ops must not re-place
+        idx.search_batch_arrays(data[:2], 3, SimilarityMetric.COSINE)
+        placed = idx._dev_values
+        idx.delete(5)
+        idx.delete(999999)  # absent id: succeeds (reference retain)
+        for i in range(200, 300):
+            idx.add(Vector(id=i, values=list(map(float, data[i])), text=""))
+        ids, scores = idx.search_batch_arrays(
+            data[250:252], 2, SimilarityMetric.EUCLIDEAN
+        )
+        assert list(ids[:, 0]) == [250, 251]
+        assert idx._dev_values is not placed  # donated/updated, not stale
+        ids, _ = idx.search_batch_arrays(
+            data[5:6], 1, SimilarityMetric.EUCLIDEAN
+        )
+        assert ids[0, 0] != 5  # tombstoned row never returned
+        assert len(idx) == 299
+
+    def test_growth_across_capacity(self, mesh, rng):
         d = 16
-        idx = ShardedFlatIndex(d, mesh)
-        data = rng.normal(size=(600, d)).astype(np.float32)
-        idx.add_batch(np.arange(300), data[:300])
+        idx = FlatIndex(d, mesh=mesh)
+        data = rng.normal(size=(600, d))
+        for i in range(300):
+            idx.add(Vector(id=i, values=list(map(float, data[i])), text=""))
         idx.search_batch_arrays(data[:4], 2, SimilarityMetric.COSINE)
-        idx.add_batch(np.arange(300, 600), data[300:])  # forces regrow
+        for i in range(300, 600):  # forces a regrow past 512
+            idx.add(Vector(id=i, values=list(map(float, data[i])), text=""))
         ids, _ = idx.search_batch_arrays(
             data[590:592], 1, SimilarityMetric.COSINE
         )
         assert list(ids[:, 0]) == [590, 591]
+        assert idx._capacity % mesh.devices.size == 0
+
+    def test_quantized_profile_on_mesh(self, mesh, rng):
+        n, d, k = 400, 24, 4
+        data = rng.normal(size=(n, d))
+        sharded = FlatIndex(d, mesh=mesh, device_dtype="int8")
+        single = FlatIndex(d, device_dtype="int8")
+        for idx in (sharded, single):
+            for v in _mk_vectors(data):
+                idx.add(v)
+        q = rng.normal(size=(3, d))
+        ids_s, sc_s = sharded.search_batch_arrays(
+            q, k, SimilarityMetric.COSINE
+        )
+        ids_1, sc_1 = single.search_batch_arrays(
+            q, k, SimilarityMetric.COSINE
+        )
+        # both paths re-score winners in exact f64, so scores agree tightly
+        assert np.array_equal(ids_s, ids_1)
+        np.testing.assert_allclose(sc_s, sc_1, rtol=1e-9, atol=1e-12)
+
+    def test_compaction_on_mesh(self, mesh, rng):
+        d = 8
+        idx = FlatIndex(d, mesh=mesh)
+        data = rng.normal(size=(2000, d))
+        for i in range(2000):
+            idx.add(Vector(id=i, values=list(map(float, data[i])), text=""))
+        idx.search_batch_arrays(data[:1], 1, SimilarityMetric.COSINE)
+        for i in range(0, 2000, 2):  # tombstone half -> triggers compaction
+            idx.delete(i)
+        ids, _ = idx.search_batch_arrays(
+            data[1001:1002], 1, SimilarityMetric.EUCLIDEAN
+        )
+        assert ids[0, 0] == 1001
+        assert len(idx) == 1000
+
+    def test_vlc_roundtrip_keeps_mesh(self, mesh, rng, tmp_path):
+        from vectorlite_tpu.persist.vlc import (
+            load_collection_from_file,
+            save_collection_to_file,
+        )
+        from vectorlite_tpu.store.collection import Collection
+
+        d = 12
+        data = rng.normal(size=(50, d))
+        idx = FlatIndex(d, mesh=mesh)
+        for v in _mk_vectors(data):
+            idx.add(v)
+        save_collection_to_file(Collection("m", idx), tmp_path / "m.vlc")
+        loaded = load_collection_from_file(tmp_path / "m.vlc", mesh=mesh)
+        with loaded.index_read() as li:
+            assert li._mesh is mesh
+            res = li.search(list(map(float, data[3])), 1,
+                            SimilarityMetric.COSINE)
+            assert res[0].id == 3

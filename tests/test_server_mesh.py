@@ -1,0 +1,104 @@
+"""The full HTTP surface against a mesh-sharded client (VECTORLITE_MESH=8).
+
+Re-runs every route suite from test_server.py with Flat collections
+row-sharded over the 8 virtual CPU devices, then checks sharded-vs-single
+result equality through the HTTP layer. The reference has no distributed
+analogue (SURVEY §2); this validates the TPU-native scale-out end to end.
+"""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+import test_server
+from vectorlite_tpu import VectorLiteClient
+from vectorlite_tpu.api.server import create_app
+from vectorlite_tpu.config import VectorLiteConfig
+from vectorlite_tpu.embed.mock import (
+    ConstantEmbeddingFunction,
+    MockEmbeddingFunction,
+)
+
+
+def make_mesh_client(embedder=None):
+    cfg = VectorLiteConfig.profile("default")
+    cfg.mesh_devices = 8
+    return VectorLiteClient(
+        embedder or ConstantEmbeddingFunction([1.0, 2.0, 3.0]), config=cfg
+    )
+
+
+@pytest.fixture(autouse=True)
+def _route_suite_through_mesh(monkeypatch):
+    monkeypatch.setattr(test_server, "make_client", make_mesh_client)
+
+
+# Inherit the entire single-chip suite; the autouse fixture swaps the
+# client factory so every request exercises the sharded serving path.
+class TestHealthAndCollectionsMesh(test_server.TestHealthAndCollections):
+    pass
+
+
+class TestVectorOpsMesh(test_server.TestVectorOps):
+    pass
+
+
+class TestPersistenceApiMesh(test_server.TestPersistenceApi):
+    pass
+
+
+class TestBatchedEndpointsMesh(test_server.TestBatchedEndpoints):
+    pass
+
+
+def test_mesh_env_var_wires_through(monkeypatch):
+    monkeypatch.setenv("VECTORLITE_MESH", "8")
+    cfg = VectorLiteConfig.from_env()
+    assert cfg.mesh_devices == 8
+    client = VectorLiteClient(
+        ConstantEmbeddingFunction([1.0, 0.0, 0.0]), config=cfg
+    )
+    assert "mesh" in client.flat_index_kwargs()
+
+
+def test_sharded_matches_single_through_http():
+    """Same corpus, same queries: byte-identical ranked results whether the
+    collection is served from one device or sharded over eight."""
+
+    texts = [f"document number {i} about topic {i % 13}" for i in range(97)]
+    queries = ["topic 4 document", "number 55", "unrelated query text"]
+
+    def run(client):
+        async def go():
+            app = create_app(client)
+            async with TestClient(TestServer(app)) as tc:
+                r = await tc.post(
+                    "/collections",
+                    json={"name": "c", "index_type": "flat"},
+                )
+                assert r.status == 200
+                r = await tc.post(
+                    "/collections/c/texts", json={"texts": texts}
+                )
+                assert r.status == 200
+                out = []
+                for q in queries:
+                    r = await tc.post(
+                        "/collections/c/search/text",
+                        json={"query": q, "k": 7},
+                    )
+                    assert r.status == 200
+                    out.append((await r.json())["results"])
+                return out
+
+        return asyncio.run(go())
+
+    embedder = MockEmbeddingFunction(dimension=24)
+    single = run(VectorLiteClient(embedder))
+    sharded = run(make_mesh_client(embedder))
+    assert len(single) == len(sharded) == len(queries)
+    for s_row, m_row in zip(single, sharded):
+        assert [h["id"] for h in s_row] == [h["id"] for h in m_row]
+        for s_hit, m_hit in zip(s_row, m_row):
+            assert abs(s_hit["score"] - m_hit["score"]) < 1e-6

@@ -353,7 +353,9 @@ async def load_collection(request: web.Request) -> web.Response:
     client = request.app[_CLIENT_KEY]
 
     def run():
-        loaded = Collection.load_from_file(Path(file_path))
+        loaded = Collection.load_from_file(
+            Path(file_path), **client.flat_index_kwargs()
+        )
         name = requested_name or loaded.name
         with request.app[_LOCK_KEY].write():
             if client.has_collection(name):

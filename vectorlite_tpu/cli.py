@@ -80,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
         from .persist.vlc import load_collection_from_file
 
         logger.info("Loading collection from VLC file: %s", args.filepath)
-        collection = load_collection_from_file(args.filepath)
+        collection = load_collection_from_file(
+            args.filepath, **client.flat_index_kwargs()
+        )
         client.add_collection(collection)
         logger.info(
             "Successfully loaded collection '%s' from %s",

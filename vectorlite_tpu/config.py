@@ -42,6 +42,12 @@ class VectorLiteConfig:
     hnsw_ef_search: int = 64
     device_dtype: object = jnp.float32
     profile_name: str = "default"
+    #: Multi-chip serving: number of devices to shard Flat corpora over
+    #: (``VECTORLITE_MESH`` env var; 0/1 = single-chip). Flat indexes are
+    #: row-sharded over a 1-D mesh with an all-gather top-k merge
+    #: (dist/sharding.py); HNSW stays single-chip (graph traversal does
+    #: not shard row-wise).
+    mesh_devices: int = 0
 
     @classmethod
     def profile(cls, name: str, **overrides) -> "VectorLiteConfig":
@@ -63,4 +69,7 @@ class VectorLiteConfig:
             cfg.hnsw_ef_construction = int(ef_c)
         if ef_s:
             cfg.hnsw_ef_search = int(ef_s)
+        mesh = os.environ.get("VECTORLITE_MESH")
+        if mesh:
+            cfg.mesh_devices = int(mesh)
         return cfg

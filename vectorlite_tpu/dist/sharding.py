@@ -13,6 +13,12 @@ collective merge over ICI:
 
 The merge is exact because the global top-k is a subset of the per-shard
 top-ks. Collectives ride ICI via shard_map over a 1-D "shard" mesh axis.
+
+Serving integration: ``FlatIndex(mesh=...)`` (index/flat.py) places its
+device cache through :func:`shard_corpus` / :func:`update_rows_sharded`
+and searches through :func:`sharded_search_topk`, so the full host-side
+semantics (ids, tombstones, compaction, ``.vlc`` serde) are shared with
+the single-chip path.
 """
 
 from __future__ import annotations
@@ -24,8 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.metrics import SimilarityMetric, batched_scores
-from ..kernels.topk import NEG_INF
+from ..core.metrics import SimilarityMetric
+from ..kernels.topk import NEG_INF, search_topk, search_topk_int8
 
 SHARD_AXIS = "shard"
 
@@ -36,15 +42,35 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (SHARD_AXIS,))
 
 
+def row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Row-sharded placement for a rank-``ndim`` corpus-aligned array."""
+    return NamedSharding(mesh, P(SHARD_AXIS, *([None] * (ndim - 1))))
+
+
 def shard_corpus(mesh: Mesh, values, sqnorms, valid):
     """Place corpus arrays row-sharded across the mesh; queries replicate."""
-    vs = NamedSharding(mesh, P(SHARD_AXIS, None))
-    ss = NamedSharding(mesh, P(SHARD_AXIS))
     return (
-        jax.device_put(values, vs),
-        jax.device_put(sqnorms, ss),
-        jax.device_put(valid, ss),
+        jax.device_put(values, row_sharding(mesh, 2)),
+        jax.device_put(sqnorms, row_sharding(mesh, 1)),
+        jax.device_put(valid, row_sharding(mesh, 1)),
     )
+
+
+def _merge_local_topk(s, i, rows_per_shard, k):
+    """Tag local winners with global row ids, all-gather, reduce to top-k.
+
+    Tie-break parity with the single-device kernel: the gather is
+    shard-major and ``lax.top_k`` breaks ties toward the lower position,
+    so equal scores resolve toward the lower global row index.
+    """
+    shard_id = jax.lax.axis_index(SHARD_AXIS)
+    gi = i + shard_id * rows_per_shard
+    s_all = jax.lax.all_gather(s, SHARD_AXIS, axis=1, tiled=True)
+    gi_all = jax.lax.all_gather(gi, SHARD_AXIS, axis=1, tiled=True)
+    k_merge = min(k, s_all.shape[1])
+    s_top, pos = jax.lax.top_k(s_all, k_merge)
+    gi_top = jnp.take_along_axis(gi_all, pos, axis=1)
+    return s_top, gi_top
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "mesh"))
@@ -60,26 +86,15 @@ def sharded_search_topk(
 ):
     """Exact distributed top-k: per-shard scan + all-gather merge.
 
-    Returns (scores [B, k], global_row_indices [B, k]), replicated. Ties
-    break toward the lower global row index (shard-major order), matching
-    the single-device kernel's insertion-order tie-break.
+    Returns (scores [B, k], global_row_indices [B, k]), replicated.
     """
 
     def local_shard(v, sq, va, q):
         rows_per_shard = v.shape[0]
-        scores = batched_scores(v, sq, q, metric)
-        scores = jnp.where(va[None, :], scores, NEG_INF)
-        k_local = min(k, rows_per_shard)
-        s, i = jax.lax.top_k(scores, k_local)
-        shard_id = jax.lax.axis_index(SHARD_AXIS)
-        gi = i + shard_id * rows_per_shard
-        # merge: gather every shard's candidates, reduce to global top-k
-        s_all = jax.lax.all_gather(s, SHARD_AXIS, axis=1, tiled=True)
-        gi_all = jax.lax.all_gather(gi, SHARD_AXIS, axis=1, tiled=True)
-        k_merge = min(k, s_all.shape[1])
-        s_top, pos = jax.lax.top_k(s_all, k_merge)
-        gi_top = jnp.take_along_axis(gi_all, pos, axis=1)
-        return s_top, gi_top
+        s, i = search_topk(
+            v, sq, va, q, metric=metric, k=min(k, rows_per_shard)
+        )
+        return _merge_local_topk(s, i, rows_per_shard, k)
 
     return jax.shard_map(
         local_shard,
@@ -90,71 +105,74 @@ def sharded_search_topk(
     )(values, sqnorms, valid, queries)
 
 
-class ShardedFlatIndex:
-    """A corpus-sharded exact index for multi-chip serving.
+@partial(jax.jit, static_argnames=("metric", "k", "mesh"))
+def sharded_search_topk_int8(
+    values_q: jax.Array,  # [cap, D] int8, row-sharded
+    scales: jax.Array,  # [cap] f32 per-row scales, row-sharded
+    sqnorms: jax.Array,  # [cap] f32 exact squared norms, row-sharded
+    valid: jax.Array,  # [cap] bool, row-sharded
+    queries: jax.Array,  # [B, D] f32, replicated
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    mesh: Mesh,
+):
+    """Quantized-profile distributed top-k; callers re-score the winners
+    exactly on the host (same contract as the single-chip int8 path)."""
 
-    Thin data-parallel wrapper: host-side bookkeeping mirrors FlatIndex, but
-    device state is placed row-sharded across the mesh and searches run the
-    collective merge kernel. Capacity is always a multiple of the mesh size.
-    """
-
-    def __init__(self, dim: int, mesh: Mesh | None = None, dtype=jnp.float32):
-        self.dim = int(dim)
-        self.mesh = mesh or make_mesh()
-        self.dtype = dtype
-        n_dev = self.mesh.devices.size
-        # capacity must split evenly across the mesh
-        self._capacity = -(-max(256, n_dev) // n_dev) * n_dev
-        self._host = np.zeros((self._capacity, self.dim), np.float32)
-        self._valid = np.zeros(self._capacity, bool)
-        self._ids = np.zeros(self._capacity, np.int64)
-        self._size = 0
-        self._dev = None  # (values, sqnorms, valid)
-
-    def add_batch(self, ids: np.ndarray, values: np.ndarray) -> None:
-        n = len(ids)
-        while self._size + n > self._capacity:
-            self._grow()
-        lo = self._size
-        self._host[lo : lo + n] = values
-        self._ids[lo : lo + n] = ids
-        self._valid[lo : lo + n] = True
-        self._size += n
-        self._dev = None  # re-place on next search
-
-    def _grow(self):
-        n_dev = self.mesh.devices.size
-        new_cap = -(-self._capacity * 2 // n_dev) * n_dev
-        grow = new_cap - self._capacity
-        self._host = np.concatenate(
-            [self._host, np.zeros((grow, self.dim), np.float32)]
+    def local_shard(v, sc, sq, va, q):
+        rows_per_shard = v.shape[0]
+        s, i = search_topk_int8(
+            v, sc, sq, va, q, metric=metric, k=min(k, rows_per_shard)
         )
-        self._ids = np.concatenate([self._ids, np.zeros(grow, np.int64)])
-        self._valid = np.concatenate([self._valid, np.zeros(grow, bool)])
-        self._capacity = new_cap
+        return _merge_local_topk(s, i, rows_per_shard, k)
 
-    def _sync(self):
-        if self._dev is None:
-            values = jnp.asarray(self._host, dtype=self.dtype)
-            sqnorms = jnp.sum(
-                jnp.asarray(self._host) ** 2, axis=-1
-            ).astype(jnp.float32)
-            self._dev = shard_corpus(
-                self.mesh, values, sqnorms, jnp.asarray(self._valid)
-            )
+    return jax.shard_map(
+        local_shard,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(values_q, scales, sqnorms, valid, queries)
 
-    def search_batch_arrays(self, queries, k: int, metric: SimilarityMetric):
-        self._sync()
-        values, sqnorms, valid = self._dev
-        q = jnp.asarray(np.asarray(queries, np.float32))
-        # per-shard candidate pool is rows/shard; clamp k so the final
-        # merge's top_k never exceeds the gathered candidate count
-        k = min(int(k), self._capacity)
-        scores, rows = sharded_search_topk(
-            values, sqnorms, valid, q, metric=metric, k=k, mesh=self.mesh
+
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
+def update_rows_sharded(
+    buffer: jax.Array,  # [cap, ...] row-sharded over mesh, donated
+    rows: jax.Array,  # [m, ...] replicated update block
+    start: jax.Array,  # scalar int32: global row offset of the block
+    *,
+    mesh: Mesh,
+):
+    """Write ``rows`` into ``buffer[start:start+m]`` without re-placing the
+    corpus: each shard scatters the slice of the (replicated) update block
+    that lands inside its local row range and drops the rest. The donated
+    buffer keeps its sharding, so an insert burst costs one small
+    host->device transfer + a local scatter per shard — no collectives."""
+
+    def body(buf, rows, start):
+        local_n = buf.shape[0]
+        shard_id = jax.lax.axis_index(SHARD_AXIS)
+        pos = start + jnp.arange(rows.shape[0]) - shard_id * local_n
+        in_range = (pos >= 0) & (pos < local_n)
+        # out-of-range updates are routed to index local_n and dropped
+        pos = jnp.where(in_range, pos, local_n)
+        return buf.at[pos].set(
+            rows.astype(buf.dtype), mode="drop", unique_indices=True
         )
-        rows = np.asarray(rows)
-        scores = np.asarray(scores)
-        ids = self._ids[rows]
-        ids[scores == NEG_INF] = -1
-        return ids, scores
+
+    buf_spec = P(SHARD_AXIS, *([None] * (buffer.ndim - 1)))
+    rows_spec = P(*([None] * rows.ndim))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(buf_spec, rows_spec, P()),
+        out_specs=buf_spec,
+        check_vma=False,
+    )(buffer, rows, jnp.asarray(start, jnp.int32))

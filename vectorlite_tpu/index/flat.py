@@ -46,6 +46,16 @@ _PALLAS_TILE_BF16 = 4096
 _PALLAS_TILE_BLOCK = 4096
 
 
+def _quantize_rows_int8_np(rows32: np.ndarray):
+    """Host-side mirror of core.metrics.quantize_rows_int8 (same rounding:
+    np.round and jnp.round are both half-to-even). Used by the mesh path so
+    corpora larger than one chip's HBM never stage on a single device."""
+    max_abs = np.max(np.abs(rows32), axis=-1)
+    scale = np.where(max_abs > 0.0, max_abs / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(rows32 / scale[:, None]), -127, 127)
+    return q.astype(np.int8), scale
+
+
 def _use_pallas(capacity: int, metric: SimilarityMetric) -> bool:
     if capacity < _PALLAS_MIN_CAPACITY:
         return False
@@ -63,6 +73,7 @@ class FlatIndex:
         data: Sequence[Vector] = (),
         *,
         device_dtype=jnp.float32,
+        mesh=None,
     ):
         if dim <= 0:
             raise ValueError("FlatIndex dimension must be positive")
@@ -74,8 +85,17 @@ class FlatIndex:
         self._device_dtype = (
             jnp.int8 if self._quantized else device_dtype
         )
+        # Multi-chip serving: with a jax.sharding.Mesh, the device cache is
+        # row-sharded across the mesh and searches run the per-shard scan +
+        # all-gather merge (dist/sharding.py). Host-side semantics (ids,
+        # tombstones, compaction, serde) are identical to the single-chip
+        # path. The reference has no distributed analogue (SURVEY §2).
+        self._mesh = mesh
 
         cap = max(_MIN_CAPACITY, next_pow2(max(1, len(data))))
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            cap = -(-cap // n_dev) * n_dev  # split evenly across the mesh
         self._capacity = cap
         self._values64 = np.zeros((cap, self.dim), dtype=np.float64)
         self._ids = np.zeros(cap, dtype=np.uint64)
@@ -374,6 +394,35 @@ class FlatIndex:
         with self._dev_lock:
             self._sync_device()
             queries = jnp.asarray(q)
+            if self._mesh is not None:
+                # per-shard scan + all-gather merge; selection is always
+                # exact under a mesh (the block-top1 Pallas kernel stays
+                # single-chip), so `approx` only affects host re-scoring
+                from ..dist.sharding import (
+                    sharded_search_topk,
+                    sharded_search_topk_int8,
+                )
+
+                if self._quantized:
+                    return sharded_search_topk_int8(
+                        self._dev_values,
+                        self._dev_scales,
+                        self._dev_sqnorms,
+                        self._dev_valid,
+                        queries,
+                        metric=metric,
+                        k=k_pad,
+                        mesh=self._mesh,
+                    )
+                return sharded_search_topk(
+                    self._dev_values,
+                    self._dev_sqnorms,
+                    self._dev_valid,
+                    queries,
+                    metric=metric,
+                    k=k_pad,
+                    mesh=self._mesh,
+                )
             pallas_ok = _use_pallas(self._capacity, metric)
             # block-top1 keeps one winner per 128-lane block; for huge k
             # fall back to exact selection so top_k has enough candidates
@@ -480,6 +529,9 @@ class FlatIndex:
     def _sync_device(self) -> None:
         from ..core.metrics import quantize_rows_int8
 
+        if self._mesh is not None:
+            self._sync_device_mesh()
+            return
         if self._dev_values is None:
             vals32 = jnp.asarray(self._values64, dtype=jnp.float32)
             self._dev_sqnorms = row_sqnorms(vals32)
@@ -495,6 +547,12 @@ class FlatIndex:
             return
         if self._dirty_hi > self._dirty_lo:
             lo, hi = self._dirty_lo, self._dirty_hi
+            # pad the burst to a power-of-two row count so the jitted
+            # row-update programs stay in a small bucketed cache; the
+            # extra rows re-write host truth (a no-op)
+            burst = next_pow2(hi - lo)
+            hi = min(self._capacity, lo + burst)
+            lo = max(0, hi - burst)
             rows32 = jnp.asarray(
                 self._values64[lo:hi], dtype=jnp.float32
             )
@@ -514,6 +572,65 @@ class FlatIndex:
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:
             self._dev_valid = jnp.asarray(self._valid)
+            self._mask_dirty = False
+
+    def _sync_device_mesh(self) -> None:
+        """Mesh placement: full builds device_put host slices shard-by-shard
+        (no single-device staging, so corpora larger than one chip's HBM
+        work); insert bursts ride a per-shard scatter (no re-placement)."""
+        from ..dist.sharding import row_sharding, update_rows_sharded
+
+        mesh = self._mesh
+        if self._dev_values is None:
+            v32 = self._values64.astype(np.float32)
+            sq = np.einsum("nd,nd->n", v32, v32).astype(np.float32)
+            if self._quantized:
+                q, scales = _quantize_rows_int8_np(v32)
+                self._dev_values = jax.device_put(q, row_sharding(mesh, 2))
+                self._dev_scales = jax.device_put(
+                    scales, row_sharding(mesh, 1)
+                )
+            else:
+                self._dev_values = jax.device_put(
+                    v32.astype(self._device_dtype), row_sharding(mesh, 2)
+                )
+            self._dev_sqnorms = jax.device_put(sq, row_sharding(mesh, 1))
+            self._dev_valid = jax.device_put(
+                self._valid, row_sharding(mesh, 1)
+            )
+            self._dirty_lo = self._dirty_hi = self._size
+            self._mask_dirty = False
+            return
+        if self._dirty_hi > self._dirty_lo:
+            lo, hi = self._dirty_lo, self._dirty_hi
+            burst = next_pow2(hi - lo)
+            hi = min(self._capacity, lo + burst)
+            lo = max(0, hi - burst)
+            rows32 = self._values64[lo:hi].astype(np.float32)
+            sq = np.einsum("nd,nd->n", rows32, rows32).astype(np.float32)
+            self._dev_sqnorms = update_rows_sharded(
+                self._dev_sqnorms, sq, lo, mesh=mesh
+            )
+            if self._quantized:
+                rows_q, row_scales = _quantize_rows_int8_np(rows32)
+                self._dev_values = update_rows_sharded(
+                    self._dev_values, rows_q, lo, mesh=mesh
+                )
+                self._dev_scales = update_rows_sharded(
+                    self._dev_scales, row_scales, lo, mesh=mesh
+                )
+            else:
+                self._dev_values = update_rows_sharded(
+                    self._dev_values,
+                    rows32.astype(self._device_dtype),
+                    lo,
+                    mesh=mesh,
+                )
+            self._dirty_lo = self._dirty_hi = self._size
+        if self._mask_dirty:
+            self._dev_valid = jax.device_put(
+                self._valid, row_sharding(mesh, 1)
+            )
             self._mask_dirty = False
 
     # ----------------------------------------------------------- persistence

@@ -105,7 +105,10 @@ def save_collection_to_file(collection: Collection, path) -> None:
             tmp_path.unlink(missing_ok=True)
 
 
-def load_collection_from_file(path) -> Collection:
+def load_collection_from_file(path, **index_kwargs) -> Collection:
+    """``index_kwargs`` (e.g. ``device_dtype``, ``mesh``) are forwarded to
+    the Flat index constructor so loaded collections adopt the serving
+    profile (sharded placement, dtype) of the loading client."""
     path = Path(path)
     try:
         raw = path.read_text(encoding="utf-8")
@@ -115,4 +118,4 @@ def load_collection_from_file(path) -> Collection:
         obj = json.loads(raw)
     except json.JSONDecodeError as e:
         raise SerializationError(str(e)) from None
-    return collection_from_json(obj)
+    return collection_from_json(obj, **index_kwargs)

@@ -53,6 +53,28 @@ class VectorLiteClient:
         self._collections: dict[str, Collection] = {}
         self._embedding_function = embedding_function
         self._config = config or VectorLiteConfig.from_env()
+        self._mesh = None  # built lazily from config.mesh_devices
+
+    def flat_index_kwargs(self) -> dict:
+        """Construction kwargs for Flat indexes (dtype profile + optional
+        mesh), shared by create_collection and the .vlc load path."""
+        kwargs: dict = {"device_dtype": self._config.device_dtype}
+        n = getattr(self._config, "mesh_devices", 0) or 0
+        if n > 1:
+            if self._mesh is None:
+                import jax
+
+                from ..dist.sharding import make_mesh
+
+                devices = jax.devices()
+                if len(devices) < n:
+                    raise ValueError(
+                        f"VECTORLITE_MESH={n} but only {len(devices)} "
+                        f"device(s) are visible"
+                    )
+                self._mesh = make_mesh(devices[:n])
+            kwargs["mesh"] = self._mesh
+        return kwargs
 
     @property
     def embedding_function(self) -> EmbeddingFunction:
@@ -68,9 +90,7 @@ class VectorLiteClient:
             raise CollectionAlreadyExists(name)
         dimension = self._embedding_function.dimension
         if index_type is IndexType.FLAT:
-            index = FlatIndex(
-                dimension, device_dtype=self._config.device_dtype
-            )
+            index = FlatIndex(dimension, **self.flat_index_kwargs())
         else:
             if metric is None:
                 # no default: force explicit choice (reference: src/client.rs:96)

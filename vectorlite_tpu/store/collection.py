@@ -174,10 +174,10 @@ class Collection:
         save_collection_to_file(self, path)
 
     @classmethod
-    def load_from_file(cls, path) -> "Collection":
+    def load_from_file(cls, path, **index_kwargs) -> "Collection":
         from ..persist.vlc import load_collection_from_file
 
-        return load_collection_from_file(path)
+        return load_collection_from_file(path, **index_kwargs)
 
 
 class _IndexReadGuard:
