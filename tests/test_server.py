@@ -440,17 +440,24 @@ class TestObservability:
 
 
 class TestReviewRegressions:
-    def test_k_zero_returns_empty(self):
+    def test_k_out_of_contract_bounds_400(self):
+        # contract: k in 1..1000 (reference: docs/openapi.yaml:624-630)
         async def go(tc):
             await tc.post(
                 "/collections", json={"name": "c", "index_type": "flat"}
             )
             await tc.post("/collections/c/text", json={"text": "x"})
+            for bad_k in (0, -3, 1001):
+                resp = await tc.post(
+                    "/collections/c/search/text",
+                    json={"query": "x", "k": bad_k},
+                )
+                assert resp.status == 400, bad_k
+                assert "between 1 and 1000" in (await resp.json())["message"]
             resp = await tc.post(
-                "/collections/c/search/text", json={"query": "x", "k": 0}
+                "/collections/c/search/text", json={"query": "x", "k": 1000}
             )
             assert resp.status == 200
-            assert (await resp.json())["results"] == []
 
         http(go)
 

@@ -190,22 +190,36 @@ async def add_text(request: web.Request) -> web.Response:
     return web.json_response({"id": vid})
 
 
-async def search_text(request: web.Request) -> web.Response:
-    name = request.match_info["name"]
-    body = await _json_body(request)
-    query = str(_require_field(body, "query"))
-    # default k=10 (reference: src/server.rs:263); explicit k=0 is honored
-    # (the reference truncates to 0 results); non-integers are a 400
-    k_raw = body.get("k", None)
-    if k_raw is None:
-        k = 10
-    elif isinstance(k_raw, int) and not isinstance(k_raw, bool):
-        k = k_raw
-    else:
+#: k bounds from the API contract (reference: docs/openapi.yaml:624-630)
+K_MIN, K_MAX = 1, 1000
+
+
+def _parse_k(body: dict) -> int:
+    """Default k=10 (reference: src/server.rs:263); non-integers and values
+    outside the contract's 1..1000 are a 400."""
+    k = body.get("k", None)
+    if k is None:
+        return 10
+    if not isinstance(k, int) or isinstance(k, bool):
         raise web.HTTPBadRequest(
             text='{"message": "Field k must be an integer"}',
             content_type="application/json",
         )
+    if not K_MIN <= k <= K_MAX:
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"message": f"Field k must be between {K_MIN} and {K_MAX}"}
+            ),
+            content_type="application/json",
+        )
+    return k
+
+
+async def search_text(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    query = str(_require_field(body, "query"))
+    k = _parse_k(body)
     metric_str = body.get("similarity_metric")
     metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
     client = request.app[_CLIENT_KEY]
@@ -270,12 +284,7 @@ async def search_texts(request: web.Request) -> web.Response:
             text='{"message": "Field queries must be a list of strings"}',
             content_type="application/json",
         )
-    k = body.get("k", 10)
-    if not isinstance(k, int) or isinstance(k, bool):
-        raise web.HTTPBadRequest(
-            text='{"message": "Field k must be an integer"}',
-            content_type="application/json",
-        )
+    k = _parse_k(body)
     metric_str = body.get("similarity_metric")
     metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
     client = request.app[_CLIENT_KEY]
@@ -393,13 +402,36 @@ async def debug_trace(request: web.Request) -> web.Response:
     return web.json_response({"trace_dir": path})
 
 
+async def openapi_spec(request: web.Request) -> web.Response:
+    """Serve the API contract (the reference ships docs/openapi.yaml as
+    the cross-implementation contract, reference: docs/openapi.yaml:1-839;
+    serving it makes the contract discoverable from the running engine)."""
+    spec = _openapi_spec_text()
+    if spec is None:
+        raise web.HTTPNotFound(
+            text='{"message": "OpenAPI spec not available"}',
+            content_type="application/json",
+        )
+    return web.Response(text=spec, content_type="application/yaml")
+
+
+@functools.lru_cache(maxsize=1)
+def _openapi_spec_text():
+    path = Path(__file__).resolve().parents[2] / "docs" / "openapi.yaml"
+    try:
+        return path.read_text(encoding="utf-8")
+    except OSError:
+        return None
+
+
 def create_app(client: VectorLiteClient) -> web.Application:
     """Router mirror of reference: src/server.rs:361-377, plus the
-    /stats and /debug/trace observability extensions."""
+    /stats, /debug/trace, and /openapi.yaml extensions."""
     app = web.Application(middlewares=[error_middleware])
     app[_CLIENT_KEY] = client
     app[_LOCK_KEY] = RWLock()
     app[_STATS_KEY] = LatencyRecorder()
+    app.router.add_get("/openapi.yaml", openapi_spec)
     app.router.add_get("/stats", get_stats)
     app.router.add_post("/debug/trace", debug_trace)
     app.router.add_get("/health", health_check)
