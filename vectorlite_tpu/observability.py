@@ -15,7 +15,6 @@ src/server.rs:374-375) with no metrics endpoint. The TPU-native equivalent
 
 from __future__ import annotations
 
-import bisect
 import contextlib
 import logging
 import os
@@ -26,24 +25,35 @@ logger = logging.getLogger("vectorlite_tpu.observability")
 
 
 class LatencyRecorder:
-    """Per-route latency reservoir with percentile readout."""
+    """Per-route latency ring buffer with percentile readout.
+
+    A ring over the most recent ``_MAX_SAMPLES`` observations: percentiles
+    reflect a sliding window with no eviction bias (the previous sorted
+    reservoir evicted the median once full, skewing p50/p99 bimodal after
+    2048 samples). ``max_ms`` is all-time, not windowed."""
 
     _MAX_SAMPLES = 2048
 
     def __init__(self):
         self._lock = threading.Lock()
         self._samples: dict[str, list[float]] = {}
+        self._next: dict[str, int] = {}
         self._counts: dict[str, int] = {}
         self._errors: dict[str, int] = {}
+        self._max: dict[str, float] = {}
 
     def record(self, route: str, seconds: float, ok: bool = True) -> None:
         with self._lock:
             samples = self._samples.setdefault(route, [])
-            bisect.insort(samples, seconds)
-            if len(samples) > self._MAX_SAMPLES:
-                # drop a pseudo-random element to keep the reservoir bounded
-                del samples[len(samples) // 2]
+            if len(samples) < self._MAX_SAMPLES:
+                samples.append(seconds)
+            else:
+                pos = self._next.get(route, 0)
+                samples[pos] = seconds
+                self._next[route] = (pos + 1) % self._MAX_SAMPLES
             self._counts[route] = self._counts.get(route, 0) + 1
+            if seconds > self._max.get(route, 0.0):
+                self._max[route] = seconds
             if not ok:
                 self._errors[route] = self._errors.get(route, 0) + 1
 
@@ -53,13 +63,16 @@ class LatencyRecorder:
             for route, samples in self._samples.items():
                 if not samples:
                     continue
-                n = len(samples)
+                ordered = sorted(samples)
+                n = len(ordered)
                 out[route] = {
                     "count": self._counts.get(route, 0),
                     "errors": self._errors.get(route, 0),
-                    "p50_ms": round(samples[n // 2] * 1e3, 3),
-                    "p99_ms": round(samples[min(n - 1, n * 99 // 100)] * 1e3, 3),
-                    "max_ms": round(samples[-1] * 1e3, 3),
+                    "p50_ms": round(ordered[n // 2] * 1e3, 3),
+                    "p99_ms": round(
+                        ordered[min(n - 1, n * 99 // 100)] * 1e3, 3
+                    ),
+                    "max_ms": round(self._max.get(route, 0.0) * 1e3, 3),
                 }
             return out
 

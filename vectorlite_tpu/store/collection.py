@@ -23,6 +23,7 @@ from ..core.metrics import SimilarityMetric
 from ..core.types import SearchResult, Vector
 from ..embed.base import EmbeddingFunction
 from ..errors import EmbeddingError, VectorLiteError
+from ..observability import profile_span
 from ..utils import AtomicCounter, RWLock
 
 
@@ -70,7 +71,7 @@ class Collection:
         vid = self._next_id.fetch_add(1)
         embedding = _run_embed(embedding_function, text)
         vector = Vector(id=vid, values=embedding, text=text, metadata=metadata)
-        with self._lock.write():
+        with self._lock.write(), profile_span("vectorlite.index.add"):
             self._index.add(vector)
         return vid
 
@@ -98,7 +99,8 @@ class Collection:
             )
         ids = [self._next_id.fetch_add(1) for _ in texts]
         try:
-            embeddings = embedding_function.embed_batch(texts)
+            with profile_span("vectorlite.embed.batch"):
+                embeddings = embedding_function.embed_batch(texts)
         except VectorLiteError:
             raise
         except Exception as e:  # noqa: BLE001
@@ -109,7 +111,7 @@ class Collection:
                 f"{len(texts)} texts"
             )
         metadatas = metadatas if metadatas is not None else [None] * len(texts)
-        with self._lock.write():
+        with self._lock.write(), profile_span("vectorlite.index.add_batch"):
             for vid, emb, text, meta in zip(ids, embeddings, texts, metadatas):
                 self._index.add(
                     Vector(id=vid, values=emb, text=text, metadata=meta)
@@ -125,7 +127,7 @@ class Collection:
     ) -> list[SearchResult]:
         # embed outside the lock (reference: src/client.rs:393-401)
         query = _run_embed(embedding_function, query_text)
-        with self._lock.read():
+        with self._lock.read(), profile_span("vectorlite.index.search"):
             return self._index.search(query, k, metric)
 
     def search_texts(
@@ -136,8 +138,9 @@ class Collection:
         embedding_function: EmbeddingFunction,
     ) -> list[list[SearchResult]]:
         """Batched search — TPU-native extension."""
-        queries = embedding_function.embed_batch(list(query_texts))
-        with self._lock.read():
+        with profile_span("vectorlite.embed.batch"):
+            queries = embedding_function.embed_batch(list(query_texts))
+        with self._lock.read(), profile_span("vectorlite.index.search_batch"):
             return self._index.search_batch(queries, k, metric)
 
     def delete(self, id: int) -> None:
@@ -196,7 +199,8 @@ class _IndexReadGuard:
 
 def _run_embed(embedding_function: EmbeddingFunction, text: str) -> list:
     try:
-        return embedding_function.generate_embedding(text)
+        with profile_span("vectorlite.embed"):
+            return embedding_function.generate_embedding(text)
     except VectorLiteError:
         raise
     except Exception as e:  # noqa: BLE001
