@@ -1,0 +1,105 @@
+"""Golden .vlc parity: checked-in snapshots transcribed byte-for-byte from
+the reference engine's serde output (struct layouts at
+reference: src/persistence.rs:63-126, src/index/flat.rs:59-65,
+src/index/hnsw.rs:197-213, src/lib.rs:163-174; serde_json pretty format =
+2-space indent). Load + re-save field equality pins byte compatibility
+against the artifact, not against our own reading of serde.
+"""
+
+import json
+import re
+from pathlib import Path
+
+from vectorlite_tpu.core.metrics import SimilarityMetric
+from vectorlite_tpu.persist.vlc import (
+    collection_to_json,
+    load_collection_from_file,
+    save_collection_to_file,
+)
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+class TestFlatGolden:
+    def test_load(self):
+        col = load_collection_from_file(GOLDEN / "flat_reference.vlc")
+        assert col.name == "golden_flat"
+        with col.index_read() as idx:
+            assert idx.index_type == "Flat"
+            assert len(idx) == 3
+            assert idx.dimension == 3
+            v = idx.get_vector(1)
+            assert v.values == [0.5, 0.5, 0.25]
+            assert v.text == "second document"
+            assert v.metadata == {"category": "example", "rank": 2}
+            assert idx.get_vector(5).values == [-0.75, 0.1, 2.0]
+        # next_id recovered as max_id + 1 (reference: src/client.rs:295-308)
+        assert col.next_id() == 6
+        res = col._index.search([1.0, 0.0, 0.0], 1, SimilarityMetric.COSINE)
+        assert res[0].id == 0
+
+    def test_resave_is_byte_identical_modulo_timestamps(self, tmp_path):
+        col = load_collection_from_file(GOLDEN / "flat_reference.vlc")
+        out = tmp_path / "out.vlc"
+        save_collection_to_file(col, out)
+        norm = lambda s: re.sub(
+            r'"created_at": "[^"]+"', '"created_at": "T"', s
+        )
+        assert norm(out.read_text()) == norm(
+            (GOLDEN / "flat_reference.vlc").read_text()
+        )
+
+    def test_payload_field_equality(self, tmp_path):
+        golden = json.loads((GOLDEN / "flat_reference.vlc").read_text())
+        col = load_collection_from_file(GOLDEN / "flat_reference.vlc")
+        payload = collection_to_json(col)
+        assert payload["index"] == golden["index"]
+        for key in ("name", "vector_count", "dimension", "index_type"):
+            assert payload["metadata"][key] == golden["metadata"][key]
+        assert payload["header"]["version"] == "1.0.0"
+        assert payload["header"]["format"] == "vectorlite-collection"
+
+
+class TestHnswGolden:
+    def test_load_rebuilds_graph(self):
+        col = load_collection_from_file(GOLDEN / "hnsw_reference.vlc")
+        assert col.name == "golden_hnsw"
+        with col.index_read() as idx:
+            assert idx.index_type == "HNSW"
+            assert idx.metric() is SimilarityMetric.COSINE
+            assert len(idx) == 3
+            assert idx.get_vector(12).text == "third"
+            assert idx.get_vector(12).metadata == {"lang": "en"}
+            res = idx.search([0.0, 0.9, 0.1], 2, SimilarityMetric.COSINE)
+            assert res[0].id == 11
+        assert col.next_id() == 13
+
+    def test_resave_field_equality(self, tmp_path, monkeypatch):
+        # HashMap iteration order is randomized in Rust, so byte equality
+        # is not defined for HNSW payloads; field-level equality is the
+        # contract. The graph CSR extension is ours — drop it to compare.
+        monkeypatch.setenv("VECTORLITE_VLC_GRAPH", "0")
+        golden = json.loads((GOLDEN / "hnsw_reference.vlc").read_text())
+        col = load_collection_from_file(GOLDEN / "hnsw_reference.vlc")
+        payload = collection_to_json(col)
+        ours = payload["index"]["HNSW"]
+        ref = golden["index"]["HNSW"]
+        assert ours["dim"] == ref["dim"]
+        assert ours["metric"] == ref["metric"]
+        assert ours["vector_values"] == ref["vector_values"]
+        assert ours["metadata"] == ref["metadata"]
+        # id<->index maps must be mutually consistent bijections over the
+        # same ids (the rebuild may renumber internal indexes)
+        assert set(ours["id_to_index"]) == set(ref["id_to_index"])
+        for vid, node in ours["id_to_index"].items():
+            assert ours["index_to_id"][str(node)] == int(vid)
+
+    def test_roundtrip_through_file(self, tmp_path):
+        col = load_collection_from_file(GOLDEN / "hnsw_reference.vlc")
+        out = tmp_path / "h.vlc"
+        save_collection_to_file(col, out)
+        col2 = load_collection_from_file(out)
+        with col2.index_read() as idx:
+            assert len(idx) == 3
+            res = idx.search([0.0, 0.0, 1.0], 1, SimilarityMetric.COSINE)
+            assert res[0].id == 12
