@@ -274,6 +274,15 @@ def bench_e2e(tmpdir="/tmp/vlc_bench"):
     client = VectorLiteClient(embedder)
     client.create_collection("bench", IndexType.FLAT)
     texts = [f"document number {i} about topic {i % 37}" for i in range(2048)]
+    # warm-up: the first forward/search pays the (remote) jit compile,
+    # which would otherwise dominate a 2048-doc ingest; steady-state
+    # throughput is the serving-relevant number. Cold time reported too.
+    t0 = time.perf_counter()
+    client.create_collection("warmup", IndexType.FLAT)
+    client.add_texts_to_collection("warmup", texts[:256])
+    client.search_texts_in_collection("warmup", texts[:256], 5)
+    client.delete_collection("warmup")
+    cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for lo in range(0, len(texts), 256):
         client.add_texts_to_collection("bench", texts[lo : lo + 256])
@@ -281,6 +290,10 @@ def bench_e2e(tmpdir="/tmp/vlc_bench"):
     t0 = time.perf_counter()
     res = client.search_texts_in_collection("bench", texts[:256], 5)
     search_s = time.perf_counter() - t0
+    # second timed search on the warmed capacity bucket
+    t0 = time.perf_counter()
+    res = client.search_texts_in_collection("bench", texts[:256], 5)
+    search_s = min(search_s, time.perf_counter() - t0)
     hit = float(np.mean([row[0].text == texts[i] for i, row in enumerate(res)]))
     path = Path(tmpdir) / "bench.vlc"
     t0 = time.perf_counter()
@@ -293,6 +306,7 @@ def bench_e2e(tmpdir="/tmp/vlc_bench"):
     log(
         f"[e2e] embed+insert {len(texts) / ingest_s:,.0f} docs/s, "
         f"embed+search {256 / search_s:,.0f} QPS (self-hit {hit:.2f}), "
+        f"cold-start {cold_s:.1f}s, "
         f"vlc save {save_s:.2f}s load {load_s:.2f}s"
     )
     return {
@@ -300,6 +314,7 @@ def bench_e2e(tmpdir="/tmp/vlc_bench"):
         "ingest_docs_per_s": round(len(texts) / ingest_s, 1),
         "search_qps": round(256 / search_s, 1),
         "self_hit_rate": round(hit, 3),
+        "cold_start_s": round(cold_s, 1),
         "vlc_save_s": round(save_s, 2),
         "vlc_load_s": round(load_s, 2),
     }

@@ -294,8 +294,18 @@ class MiniLMEmbedder:
         return self.embed_batch([text])[0]
 
     def embed_batch(self, texts: Sequence[str]) -> list[list[float]]:
+        """List-of-lists compat shim over the array path."""
         if not texts:
             return []
+        out = self.embed_batch_arrays(texts).astype(np.float64)
+        return [list(map(float, row)) for row in out]
+
+    def embed_batch_arrays(self, texts: Sequence[str]) -> np.ndarray:
+        """One batched forward -> one device->host fetch -> ``[B, D]`` f32
+        ndarray. No per-value Python objects; this is the serving path
+        (indexes consume the block directly via add_batch_arrays)."""
+        if not texts:
+            return np.zeros((0, self.dimension), np.float32)
         encodings = [self._encode(t) for t in texts]
         max_len = max(len(e) for e in encodings)
         l_pad = next(
@@ -315,8 +325,7 @@ class MiniLMEmbedder:
             jnp.asarray(mask),
             config_key=self._config_key,
         )
-        out = np.asarray(out)[:b].astype(np.float64)
-        return [list(map(float, row)) for row in out]
+        return np.asarray(out)[:b]
 
     def _encode(self, text: str) -> list[int]:
         enc = self._tokenizer.encode(text)

@@ -143,6 +143,48 @@ class FlatIndex:
         self._count += 1
         self._mark_dirty(slot)
 
+    def add_batch_arrays(
+        self,
+        ids: Sequence[int],
+        values: np.ndarray,  # [B, D]
+        texts: Optional[Sequence[str]] = None,
+        metadatas: Optional[Sequence] = None,
+    ) -> None:
+        """Array-native bulk insert: one block write into the host matrix,
+        one dirty-range mark — no per-row Vector objects or Python float
+        materialization. All-or-nothing: ids are validated (dimension,
+        duplicates within the batch and against the index) before any
+        mutation. This is the high-throughput ingestion path fed directly
+        by EmbeddingFunction.embed_batch_arrays."""
+        values = np.asarray(values, dtype=np.float64)
+        n = len(ids)
+        if values.shape != (n, self.dim):
+            got = values.shape[1] if values.ndim == 2 else -1
+            raise DimensionMismatch(self.dim, int(got))
+        if n == 0:
+            return
+        int_ids = [int(i) for i in ids]
+        seen: set[int] = set()
+        for vid in int_ids:
+            if vid in self._id_to_slot or vid in seen:
+                raise DuplicateVectorId(vid)
+            seen.add(vid)
+        while self._size + n > self._capacity:
+            self._grow()
+        lo = self._size
+        self._values64[lo : lo + n] = values
+        self._ids[lo : lo + n] = int_ids
+        self._valid[lo : lo + n] = True
+        for i, vid in enumerate(int_ids):
+            slot = lo + i
+            self._texts[slot] = texts[i] if texts is not None else ""
+            self._metas[slot] = metadatas[i] if metadatas is not None else None
+            self._id_to_slot[vid] = slot
+        self._size += n
+        self._count += n
+        self._mark_dirty(lo)
+        self._mark_dirty(lo + n - 1)
+
     def delete(self, id: int) -> None:
         """Mask clear; absent ids succeed (reference: src/index/flat.rs:93-96).
 

@@ -436,12 +436,68 @@ class HNSWIndex:
             self._index_to_id[node] = vid
             self._texts[vid] = v.text
             self._metas[vid] = v.metadata
-        # Large batches with a matmul-form metric can use the
-        # TPU-accelerated bulk build (device kNN scans replace per-insert
-        # graph searches) — see index/bulk_build.py for the measured
-        # speed/recall trade-off. VECTORLITE_BULK_BUILD:
-        # never (default) | always | auto (engages only below the ~200K
-        # quality crossover, where bulk graphs reach recall 1.0).
+        self._link_batch(start, count)
+
+    def add_batch_arrays(
+        self,
+        ids: Sequence[int],
+        values: np.ndarray,  # [B, D]
+        texts: Optional[Sequence[str]] = None,
+        metadatas: Optional[Sequence] = None,
+    ) -> None:
+        """Array-native bulk insert: the embedding block is written into
+        the shared native buffers in one vectorized copy (no per-row
+        Vector objects). Validation is all-or-nothing like add_batch."""
+        values = np.asarray(values, dtype=np.float64)
+        n = len(ids)
+        if values.shape != (n, self.dim):
+            got = values.shape[1] if values.ndim == 2 else -1
+            raise DimensionMismatch(self.dim, int(got))
+        if n == 0:
+            return
+        int_ids = [int(i) for i in ids]
+        seen: set[int] = set()
+        for vid in int_ids:
+            if vid in self._id_to_index or vid in seen:
+                raise DuplicateVectorId(vid)
+            seen.add(vid)
+        if self._nb is None:
+            for i, vid in enumerate(int_ids):
+                self.add(
+                    Vector(
+                        id=vid,
+                        values=values[i],
+                        text=texts[i] if texts is not None else "",
+                        metadata=(
+                            metadatas[i] if metadatas is not None else None
+                        ),
+                    )
+                )
+            return
+        start = self._num_nodes
+        self._ensure_capacity(start + n)
+        self._vecs[start : start + n] = values.astype(np.float32)
+        if self._vecs64 is not None:
+            self._vecs64[start : start + n] = values
+        for i, vid in enumerate(int_ids):
+            node = start + i
+            self._id_to_index[vid] = node
+            self._index_to_id[node] = vid
+            self._texts[vid] = texts[i] if texts is not None else ""
+            self._metas[vid] = (
+                metadatas[i] if metadatas is not None else None
+            )
+        self._link_batch(start, n)
+
+    def _link_batch(self, start: int, count: int) -> None:
+        """Link rows [start, start+count) into the graph natively.
+
+        Large batches with a matmul-form metric can use the
+        TPU-accelerated bulk build (device kNN scans replace per-insert
+        graph searches) — see index/bulk_build.py for the measured
+        speed/recall trade-off. VECTORLITE_BULK_BUILD:
+        never (default) | always | auto (engages only below the ~200K
+        quality crossover, where bulk graphs reach recall 1.0)."""
         import os
 
         mode = os.environ.get("VECTORLITE_BULK_BUILD", "never")
@@ -458,7 +514,6 @@ class HNSWIndex:
         self._num_nodes = start + count
         self._entry = int(self._nb_lib.hnsw_entry(self._nb))
         self._top_level = int(self._nb_lib.hnsw_top_level(self._nb))
-
 
     def delete(self, id: int) -> None:
         """Soft tombstone (reference: src/index/hnsw.rs:400-414)."""

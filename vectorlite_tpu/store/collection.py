@@ -100,7 +100,7 @@ class Collection:
         ids = [self._next_id.fetch_add(1) for _ in texts]
         try:
             with profile_span("vectorlite.embed.batch"):
-                embeddings = embedding_function.embed_batch(texts)
+                embeddings = _embed_arrays(embedding_function, texts)
         except VectorLiteError:
             raise
         except Exception as e:  # noqa: BLE001
@@ -110,12 +110,21 @@ class Collection:
                 f"embedder returned {len(embeddings)} embeddings for "
                 f"{len(texts)} texts"
             )
-        metadatas = metadatas if metadatas is not None else [None] * len(texts)
         with self._lock.write(), profile_span("vectorlite.index.add_batch"):
-            for vid, emb, text, meta in zip(ids, embeddings, texts, metadatas):
-                self._index.add(
-                    Vector(id=vid, values=emb, text=text, metadata=meta)
+            if hasattr(self._index, "add_batch_arrays"):
+                # array fast path: the [B, D] block lands in the index in
+                # one vectorized write — no per-row Vector objects
+                self._index.add_batch_arrays(ids, embeddings, texts, metadatas)
+            else:
+                metas = (
+                    metadatas if metadatas is not None else [None] * len(texts)
                 )
+                for vid, emb, text, meta in zip(
+                    ids, embeddings, texts, metas
+                ):
+                    self._index.add(
+                        Vector(id=vid, values=emb, text=text, metadata=meta)
+                    )
         return ids
 
     def search_text(
@@ -139,7 +148,7 @@ class Collection:
     ) -> list[list[SearchResult]]:
         """Batched search — TPU-native extension."""
         with profile_span("vectorlite.embed.batch"):
-            queries = embedding_function.embed_batch(list(query_texts))
+            queries = _embed_arrays(embedding_function, list(query_texts))
         with self._lock.read(), profile_span("vectorlite.index.search_batch"):
             return self._index.search_batch(queries, k, metric)
 
@@ -205,3 +214,17 @@ def _run_embed(embedding_function: EmbeddingFunction, text: str) -> list:
         raise
     except Exception as e:  # noqa: BLE001
         raise EmbeddingError(str(e)) from e
+
+
+def _embed_arrays(embedding_function: EmbeddingFunction, texts):
+    """Prefer the array-native batch ([B, D] ndarray, no per-value Python
+    objects); fall back to the list protocol for minimal embedders."""
+    import numpy as np
+
+    if hasattr(embedding_function, "embed_batch_arrays"):
+        return np.asarray(embedding_function.embed_batch_arrays(texts))
+    if not texts:
+        return np.zeros((0, embedding_function.dimension), np.float64)
+    return np.asarray(
+        embedding_function.embed_batch(texts), dtype=np.float64
+    )
