@@ -263,3 +263,59 @@ class TestSerde:
                     "vector_values": {"1": [1.0, 2.0]},
                 }
             )
+
+
+class TestParallelBuild:
+    """The native builder's hnswlib-style concurrent insert path: per-row
+    lock pool + per-thread visited scratch + global entry lock (no
+    reference analogue — the Rust crate builds single-threaded under the
+    collection RwLock)."""
+
+    def _build(self, monkeypatch, threads):
+        monkeypatch.setenv("VECTORLITE_BUILD_THREADS", str(threads))
+        rng = np.random.default_rng(7)
+        n, d = 1200, 24
+        data = rng.normal(size=(n, d))
+        idx = HNSWIndex(d, SimilarityMetric.COSINE, seed=3)
+        idx.add_batch([vec(i, data[i]) for i in range(n)])
+        return idx, data, rng
+
+    @pytest.mark.skipif(
+        HNSWIndex(2, SimilarityMetric.COSINE)._nb is None,
+        reason="native builder unavailable",
+    )
+    def test_parallel_build_recall(self, monkeypatch):
+        idx, data, rng = self._build(monkeypatch, threads=4)
+        flat = FlatIndex(data.shape[1], [vec(i, data[i]) for i in range(len(data))])
+        k, recalls = 10, []
+        for _ in range(20):
+            q = rng.normal(size=data.shape[1])
+            truth = {r.id for r in flat.search(q, k, SimilarityMetric.COSINE)}
+            got = {r.id for r in idx.search(q, k, SimilarityMetric.COSINE)}
+            recalls.append(len(truth & got) / k)
+        assert np.mean(recalls) >= 0.9, f"recall {np.mean(recalls)}"
+        assert len(idx) == len(data)
+
+    @pytest.mark.skipif(
+        HNSWIndex(2, SimilarityMetric.COSINE)._nb is None,
+        reason="native builder unavailable",
+    )
+    def test_parallel_matches_sequential_levels(self, monkeypatch):
+        # levels are pre-drawn from the builder rng, so level assignment
+        # is identical regardless of thread count
+        i1, data, _ = self._build(monkeypatch, threads=1)
+        i4, _, _ = self._build(monkeypatch, threads=4)
+        n = len(data)
+        assert (i1._levels[:n] == i4._levels[:n]).all()
+
+    @pytest.mark.skipif(
+        HNSWIndex(2, SimilarityMetric.COSINE)._nb is None,
+        reason="native builder unavailable",
+    )
+    def test_batched_native_search_matches_single(self, monkeypatch):
+        idx, data, rng = self._build(monkeypatch, threads=1)
+        qs = rng.normal(size=(16, data.shape[1]))
+        batched = idx.search_batch(qs, 5, SimilarityMetric.COSINE)
+        for i, q in enumerate(qs):
+            single = idx.search(q, 5, SimilarityMetric.COSINE)
+            assert [r.id for r in batched[i]] == [r.id for r in single]

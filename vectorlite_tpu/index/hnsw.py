@@ -73,6 +73,23 @@ def convert_distance_to_similarity(
     return min(max((1000.0 - distance) / 1000.0, 0.0), 1.0)
 
 
+def _build_threads() -> int:
+    """Worker count for the native parallel graph build.
+
+    VECTORLITE_BUILD_THREADS overrides; defaults to the host CPU count
+    (1 on single-core boxes -> sequential, deterministic builds).
+    """
+    import os
+
+    env = os.environ.get("VECTORLITE_BUILD_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return max(1, os.cpu_count() or 1)
+
+
 class HNSWIndex:
     """Approximate nearest-neighbor index over flat adjacency arrays."""
 
@@ -510,7 +527,17 @@ class HNSWIndex:
 
             bulk_build(self, start, count)
             return
-        self._nb_lib.hnsw_insert_batch(self._nb, start, count)
+        # hnswlib-recipe parallel build: per-row lock pool + per-thread
+        # visited scratch in the native builder (the reference builds
+        # single-threaded under the collection RwLock; rayon is only used
+        # for batch *embedding*, src/embeddings.rs:269-276)
+        threads = _build_threads()
+        if threads > 1 and count >= 512:
+            self._nb_lib.hnsw_insert_batch_parallel(
+                self._nb, start, count, threads
+            )
+        else:
+            self._nb_lib.hnsw_insert_batch(self._nb, start, count)
         self._num_nodes = start + count
         self._entry = int(self._nb_lib.hnsw_entry(self._nb))
         self._top_level = int(self._nb_lib.hnsw_top_level(self._nb))
@@ -579,10 +606,42 @@ class HNSWIndex:
             )
         if use_device:
             return self._search_device(q, k, ef_eff)
+        if self._nb is not None and len(q) > 1:
+            # one FFI crossing for the whole block, thread fan-out inside
+            return self._native_search_block(q, k, ef_eff)
         out = []
         for qi in q:
             out.append(self._search_one(qi, k, ef_eff))
         return out
+
+    def _native_search_block(
+        self, q: np.ndarray, k: int, ef: int
+    ) -> list[list[SearchResult]]:
+        import ctypes as c
+
+        b = q.shape[0]
+        qc = np.ascontiguousarray(q, dtype=np.float32)
+        out_ids = np.empty((b, ef), np.int32)
+        out_d = np.empty((b, ef), np.float32)
+        out_n = np.empty(b, np.int32)
+        self._nb_lib.hnsw_search_batch(
+            self._nb,
+            qc.ctypes.data_as(c.POINTER(c.c_float)),
+            b,
+            ef,
+            out_ids.ctypes.data_as(c.POINTER(c.c_int32)),
+            out_d.ctypes.data_as(c.POINTER(c.c_float)),
+            out_n.ctypes.data_as(c.POINTER(c.c_int32)),
+            _build_threads(),
+        )
+        results = []
+        for i in range(b):
+            n = int(out_n[i])
+            cands = [
+                (float(out_d[i, j]), int(out_ids[i, j])) for j in range(n)
+            ]
+            results.append(self._cands_to_hits(cands, k))
+        return results
 
     def _native_search(self, q32: np.ndarray, ef: int):
         import ctypes as c
@@ -721,6 +780,9 @@ class HNSWIndex:
                 best = self._search_layer(q32, ep, 1, lvl)
                 ep = [best[0][1]] if best else ep
             cands = self._search_layer(q32, ep, ef, 0)
+        return self._cands_to_hits(cands, k)
+
+    def _cands_to_hits(self, cands, k: int) -> list[SearchResult]:
         hits: list[SearchResult] = []
         for d, node in cands:  # ascending distance == descending similarity
             vid = self._index_to_id.get(node)

@@ -28,19 +28,30 @@ _load_failed = False
 
 def _compile() -> None:
     _BUILD_DIR.mkdir(exist_ok=True)
-    cmd = [
+    base = [
         "g++",
         "-O3",
         "-std=c++17",
         "-shared",
         "-fPIC",
         "-funroll-loops",
+        "-pthread",
         str(_SRC),
         "-o",
         str(_LIB_PATH),
     ]
-    logger.info("compiling native hnsw builder: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native unlocks the AVX-512/AVX2 distance kernels; fall back
+    # to the baseline ISA (scalar multi-accumulator loops) if the local
+    # toolchain rejects it (e.g. unusual cross-compile environments).
+    for extra in (["-march=native"], []):
+        cmd = base[:1] + extra + base[1:]
+        logger.info("compiling native hnsw builder: %s", " ".join(cmd))
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return
+        except subprocess.CalledProcessError:
+            if not extra:
+                raise
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -59,6 +70,22 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64,
     ]
     lib.hnsw_insert_batch.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
+    lib.hnsw_insert_batch_parallel.argtypes = [
+        c.c_void_p,
+        c.c_int64,
+        c.c_int64,
+        c.c_int32,
+    ]
+    lib.hnsw_search_batch.argtypes = [
+        c.c_void_p,
+        p(c.c_float),
+        c.c_int64,
+        c.c_int32,
+        p(c.c_int32),
+        p(c.c_float),
+        p(c.c_int32),
+        c.c_int32,
+    ]
     lib.hnsw_insert_leveled.argtypes = [c.c_void_p, c.c_int64, c.c_int32]
     lib.hnsw_draw_levels.argtypes = [c.c_void_p, c.c_int64, p(c.c_int32)]
     lib.hnsw_bulk_link_heuristic_l0.argtypes = [

@@ -13,31 +13,237 @@
 // C++-owned. Rows whose level-0 adjacency changed are reported through a
 // dirty list that Python drains for incremental device sync.
 //
+// Concurrency (hnswlib-style, reference has no analogue — the Rust crate
+// builds single-threaded under the collection RwLock):
+//   - insert_batch_parallel: N worker threads claim nodes off an atomic
+//     cursor. Adjacency rows are guarded by a fixed pool of row mutexes
+//     (node & kLockMask); entry-point/top-level reads+updates and
+//     upper-level allocation take a single global mutex, held across the
+//     whole insert only for the rare level > top_level case.
+//   - searches/descends take NO global lock: each acquires a visited
+//     scratch from a free-list pool, so concurrent readers (Python's
+//     per-collection RW lock admits many) proceed in parallel.
+//   - Levels are pre-drawn sequentially from the builder rng, so level
+//     assignment is deterministic regardless of thread count.
+//
 // Distances (smaller = closer) mirror index/hnsw.py::_dist_to_many —
 // the reference's formulas without the u64 x1000 fixed-point quantization
 // (reference: src/index/hnsw.rs:113-174):
 //   euclidean = L2, manhattan = L1, cosine = 1 - cos (zero-norm -> 1.0),
 //   dotproduct = 1000 - clamp(dot, -1000, 1000).
+// Hot loops are hand-vectorized (AVX-512 / AVX2 / scalar fallback): the
+// builder spends nearly all its time in dim-length reductions.
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC (see native/__init__.py).
+// Build: g++ -O3 -std=c++17 -shared -fPIC -march=native when the host
+// supports it (see native/__init__.py for the fallback ladder).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <utility>
 #include <vector>
 
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define VL_X86 1
+#endif
+
 namespace {
+
+// ------------------------------------------------------------------ SIMD
+
+#if defined(__AVX512F__)
+
+static inline float vl_dot(const float* a, const float* b, int n) {
+  __m512 s0 = _mm512_setzero_ps(), s1 = _mm512_setzero_ps();
+  int i = 0;
+  for (; i + 32 <= n; i += 32) {
+    s0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i), s0);
+    s1 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i + 16),
+                         _mm512_loadu_ps(b + i + 16), s1);
+  }
+  for (; i + 16 <= n; i += 16) {
+    s0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i), s0);
+  }
+  float acc = _mm512_reduce_add_ps(_mm512_add_ps(s0, s1));
+  for (; i < n; ++i) acc += a[i] * b[i];
+  return acc;
+}
+
+static inline float vl_l2sq(const float* a, const float* b, int n) {
+  __m512 s0 = _mm512_setzero_ps(), s1 = _mm512_setzero_ps();
+  int i = 0;
+  for (; i + 32 <= n; i += 32) {
+    __m512 d0 = _mm512_sub_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i));
+    __m512 d1 = _mm512_sub_ps(_mm512_loadu_ps(a + i + 16),
+                              _mm512_loadu_ps(b + i + 16));
+    s0 = _mm512_fmadd_ps(d0, d0, s0);
+    s1 = _mm512_fmadd_ps(d1, d1, s1);
+  }
+  for (; i + 16 <= n; i += 16) {
+    __m512 d = _mm512_sub_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i));
+    s0 = _mm512_fmadd_ps(d, d, s0);
+  }
+  float acc = _mm512_reduce_add_ps(_mm512_add_ps(s0, s1));
+  for (; i < n; ++i) {
+    float d = a[i] - b[i];
+    acc += d * d;
+  }
+  return acc;
+}
+
+static inline float vl_l1(const float* a, const float* b, int n) {
+  __m512 s = _mm512_setzero_ps();
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m512 d = _mm512_sub_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i));
+    s = _mm512_add_ps(s, _mm512_abs_ps(d));
+  }
+  float acc = _mm512_reduce_add_ps(s);
+  for (; i < n; ++i) acc += std::fabs(a[i] - b[i]);
+  return acc;
+}
+
+#elif defined(__AVX2__)
+
+static inline float vl_hsum256(__m256 v) {
+  __m128 lo = _mm256_castps256_ps128(v);
+  __m128 hi = _mm256_extractf128_ps(v, 1);
+  lo = _mm_add_ps(lo, hi);
+  lo = _mm_hadd_ps(lo, lo);
+  lo = _mm_hadd_ps(lo, lo);
+  return _mm_cvtss_f32(lo);
+}
+
+static inline float vl_dot(const float* a, const float* b, int n) {
+  __m256 s0 = _mm256_setzero_ps(), s1 = _mm256_setzero_ps();
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    s0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i), s0);
+    s1 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 8),
+                         _mm256_loadu_ps(b + i + 8), s1);
+  }
+  float acc = vl_hsum256(_mm256_add_ps(s0, s1));
+  for (; i < n; ++i) acc += a[i] * b[i];
+  return acc;
+}
+
+static inline float vl_l2sq(const float* a, const float* b, int n) {
+  __m256 s0 = _mm256_setzero_ps(), s1 = _mm256_setzero_ps();
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m256 d0 = _mm256_sub_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i));
+    __m256 d1 = _mm256_sub_ps(_mm256_loadu_ps(a + i + 8),
+                              _mm256_loadu_ps(b + i + 8));
+    s0 = _mm256_fmadd_ps(d0, d0, s0);
+    s1 = _mm256_fmadd_ps(d1, d1, s1);
+  }
+  float acc = vl_hsum256(_mm256_add_ps(s0, s1));
+  for (; i < n; ++i) {
+    float d = a[i] - b[i];
+    acc += d * d;
+  }
+  return acc;
+}
+
+static inline float vl_l1(const float* a, const float* b, int n) {
+  const __m256 absmask =
+      _mm256_castsi256_ps(_mm256_set1_epi32(0x7FFFFFFF));
+  __m256 s = _mm256_setzero_ps();
+  int i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m256 d = _mm256_sub_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i));
+    s = _mm256_add_ps(s, _mm256_and_ps(d, absmask));
+  }
+  float acc = vl_hsum256(s);
+  for (; i < n; ++i) acc += std::fabs(a[i] - b[i]);
+  return acc;
+}
+
+#else
+
+static inline float vl_dot(const float* a, const float* b, int n) {
+  float s0 = 0.f, s1 = 0.f, s2 = 0.f, s3 = 0.f;
+  int i = 0;
+  for (; i + 4 <= n; i += 4) {
+    s0 += a[i] * b[i];
+    s1 += a[i + 1] * b[i + 1];
+    s2 += a[i + 2] * b[i + 2];
+    s3 += a[i + 3] * b[i + 3];
+  }
+  float acc = (s0 + s1) + (s2 + s3);
+  for (; i < n; ++i) acc += a[i] * b[i];
+  return acc;
+}
+
+static inline float vl_l2sq(const float* a, const float* b, int n) {
+  float s0 = 0.f, s1 = 0.f, s2 = 0.f, s3 = 0.f;
+  int i = 0;
+  for (; i + 4 <= n; i += 4) {
+    float d0 = a[i] - b[i], d1 = a[i + 1] - b[i + 1];
+    float d2 = a[i + 2] - b[i + 2], d3 = a[i + 3] - b[i + 3];
+    s0 += d0 * d0;
+    s1 += d1 * d1;
+    s2 += d2 * d2;
+    s3 += d3 * d3;
+  }
+  float acc = (s0 + s1) + (s2 + s3);
+  for (; i < n; ++i) {
+    float d = a[i] - b[i];
+    acc += d * d;
+  }
+  return acc;
+}
+
+static inline float vl_l1(const float* a, const float* b, int n) {
+  float s0 = 0.f, s1 = 0.f;
+  int i = 0;
+  for (; i + 2 <= n; i += 2) {
+    s0 += std::fabs(a[i] - b[i]);
+    s1 += std::fabs(a[i + 1] - b[i + 1]);
+  }
+  float acc = s0 + s1;
+  for (; i < n; ++i) acc += std::fabs(a[i] - b[i]);
+  return acc;
+}
+
+#endif
+
+static inline void vl_prefetch(const void* p) {
+#ifdef VL_X86
+  _mm_prefetch(reinterpret_cast<const char*>(p), _MM_HINT_T0);
+#else
+  (void)p;
+#endif
+}
 
 enum Metric : int32_t {
   METRIC_COSINE = 0,
   METRIC_EUCLIDEAN = 1,
   METRIC_MANHATTAN = 2,
   METRIC_DOT = 3,
+};
+
+// Geometric level draws top out around log(N)/log(M); 32 slots covers any
+// feasible corpus (P(level >= 32) < 1e-38 at M=16). Fixed slot count keeps
+// the outer structure immutable so readers never race a reallocation.
+constexpr int kMaxUpperLevels = 32;
+constexpr int kLockPoolSize = 1 << 16;  // row-mutex pool, indexed node & mask
+constexpr int kLockMask = kLockPoolSize - 1;
+
+// Per-search scratch: visited-epoch array (no clearing between searches)
+// plus a row copy buffer for lock-free reads of in-flux adjacency rows.
+struct Scratch {
+  std::vector<uint32_t> visited;
+  uint32_t epoch = 0;
+  std::vector<int32_t> row_buf;
 };
 
 struct Builder {
@@ -56,52 +262,71 @@ struct Builder {
   int32_t* adj0 = nullptr;     // [cap, m0]
   int64_t cap = 0;
 
-  // C++-owned upper levels: adj_upper[l][node*m + j], level l+1
-  std::vector<std::vector<int32_t>> adj_upper;
+  // C++-owned upper levels: adj_upper[l][node*m + j] is level l+1.
+  // Fixed-size outer array; inner storage allocated lazily under
+  // global_mu when a draw first reaches that level.
+  std::vector<int32_t> adj_upper[kMaxUpperLevels];
+  int32_t upper_count = 0;
 
-  int64_t num_nodes = 0;
+  std::atomic<int64_t> num_nodes{0};
   int64_t entry = -1;
   int32_t top_level = -1;
 
   std::mt19937_64 rng;
   std::uniform_real_distribution<double> unif{0.0, 1.0};
 
-  // visited-epoch trick: no clearing between searches. The scratch is
-  // shared Builder state, so every entry point that touches it (search,
-  // descend, insert) serializes on this mutex — Python's per-collection
-  // RW lock allows concurrent readers, and two concurrent searches would
-  // otherwise race on visited[]/epoch (and ensure_visited's resize).
-  std::mutex scratch_mu;
-  std::vector<uint32_t> visited;
-  uint32_t epoch = 0;
+  // entry/top_level + upper-level allocation + rng
+  std::mutex global_mu;
+  // adjacency row locks (only honored on the concurrent-build path)
+  std::unique_ptr<std::mutex[]> row_locks{new std::mutex[kLockPoolSize]};
 
+  // scratch pool: searches run concurrently, each with its own visited[]
+  std::mutex pool_mu;
+  std::vector<std::unique_ptr<Scratch>> scratch_pool;
+
+  std::mutex dirty_mu;
   std::vector<int32_t> dirty;  // level-0 rows touched since last drain
+
+  Scratch* acquire_scratch() {
+    std::lock_guard<std::mutex> g(pool_mu);
+    if (!scratch_pool.empty()) {
+      Scratch* s = scratch_pool.back().release();
+      scratch_pool.pop_back();
+      if (static_cast<int64_t>(s->visited.size()) < cap) {
+        s->visited.assign(cap, 0);
+        s->epoch = 0;
+      }
+      return s;
+    }
+    Scratch* s = new Scratch();
+    s->visited.assign(cap, 0);
+    s->row_buf.resize(std::max(m0, m));
+    return s;
+  }
+  void release_scratch(Scratch* s) {
+    std::lock_guard<std::mutex> g(pool_mu);
+    scratch_pool.emplace_back(s);
+  }
+
+  void mark_dirty(int64_t node) {
+    std::lock_guard<std::mutex> g(dirty_mu);
+    dirty.push_back(static_cast<int32_t>(node));
+  }
 
   float dist(const float* q, float q_norm, int64_t node) const {
     const float* v = vecs + node * dim;
     switch (metric) {
-      case METRIC_EUCLIDEAN: {
-        float s = 0.f;
-        for (int i = 0; i < dim; ++i) {
-          float d = q[i] - v[i];
-          s += d * d;
-        }
-        return std::sqrt(s);
-      }
-      case METRIC_MANHATTAN: {
-        float s = 0.f;
-        for (int i = 0; i < dim; ++i) s += std::fabs(q[i] - v[i]);
-        return s;
-      }
+      case METRIC_EUCLIDEAN:
+        return std::sqrt(vl_l2sq(q, v, dim));
+      case METRIC_MANHATTAN:
+        return vl_l1(q, v, dim);
       case METRIC_DOT: {
-        float s = 0.f;
-        for (int i = 0; i < dim; ++i) s += q[i] * v[i];
+        float s = vl_dot(q, v, dim);
         s = std::min(std::max(s, -1000.f), 1000.f);
         return 1000.f - s;
       }
       default: {  // cosine; clamp: f32 cos can exceed 1 by an ulp
-        float s = 0.f;
-        for (int i = 0; i < dim; ++i) s += q[i] * v[i];
+        float s = vl_dot(q, v, dim);
         float denom = q_norm * norms[node];
         if (denom <= 0.f) return 1.f;
         return std::max(0.f, 1.f - s / denom);
@@ -113,32 +338,35 @@ struct Builder {
     if (level == 0) return adj0 + node * m0;
     return adj_upper[level - 1].data() + node * m;
   }
-  int32_t* row_mut(int level, int64_t node) {
-    if (level == 0) {
-      dirty.push_back(static_cast<int32_t>(node));
-      return adj0 + node * m0;
-    }
+  int32_t* row_ptr_mut(int level, int64_t node) {
+    if (level == 0) return adj0 + node * m0;
     return adj_upper[level - 1].data() + node * m;
   }
   int degree_cap(int level) const { return level == 0 ? m0 : m; }
 
+  // only call with global_mu held (or single-threaded)
   void ensure_level(int level) {
-    while (static_cast<int>(adj_upper.size()) < level) {
-      adj_upper.emplace_back(cap * m, -1);
+    while (upper_count < level && upper_count < kMaxUpperLevels) {
+      adj_upper[upper_count].assign(cap * m, -1);
+      ++upper_count;
     }
-  }
-  void ensure_visited() {
-    if (static_cast<int64_t>(visited.size()) < cap) visited.resize(cap, 0);
   }
 
   using DistNode = std::pair<float, int64_t>;
 
-  // classic ef-search on one layer; result ascending by distance
+  // classic ef-search on one layer; result ascending by distance.
+  // `locked` guards adjacency-row reads against concurrent writers
+  // (needed only during parallel construction).
+  template <bool locked>
   void search_layer(const float* q, float q_norm,
                     const std::vector<int64_t>& eps, int ef, int level,
-                    std::vector<DistNode>& out) {
-    ensure_visited();
-    ++epoch;
+                    Scratch& scr, std::vector<DistNode>& out) {
+    auto& visited = scr.visited;
+    uint32_t epoch = ++scr.epoch;
+    if (epoch == 0) {  // wrapped: reset
+      std::fill(visited.begin(), visited.end(), 0);
+      epoch = scr.epoch = 1;
+    }
     // min-heap candidates, max-heap results
     std::priority_queue<DistNode, std::vector<DistNode>,
                         std::greater<DistNode>> cand;
@@ -151,6 +379,7 @@ struct Builder {
       result.emplace(d, ep);
       while (static_cast<int>(result.size()) > ef) result.pop();
     }
+    int deg = degree_cap(level);
     while (!cand.empty()) {
       DistNode c = cand.top();
       if (static_cast<int>(result.size()) >= ef &&
@@ -158,8 +387,19 @@ struct Builder {
         break;
       }
       cand.pop();
-      const int32_t* nbrs = row(level, c.second);
-      int deg = degree_cap(level);
+      const int32_t* nbrs;
+      if (locked) {
+        std::lock_guard<std::mutex> g(row_locks[c.second & kLockMask]);
+        std::memcpy(scr.row_buf.data(), row(level, c.second),
+                    sizeof(int32_t) * deg);
+        nbrs = scr.row_buf.data();
+      } else {
+        nbrs = row(level, c.second);
+      }
+      for (int j = 0; j < deg; ++j) {
+        int32_t nb = nbrs[j];
+        if (nb >= 0) vl_prefetch(vecs + static_cast<int64_t>(nb) * dim);
+      }
       for (int j = 0; j < deg; ++j) {
         int32_t nb = nbrs[j];
         if (nb < 0) continue;
@@ -211,72 +451,114 @@ struct Builder {
     }
   }
 
-  void link(int64_t node, const std::vector<int64_t>& neighbors, int level) {
+  // write `node`'s row and back-link into each neighbor's row, pruning
+  // overflowing rows with the diversity heuristic. Row mutations take the
+  // row lock on the concurrent path; dirty marks are always recorded.
+  template <bool locked>
+  void link(int64_t node, const std::vector<int64_t>& neighbors, int level,
+            std::vector<DistNode>& all_scratch) {
     int mmax = degree_cap(level);
-    int32_t* r = row_mut(level, node);
-    int n = std::min<int>(neighbors.size(), mmax);
-    for (int j = 0; j < n; ++j) r[j] = static_cast<int32_t>(neighbors[j]);
+    {
+      std::unique_lock<std::mutex> g(row_locks[node & kLockMask],
+                                     std::defer_lock);
+      if (locked) g.lock();
+      int32_t* r = row_ptr_mut(level, node);
+      int n = std::min<int>(neighbors.size(), mmax);
+      for (int j = 0; j < n; ++j) r[j] = static_cast<int32_t>(neighbors[j]);
+    }
+    if (level == 0) mark_dirty(node);
     for (int64_t nb : neighbors) {
-      int32_t* nr = row_mut(level, nb);
-      int free_slot = -1;
-      for (int j = 0; j < mmax; ++j) {
-        if (nr[j] < 0) {
-          free_slot = j;
-          break;
+      bool touched = false;
+      {
+        std::unique_lock<std::mutex> g(row_locks[nb & kLockMask],
+                                       std::defer_lock);
+        if (locked) g.lock();
+        int32_t* nr = row_ptr_mut(level, nb);
+        int free_slot = -1;
+        for (int j = 0; j < mmax; ++j) {
+          if (nr[j] < 0) {
+            free_slot = j;
+            break;
+          }
+        }
+        if (free_slot >= 0) {
+          nr[free_slot] = static_cast<int32_t>(node);
+          touched = true;
+        } else {
+          // prune the overflowing row with the diversity heuristic — plain
+          // closest-M here disconnects clusters (see select_heuristic note)
+          const float* nv = vecs + nb * dim;
+          float nn = norms[nb];
+          auto& all = all_scratch;
+          all.clear();
+          all.reserve(mmax + 1);
+          for (int j = 0; j < mmax; ++j) {
+            all.emplace_back(dist(nv, nn, nr[j]), nr[j]);
+          }
+          all.emplace_back(dist(nv, nn, node), node);
+          std::stable_sort(all.begin(), all.end(),
+                           [](const DistNode& a, const DistNode& b) {
+                             return a.first < b.first;
+                           });
+          std::vector<int64_t> kept;
+          select_heuristic(all, mmax, kept);
+          for (int j = 0; j < mmax; ++j) {
+            nr[j] = j < static_cast<int>(kept.size())
+                        ? static_cast<int32_t>(kept[j])
+                        : -1;
+          }
+          touched = true;
         }
       }
-      if (free_slot >= 0) {
-        nr[free_slot] = static_cast<int32_t>(node);
-        continue;
-      }
-      // prune the overflowing row with the diversity heuristic — plain
-      // closest-M here disconnects clusters (see select_heuristic note)
-      const float* nv = vecs + nb * dim;
-      float nn = norms[nb];
-      std::vector<DistNode> all;
-      all.reserve(mmax + 1);
-      for (int j = 0; j < mmax; ++j) all.emplace_back(dist(nv, nn, nr[j]), nr[j]);
-      all.emplace_back(dist(nv, nn, node), node);
-      std::stable_sort(all.begin(), all.end(),
-                       [](const DistNode& a, const DistNode& b) {
-                         return a.first < b.first;
-                       });
-      std::vector<int64_t> kept;
-      select_heuristic(all, mmax, kept);
-      for (int j = 0; j < mmax; ++j) {
-        nr[j] = j < static_cast<int>(kept.size())
-                    ? static_cast<int32_t>(kept[j])
-                    : -1;
-      }
+      if (touched && level == 0) mark_dirty(nb);
     }
   }
 
+  // only call with global_mu held (or single-threaded): uses the rng
   int draw_level() {
     return static_cast<int>(-std::log(std::max(unif(rng), 1e-300)) * ml);
   }
 
   void register_node(int64_t node) {
     const float* v = vecs + node * dim;
-    float sq = 0.f;
-    for (int i = 0; i < dim; ++i) sq += v[i] * v[i];
+    float sq = vl_dot(v, v, dim);
     sqnorms[node] = sq;
     norms[node] = std::sqrt(sq);
-    num_nodes = std::max(num_nodes, node + 1);
+    int64_t cur = num_nodes.load(std::memory_order_relaxed);
+    while (cur < node + 1 &&
+           !num_nodes.compare_exchange_weak(cur, node + 1,
+                                            std::memory_order_relaxed)) {
+    }
   }
 
-  // insert node `node` whose vector Python already wrote into vecs[node]
-  // (exclusive with searches via scratch_mu; Python's write lock already
-  // excludes concurrent inserts). forced_level < 0 draws from the rng.
-  void insert(int64_t node, int forced_level = -1) {
-    std::lock_guard<std::mutex> lock(scratch_mu);
+  // insert node `node` whose vector Python already wrote into vecs[node],
+  // at pre-drawn `level`. With `locked=true` this is the hnswlib-style
+  // concurrent insert: row mutations take row locks, and entry/top_level
+  // are read under global_mu (held across the whole insert only when this
+  // node's level exceeds the current top).
+  template <bool locked>
+  void insert_at_level(int64_t node, int level, Scratch& scr) {
     register_node(node);
-    int level = forced_level >= 0 ? forced_level : draw_level();
     levels[node] = level;
-    ensure_level(level);
     // mark the (still-empty) level-0 row dirty so the device picks it up
-    dirty.push_back(static_cast<int32_t>(node));
+    mark_dirty(node);
 
-    if (entry < 0) {
+    std::unique_lock<std::mutex> toplock(global_mu, std::defer_lock);
+    int64_t cur_entry;
+    int cur_top;
+    if (locked) {
+      toplock.lock();
+      cur_entry = entry;
+      cur_top = top_level;
+      ensure_level(level);
+      if (level <= cur_top) toplock.unlock();  // common case: no global lock
+    } else {
+      cur_entry = entry;
+      cur_top = top_level;
+      ensure_level(level);
+    }
+
+    if (cur_entry < 0) {
       entry = node;
       top_level = level;
       return;
@@ -284,58 +566,111 @@ struct Builder {
 
     const float* v = vecs + node * dim;
     float q_norm = norms[node];
-    std::vector<int64_t> eps{entry};
+    std::vector<int64_t> eps{cur_entry};
     std::vector<DistNode> cands;
-    for (int l = top_level; l > level; --l) {
-      search_layer(v, q_norm, eps, 1, l, cands);
+    std::vector<DistNode> prune_scratch;
+    for (int l = cur_top; l > level; --l) {
+      search_layer<locked>(v, q_norm, eps, 1, l, scr, cands);
       if (!cands.empty()) {
         eps.assign(1, cands[0].second);
       }
     }
     std::vector<int64_t> selected;
-    for (int l = std::min(level, top_level); l >= 0; --l) {
-      search_layer(v, q_norm, eps, efc, l, cands);
+    for (int l = std::min(level, cur_top); l >= 0; --l) {
+      search_layer<locked>(v, q_norm, eps, efc, l, scr, cands);
       select_heuristic(cands, degree_cap(l), selected);
-      link(node, selected, l);
+      link<locked>(node, selected, l, prune_scratch);
       eps.clear();
       for (auto& dn : cands) eps.push_back(dn.second);
-      if (eps.empty()) eps.push_back(entry);
+      if (eps.empty()) eps.push_back(cur_entry);
     }
-    if (level > top_level) {
+    if (level > cur_top) {
+      // toplock is still held on the locked path
       entry = node;
       top_level = level;
     }
   }
 
-  int64_t descend(const float* q) {
-    std::lock_guard<std::mutex> lock(scratch_mu);
+  void insert(int64_t node, int forced_level = -1) {
+    int level;
+    {
+      std::lock_guard<std::mutex> g(global_mu);
+      level = forced_level >= 0 ? forced_level : draw_level();
+    }
+    Scratch* scr = acquire_scratch();
+    insert_at_level<false>(node, level, *scr);
+    release_scratch(scr);
+  }
+
+  // Parallel batch insert: pre-draw all levels (deterministic), then
+  // worker threads claim nodes off an atomic cursor.
+  void insert_batch_parallel(int64_t start, int64_t count, int threads) {
+    if (count <= 0) return;
+    std::vector<int32_t> drawn(count);
+    {
+      std::lock_guard<std::mutex> g(global_mu);
+      for (int64_t i = 0; i < count; ++i) {
+        drawn[i] = static_cast<int32_t>(draw_level());
+      }
+    }
+    int64_t i0 = 0;
+    if (entry < 0) {
+      // seed the graph on the calling thread so workers always have an entry
+      Scratch* scr = acquire_scratch();
+      insert_at_level<false>(start, drawn[0], *scr);
+      release_scratch(scr);
+      i0 = 1;
+    }
+    threads =
+        static_cast<int>(std::max<int64_t>(1, std::min<int64_t>(threads, count - i0)));
+    if (threads <= 1) {
+      Scratch* scr = acquire_scratch();
+      for (int64_t i = i0; i < count; ++i) {
+        insert_at_level<false>(start + i, drawn[i], *scr);
+      }
+      release_scratch(scr);
+      return;
+    }
+    std::atomic<int64_t> cursor{i0};
+    auto worker = [&]() {
+      Scratch* scr = acquire_scratch();
+      for (;;) {
+        int64_t i = cursor.fetch_add(1, std::memory_order_relaxed);
+        if (i >= count) break;
+        insert_at_level<true>(start + i, drawn[i], *scr);
+      }
+      release_scratch(scr);
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  int64_t descend(const float* q, Scratch& scr) {
     if (entry < 0) return -1;
-    float q_sq = 0.f;
-    for (int i = 0; i < dim; ++i) q_sq += q[i] * q[i];
-    float q_norm = std::sqrt(q_sq);
+    float q_norm = std::sqrt(vl_dot(q, q, dim));
     std::vector<int64_t> eps{entry};
     std::vector<DistNode> cands;
     for (int l = top_level; l > 0; --l) {
-      search_layer(q, q_norm, eps, 1, l, cands);
+      search_layer<false>(q, q_norm, eps, 1, l, scr, cands);
       if (!cands.empty()) eps.assign(1, cands[0].second);
     }
     return eps[0];
   }
 
   // full search: descend + level-0 ef-search; returns count written
-  int search(const float* q, int ef, int32_t* out_ids, float* out_dists) {
-    std::lock_guard<std::mutex> lock(scratch_mu);
+  int search(const float* q, int ef, int32_t* out_ids, float* out_dists,
+             Scratch& scr) {
     if (entry < 0) return 0;
-    float q_sq = 0.f;
-    for (int i = 0; i < dim; ++i) q_sq += q[i] * q[i];
-    float q_norm = std::sqrt(q_sq);
+    float q_norm = std::sqrt(vl_dot(q, q, dim));
     std::vector<int64_t> eps{entry};
     std::vector<DistNode> cands;
     for (int l = top_level; l > 0; --l) {
-      search_layer(q, q_norm, eps, 1, l, cands);
+      search_layer<false>(q, q_norm, eps, 1, l, scr, cands);
       if (!cands.empty()) eps.assign(1, cands[0].second);
     }
-    search_layer(q, q_norm, eps, ef, 0, cands);
+    search_layer<false>(q, q_norm, eps, ef, 0, scr, cands);
     int n = static_cast<int>(cands.size());
     for (int i = 0; i < n; ++i) {
       out_ids[i] = static_cast<int32_t>(cands[i].second);
@@ -365,6 +700,8 @@ Builder* hnsw_new(int32_t dim, int32_t metric, int32_t m, int32_t m0,
 void hnsw_free(Builder* b) { delete b; }
 
 // (Re)bind the Python-owned buffers; called at init and on capacity growth.
+// Single-threaded by contract (Python holds the collection write lock and
+// no batch insert is in flight).
 void hnsw_bind(Builder* b, float* vecs, float* sqnorms, float* norms,
                int32_t* levels, int32_t* adj0, int64_t cap) {
   b->vecs = vecs;
@@ -375,7 +712,10 @@ void hnsw_bind(Builder* b, float* vecs, float* sqnorms, float* norms,
   int64_t old_cap = b->cap;
   b->cap = cap;
   if (cap > old_cap) {
-    for (auto& lvl : b->adj_upper) lvl.resize(cap * b->m, -1);
+    for (int l = 0; l < b->upper_count; ++l) {
+      b->adj_upper[l].resize(cap * b->m, -1);
+    }
+    // grown scratches are refreshed lazily in acquire_scratch
   }
 }
 
@@ -383,11 +723,19 @@ void hnsw_insert_batch(Builder* b, int64_t start, int64_t count) {
   for (int64_t i = 0; i < count; ++i) b->insert(start + i);
 }
 
+// hnswlib-recipe multi-threaded build: per-row lock pool + per-thread
+// visited scratch + global entry lock. Deterministic level draws.
+void hnsw_insert_batch_parallel(Builder* b, int64_t start, int64_t count,
+                                int32_t threads) {
+  b->insert_batch_parallel(start, count, threads);
+}
+
 void hnsw_insert_leveled(Builder* b, int64_t node, int32_t level) {
   b->insert(node, level);
 }
 
 void hnsw_draw_levels(Builder* b, int64_t count, int32_t* out) {
+  std::lock_guard<std::mutex> g(b->global_mu);
   for (int64_t i = 0; i < count; ++i) {
     out[i] = static_cast<int32_t>(b->draw_level());
   }
@@ -401,13 +749,13 @@ void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
                                  int64_t count, int32_t c,
                                  const int32_t* cand_idx,
                                  const float* cand_dist) {
-  std::lock_guard<std::mutex> lock(b->scratch_mu);
   std::vector<int64_t> kept;
+  std::vector<Builder::DistNode> prune_scratch;
   for (int64_t i = 0; i < count; ++i) {
     int64_t node = node_ids[i];
     b->register_node(node);
     b->levels[node] = 0;
-    b->dirty.push_back(static_cast<int32_t>(node));
+    b->mark_dirty(node);
     const int32_t* ci = cand_idx + i * c;
     const float* cd = cand_dist + i * c;
     kept.clear();
@@ -425,7 +773,7 @@ void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
       }
       if (keep) kept.push_back(ci[j]);
     }
-    b->link(node, kept, 0);
+    b->link<false>(node, kept, 0, prune_scratch);
     if (b->entry < 0) {
       b->entry = node;
       b->top_level = 0;
@@ -435,10 +783,10 @@ void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
 
 int64_t hnsw_entry(Builder* b) { return b->entry; }
 int32_t hnsw_top_level(Builder* b) { return b->top_level; }
-int64_t hnsw_num_nodes(Builder* b) { return b->num_nodes; }
-int32_t hnsw_num_upper_levels(Builder* b) {
-  return static_cast<int32_t>(b->adj_upper.size());
+int64_t hnsw_num_nodes(Builder* b) {
+  return b->num_nodes.load(std::memory_order_relaxed);
 }
+int32_t hnsw_num_upper_levels(Builder* b) { return b->upper_count; }
 
 // copy upper-level adjacency (level >= 1) into caller buffer [n, m]
 void hnsw_get_upper(Builder* b, int32_t level, int32_t* out, int64_t n) {
@@ -446,18 +794,62 @@ void hnsw_get_upper(Builder* b, int32_t level, int32_t* out, int64_t n) {
   std::memcpy(out, src.data(), sizeof(int32_t) * n * b->m);
 }
 
-int64_t hnsw_descend(Builder* b, const float* q) { return b->descend(q); }
+int64_t hnsw_descend(Builder* b, const float* q) {
+  Scratch* scr = b->acquire_scratch();
+  int64_t r = b->descend(q, *scr);
+  b->release_scratch(scr);
+  return r;
+}
 
 void hnsw_descend_batch(Builder* b, const float* qs, int64_t count,
                         int64_t* out) {
+  Scratch* scr = b->acquire_scratch();
   for (int64_t i = 0; i < count; ++i) {
-    out[i] = b->descend(qs + i * b->dim);
+    out[i] = b->descend(qs + i * b->dim, *scr);
   }
+  b->release_scratch(scr);
 }
 
 int32_t hnsw_search(Builder* b, const float* q, int32_t ef,
                     int32_t* out_ids, float* out_dists) {
-  return b->search(q, ef, out_ids, out_dists);
+  Scratch* scr = b->acquire_scratch();
+  int32_t n = b->search(q, ef, out_ids, out_dists, *scr);
+  b->release_scratch(scr);
+  return n;
+}
+
+// Batched host search: one FFI crossing for the whole query block, with
+// optional thread fan-out. out_ids/out_dists are [count, ef]; out_counts
+// is [count]. Unused tail slots are left untouched.
+void hnsw_search_batch(Builder* b, const float* qs, int64_t count,
+                       int32_t ef, int32_t* out_ids, float* out_dists,
+                       int32_t* out_counts, int32_t threads) {
+  threads = static_cast<int32_t>(
+      std::max<int64_t>(1, std::min<int64_t>(threads, count)));
+  if (threads <= 1) {
+    Scratch* scr = b->acquire_scratch();
+    for (int64_t i = 0; i < count; ++i) {
+      out_counts[i] = b->search(qs + i * b->dim, ef, out_ids + i * ef,
+                                out_dists + i * ef, *scr);
+    }
+    b->release_scratch(scr);
+    return;
+  }
+  std::atomic<int64_t> cursor{0};
+  auto worker = [&]() {
+    Scratch* scr = b->acquire_scratch();
+    for (;;) {
+      int64_t i = cursor.fetch_add(1, std::memory_order_relaxed);
+      if (i >= count) break;
+      out_counts[i] = b->search(qs + i * b->dim, ef, out_ids + i * ef,
+                                out_dists + i * ef, *scr);
+    }
+    b->release_scratch(scr);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 // Restore a previously exported graph (the .vlc "graph" extension —
@@ -467,21 +859,21 @@ int32_t hnsw_search(Builder* b, const float* q, int32_t ef,
 void hnsw_restore(Builder* b, int64_t num_nodes, int64_t entry,
                   int32_t top_level, int32_t num_upper,
                   const int32_t* upper /* [num_upper, num_nodes, m] */) {
-  b->num_nodes = num_nodes;
+  b->num_nodes.store(num_nodes, std::memory_order_relaxed);
   b->entry = entry;
   b->top_level = top_level;
-  b->adj_upper.clear();
-  for (int32_t l = 0; l < num_upper; ++l) {
-    b->adj_upper.emplace_back(b->cap * b->m, -1);
-    std::memcpy(b->adj_upper.back().data(),
+  for (int l = 0; l < b->upper_count; ++l) b->adj_upper[l].clear();
+  b->upper_count = std::min<int32_t>(num_upper, kMaxUpperLevels);
+  for (int32_t l = 0; l < b->upper_count; ++l) {
+    b->adj_upper[l].assign(b->cap * b->m, -1);
+    std::memcpy(b->adj_upper[l].data(),
                 upper + static_cast<int64_t>(l) * num_nodes * b->m,
                 sizeof(int32_t) * num_nodes * b->m);
   }
   // recompute norms for the restored vectors
   for (int64_t i = 0; i < num_nodes; ++i) {
     const float* v = b->vecs + i * b->dim;
-    float sq = 0.f;
-    for (int j = 0; j < b->dim; ++j) sq += v[j] * v[j];
+    float sq = vl_dot(v, v, b->dim);
     b->sqnorms[i] = sq;
     b->norms[i] = std::sqrt(sq);
   }
@@ -489,6 +881,7 @@ void hnsw_restore(Builder* b, int64_t num_nodes, int64_t entry,
 
 // drain the level-0 dirty row list; returns count copied (deduped by caller)
 int64_t hnsw_drain_dirty(Builder* b, int32_t* out, int64_t max_out) {
+  std::lock_guard<std::mutex> g(b->dirty_mu);
   int64_t n = std::min<int64_t>(b->dirty.size(), max_out);
   std::memcpy(out, b->dirty.data(), sizeof(int32_t) * n);
   if (n == static_cast<int64_t>(b->dirty.size())) {
@@ -500,6 +893,7 @@ int64_t hnsw_drain_dirty(Builder* b, int32_t* out, int64_t max_out) {
 }
 
 int64_t hnsw_dirty_count(Builder* b) {
+  std::lock_guard<std::mutex> g(b->dirty_mu);
   return static_cast<int64_t>(b->dirty.size());
 }
 
