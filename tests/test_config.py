@@ -17,7 +17,9 @@ class TestProfiles:
     def test_default(self):
         cfg = VectorLiteConfig.profile("default")
         assert (cfg.hnsw_m, cfg.hnsw_m0) == (16, 32)
-        assert cfg.device_dtype == jnp.float32
+        # "auto": f32, switching the flat cache to bf16 + exact rescore
+        # only when f32 would bust the HBM budget (index/flat.py)
+        assert cfg.device_dtype == "auto"
 
     def test_memory_optimized(self):
         cfg = VectorLiteConfig.profile("memory-optimized")

@@ -219,3 +219,59 @@ class TestCompaction:
         # ties: insertion order preserved after compaction
         results = idx.search([0.0, 1.0], 3, SimilarityMetric.DOT_PRODUCT)
         assert [r.id for r in results] == [1, 3, 5]
+
+
+class TestAutoProfile:
+    """The "auto" device profile: f32 storage, block-W selection at Pallas
+    scale, bf16 + exact rescore only past the HBM budget (measured policy,
+    see index/flat.py module constants)."""
+
+    def test_auto_resolves_f32_off_tpu(self):
+        import jax.numpy as jnp
+
+        idx = FlatIndex(4)
+        idx.add(vec(1, [1, 0, 0, 0]))
+        idx.search([1, 0, 0, 0], 1, SimilarityMetric.COSINE)
+        assert idx._device_dtype == jnp.float32
+
+    def test_resolve_approx_respects_explicit_flag(self):
+        idx = FlatIndex(4)
+        assert idx._resolve_approx(False, 16, SimilarityMetric.COSINE) is False
+        # CPU backend / small corpus: auto never engages approx
+        assert idx._resolve_approx(None, 16, SimilarityMetric.COSINE) is False
+
+    def test_needs_rescore_policy(self):
+        import jax.numpy as jnp
+
+        idx = FlatIndex(4)
+        idx._device_dtype = jnp.float32
+        assert idx._needs_rescore(True) is False  # f32 block: exact scores
+        idx._device_dtype = jnp.bfloat16
+        assert idx._needs_rescore(False) is True
+        idx_q = FlatIndex(4, device_dtype="int8")
+        assert idx_q._needs_rescore(False) is True
+
+    def test_host_norms_watermark(self):
+        rng = np.random.default_rng(0)
+        idx = FlatIndex(8)
+        data = rng.normal(size=(20, 8))
+        for i in range(10):
+            idx.add(vec(i, data[i]))
+        n1 = idx._host_norms()
+        np.testing.assert_allclose(
+            n1[:10], np.linalg.norm(data[:10], axis=1)
+        )
+        for i in range(10, 20):
+            idx.add(vec(i, data[i]))
+        n2 = idx._host_norms()
+        np.testing.assert_allclose(
+            n2[:20], np.linalg.norm(data[:20], axis=1)
+        )
+        # compaction resets the watermark; norms realign to moved rows
+        for i in range(0, 15):
+            idx.delete(i)
+        idx._compact()
+        n3 = idx._host_norms()
+        np.testing.assert_allclose(
+            n3[:5], np.linalg.norm(data[15:20], axis=1)
+        )

@@ -117,3 +117,69 @@ def test_int8_kernel_matches_xla_int8(metric, rng):
     np.testing.assert_allclose(
         np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
     )
+
+
+class TestBlockTopW:
+    """Block-top-W approx kernel (TPU-KNN partial reduction, W winners per
+    128-lane block) in interpreter mode."""
+
+    def test_w1_matches_exact_when_no_collisions(self, rng):
+        from vectorlite_tpu.kernels.pallas_scan import pallas_search_block_topk
+
+        # top-k spread across distinct 128-blocks -> block-top1 is exact
+        n, d, b, k = 1024, 64, 4, 4
+        data = rng.normal(size=(n, d)).astype(np.float32) * 0.01
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        for j, row in enumerate((5, 200, 500, 900)):  # distinct blocks
+            data[row] = q[0] * (2.0 - 0.1 * j)
+        values = jnp.asarray(data)
+        sqnorms = jnp.sum(values * values, axis=-1)
+        valid = jnp.ones(n, dtype=bool)
+        s, i = pallas_search_block_topk(
+            values, sqnorms, valid, jnp.asarray(q),
+            metric=SimilarityMetric.DOT_PRODUCT, k=k, tile_n=256,
+            interpret=True, winners=1,
+        )
+        assert list(np.asarray(i)[0]) == [5, 200, 500, 900]
+
+    def test_w2_recovers_block_collision(self, rng):
+        from vectorlite_tpu.kernels.pallas_scan import pallas_search_block_topk
+
+        # two of the true top-k in the SAME 128-block: W=1 misses one,
+        # W=2 finds both
+        n, d, b, k = 1024, 64, 4, 2
+        data = rng.normal(size=(n, d)).astype(np.float32) * 0.01
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        data[130] = q[0] * 2.0  # block 1
+        data[140] = q[0] * 1.9  # block 1 as well
+        values = jnp.asarray(data)
+        sqnorms = jnp.sum(values * values, axis=-1)
+        valid = jnp.ones(n, dtype=bool)
+        for w, expected in ((1, {130}), (2, {130, 140})):
+            s, i = pallas_search_block_topk(
+                values, sqnorms, valid, jnp.asarray(q),
+                metric=SimilarityMetric.DOT_PRODUCT, k=k, tile_n=256,
+                interpret=True, winners=w,
+            )
+            got = set(np.asarray(i)[0])
+            assert expected <= got, (w, got)
+
+    @pytest.mark.parametrize("metric", MATMUL_METRICS)
+    def test_w2_matches_exact_topk(self, metric, rng):
+        from vectorlite_tpu.kernels.pallas_scan import pallas_search_block_topk
+
+        # random corpus, k=1: block selection is exact for the top hit
+        n, d, b = 512, 32, 8
+        values, sqnorms, valid = make_corpus(rng, n, d, invalid_frac=0.1)
+        queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+        s1, i1 = pallas_search_block_topk(
+            values, sqnorms, valid, queries,
+            metric=metric, k=1, tile_n=256, interpret=True, winners=2,
+        )
+        s2, i2 = search_topk(
+            values, sqnorms, valid, queries, metric=metric, k=1
+        )
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+        )

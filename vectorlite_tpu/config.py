@@ -4,13 +4,14 @@ The reference selects HNSW graph degree and dtype behavior at **compile
 time** via Cargo features (reference: Cargo.toml:15-22,
 src/index/hnsw.rs:95-109). Here profiles are runtime parameters:
 
-==================  ====  ====  =============
-profile              M     M0   device dtype
-==================  ====  ====  =============
-default (fast)       16    32   float32
+==================  ====  ====  ==========================================
+profile              M     M0   flat device dtype
+==================  ====  ====  ==========================================
+default (fast)       16    32   auto (f32; bf16 + exact rescore at scale)
 memory-optimized      8    16   bfloat16
 high-accuracy        32    64   float32
-==================  ====  ====  =============
+quantized            16    32   int8 (+ exact rescore)
+==================  ====  ====  ==========================================
 
 Select via ``VectorLiteConfig.profile("memory-optimized")`` or the
 ``VECTORLITE_PROFILE`` environment variable.
@@ -24,8 +25,11 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 _PROFILES = {
-    "default": dict(hnsw_m=16, hnsw_m0=32, device_dtype=jnp.float32),
-    "fast": dict(hnsw_m=16, hnsw_m0=32, device_dtype=jnp.float32),
+    # "auto": f32 below the Pallas threshold; at large scale on TPU the
+    # flat device cache switches to bf16 with exact f64 host re-scoring
+    # of the winners (measured-fastest composition, BASELINE.md)
+    "default": dict(hnsw_m=16, hnsw_m0=32, device_dtype="auto"),
+    "fast": dict(hnsw_m=16, hnsw_m0=32, device_dtype="auto"),
     "memory-optimized": dict(hnsw_m=8, hnsw_m0=16, device_dtype=jnp.bfloat16),
     "high-accuracy": dict(hnsw_m=32, hnsw_m0=64, device_dtype=jnp.float32),
     # int8 corpus on the flat index (int8 MXU scoring + exact host
@@ -40,7 +44,7 @@ class VectorLiteConfig:
     hnsw_m0: int = 32
     hnsw_ef_construction: int = 100
     hnsw_ef_search: int = 64
-    device_dtype: object = jnp.float32
+    device_dtype: object = "auto"
     profile_name: str = "default"
     #: Multi-chip serving: number of devices to shard Flat corpora over
     #: (``VECTORLITE_MESH`` env var; 0/1 = single-chip). Flat indexes are

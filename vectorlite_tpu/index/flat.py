@@ -45,6 +45,21 @@ _PALLAS_TILE_F32 = 2048
 _PALLAS_TILE_BF16 = 4096
 _PALLAS_TILE_BLOCK = 4096
 
+#: Winners kept per 128-lane block by the approx kernel. W=2 drops the
+#: block-collision miss probability from ~0.6% to ~2e-5 at 1M/k=10 for a
+#: ~8% kernel cost (the matmul dominates) — see kernels/pallas_scan.py.
+#: Measured at 1M x 384 cosine, batch 256 (v5e): f32 exact 14.1 ms, f32
+#: block-W1 9.0 ms, f32 block-W2 9.7 ms. f32 block selection returns the
+#: same exact-f32 scores as the exact kernel, so it needs NO re-scoring.
+_BLOCK_WINNERS = 2
+
+#: "auto" dtype keeps the corpus f32 until it would not fit comfortably in
+#: one chip's HBM, then drops to bf16 storage (+ exact host re-scoring).
+#: f32 + block-W2 measured FASTER than bf16 anything once re-scoring is
+#: priced in (bf16 scores are not exact, so bf16 always re-scores); bf16's
+#: value here is capacity, not speed. Tunable: VECTORLITE_AUTO_BF16_GB.
+_AUTO_BF16_BYTES = 6 << 30
+
 
 def _quantize_rows_int8_np(rows32: np.ndarray):
     """Host-side mirror of core.metrics.quantize_rows_int8 (same rounding:
@@ -72,7 +87,7 @@ class FlatIndex:
         dim: int,
         data: Sequence[Vector] = (),
         *,
-        device_dtype=jnp.float32,
+        device_dtype="auto",
         mesh=None,
     ):
         if dim <= 0:
@@ -81,6 +96,13 @@ class FlatIndex:
         # "int8" selects the quantized profile: symmetric per-row int8
         # corpus + int8-MXU scoring, with exact host re-scoring of the k
         # winners (scores returned to callers are exact f64 math).
+        # "auto" (default) stores f32 below the Pallas threshold and
+        # switches the device cache to bf16 at large scale on TPU (halves
+        # HBM traffic, winners exactly re-scored on the host) — the
+        # measured-fastest composition at 1M x 384 (BASELINE.md).
+        self._auto_dtype = device_dtype == "auto"
+        if self._auto_dtype:
+            device_dtype = jnp.float32
         self._quantized = device_dtype in ("int8", jnp.int8)
         self._device_dtype = (
             jnp.int8 if self._quantized else device_dtype
@@ -105,6 +127,9 @@ class FlatIndex:
         self._size = 0  # next append slot (monotonic until compaction)
         self._count = 0  # number of live vectors
         self._id_to_slot: dict[int, int] = {}
+        # lazy f64 row-norm table for the exact-rescore fast path
+        self._host_norms64: Optional[np.ndarray] = None
+        self._host_norms_n = 0
 
         # Device cache state. The mutex makes sync + dispatch atomic:
         # update_rows donates the old buffer, so a concurrent reader must
@@ -220,6 +245,7 @@ class FlatIndex:
         self._id_to_slot = {
             int(self._ids[slot]): slot for slot in range(n)
         }
+        self._host_norms_n = 0  # rows moved: rebuild the norm table lazily
         # device cache must be rebuilt wholesale
         self._dev_values = None
         self._dev_scales = None
@@ -240,13 +266,15 @@ class FlatIndex:
         k: int,
         metric: SimilarityMetric,
         *,
-        approx: bool = False,
+        approx: Optional[bool] = None,
     ) -> list[list[SearchResult]]:
         """Batched top-k. The single-query API wraps this with B=1.
 
-        ``approx=True`` (Pallas-eligible corpora only) selects candidates
-        with the block-top1 kernel (~99.4% recall@10 at 1M, faster) and
-        re-scores them exactly; otherwise selection is exact.
+        ``approx`` selects candidates with the block-top-W kernel
+        (Pallas-eligible corpora only) and re-scores them exactly in f64;
+        ``None`` (default) auto-engages it at Pallas scale — the
+        measured-fastest large-corpus profile; ``False`` forces exact
+        selection.
 
         Dimension check only applies when the index is non-empty, matching the
         reference quirk (reference: src/index/flat.rs:99).
@@ -272,12 +300,13 @@ class FlatIndex:
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
 
+        approx = self._resolve_approx(approx, k_pad, metric)
         scores, slots = self._device_topk(q, k_pad, metric, approx)
         # one fused device->host transfer (each np.asarray is a round trip)
         scores, slots = jax.device_get((scores, slots))
         scores = scores[:b, :k_eff]
         slots = slots[:b, :k_eff]
-        if self._quantized or approx:
+        if self._needs_rescore(approx):
             scores, slots = self._exact_rescore(q64, scores, slots, metric)
         elif metric is SimilarityMetric.COSINE:
             # f32 device rounding can overshoot 1.0; clamp for consistency
@@ -307,7 +336,7 @@ class FlatIndex:
         k: int,
         metric: SimilarityMetric,
         *,
-        approx: bool = False,
+        approx: Optional[bool] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Array fast path: returns (ids [B,k] int64, scores [B,k] f32)
         without materializing per-hit Python objects. Rows with fewer than k
@@ -329,12 +358,13 @@ class FlatIndex:
         b_pad = next_pow2(b)
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
+        approx = self._resolve_approx(approx, k_pad, metric)
         scores, slots = self._device_topk(q, k_pad, metric, approx)
         # one fused device->host transfer (each np.asarray is a round trip)
         scores, slots = jax.device_get((scores, slots))
         scores = scores[:b, :k_eff]
         slots = slots[:b, :k_eff]
-        if self._quantized or approx:
+        if self._needs_rescore(approx):
             scores, slots = self._exact_rescore(q64, scores, slots, metric)
         elif metric is SimilarityMetric.COSINE:
             # f32 device rounding can overshoot 1.0; clamp for consistency
@@ -385,6 +415,62 @@ class FlatIndex:
             return None
         return max(self._id_to_slot)
 
+    def _prospective_dtype(self):
+        """The device-cache dtype the next wholesale rebuild will use.
+
+        "auto" keeps f32 until the corpus would not fit comfortably in one
+        chip's HBM (capacity budget), then drops to bf16 storage + exact
+        host re-scoring. While a cache is live, its dtype is pinned."""
+        if self._quantized or not self._auto_dtype:
+            return self._device_dtype
+        if self._dev_values is not None:
+            return self._device_dtype
+        import os
+
+        budget = _AUTO_BF16_BYTES
+        env = os.environ.get("VECTORLITE_AUTO_BF16_GB")
+        if env:
+            try:
+                budget = int(float(env) * (1 << 30))
+            except ValueError:
+                pass
+        if (
+            jax.default_backend() == "tpu"
+            and self._capacity >= _PALLAS_MIN_CAPACITY
+            and self._capacity * self.dim * 4 > budget
+        ):
+            return jnp.bfloat16
+        return jnp.float32
+
+    def _resolve_approx(
+        self, approx: Optional[bool], k_pad: int, metric: SimilarityMetric
+    ) -> bool:
+        """Resolve the tri-state ``approx`` flag.
+
+        ``None`` auto-engages block-top-W selection at Pallas scale — the
+        measured-fastest composition for f32 corpora (selection scores are
+        the same exact f32 the exact kernel returns, so nothing is lost).
+        Block selection needs capacity/128*W >= k_pad candidates; huge k
+        falls back to exact selection. Mesh selection is always exact (the
+        block kernel is single-chip), and bf16 storage avoids the block
+        kernel (fast-matmul + block-select measured pathological on this
+        Mosaic stack: 25 ms vs 9.4 ms exact at 1M)."""
+        if self._mesh is not None or not _use_pallas(self._capacity, metric):
+            return False
+        if k_pad * (128 // _BLOCK_WINNERS) > self._capacity:
+            return False
+        if approx is not None:
+            return bool(approx)
+        return self._prospective_dtype() != jnp.bfloat16
+
+    def _needs_rescore(self, approx: bool) -> bool:
+        """Exact f64 host re-scoring of the k winners is required whenever
+        device *scores* ran on reduced precision (int8/bf16 storage);
+        returned scores then match the scalar reference formulas. f32
+        block selection needs none: its candidate scores are the same
+        exact-f32 values the exact kernel returns."""
+        return self._quantized or self._device_dtype == jnp.bfloat16
+
     def _exact_rescore(
         self,
         q64: np.ndarray,  # [B, D] original f64 queries (unpadded)
@@ -392,17 +478,19 @@ class FlatIndex:
         slots: np.ndarray,  # [B, k] slot indices
         metric: SimilarityMetric,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Quantized profile: re-score the k winners in exact float64 host
-        math and re-sort each row, so returned scores match the scalar
-        reference formulas exactly. O(B*k*D) — negligible."""
+        """Re-score the k winners in exact float64 host math and re-sort
+        each row, so returned scores match the scalar reference formulas
+        exactly. O(B*k*D); cosine/dot ride a cached row-norm table +
+        batched matmul (measured 10x over naive einsum on 1 core, the
+        serving-path cost at [256,16,384])."""
         q = q64[:, None, :]  # [B, 1, D]
         v = self._values64[slots]  # [B, k, D]
         if metric is SimilarityMetric.DOT_PRODUCT:
-            exact = np.einsum("bkd,bod->bk", v, q)
+            exact = np.matmul(v, q64[:, :, None])[..., 0]
         elif metric is SimilarityMetric.COSINE:
-            dot = np.einsum("bkd,bod->bk", v, q)
-            vn = np.linalg.norm(v, axis=-1)
-            qn = np.linalg.norm(q, axis=-1)
+            dot = np.matmul(v, q64[:, :, None])[..., 0]
+            vn = self._host_norms()[slots]
+            qn = np.linalg.norm(q64, axis=-1, keepdims=True)
             denom = vn * qn
             with np.errstate(invalid="ignore", divide="ignore"):
                 exact = np.where(denom > 0.0, dot / np.maximum(denom, 1e-300), 0.0)
@@ -416,6 +504,23 @@ class FlatIndex:
             np.take_along_axis(exact, order, axis=1),
             np.take_along_axis(slots, order, axis=1),
         )
+
+    def _host_norms(self) -> np.ndarray:
+        """Float64 row L2-norm table, extended lazily to the append
+        watermark (rows are append-only; compaction resets the watermark)."""
+        if (
+            self._host_norms64 is None
+            or len(self._host_norms64) != self._capacity
+        ):
+            self._host_norms64 = np.zeros(self._capacity, dtype=np.float64)
+            self._host_norms_n = 0
+        if self._host_norms_n < self._size:
+            lo, hi = self._host_norms_n, self._size
+            self._host_norms64[lo:hi] = np.linalg.norm(
+                self._values64[lo:hi], axis=1
+            )
+            self._host_norms_n = hi
+        return self._host_norms64
 
     # ------------------------------------------------------- device plumbing
 
@@ -466,9 +571,9 @@ class FlatIndex:
                     mesh=self._mesh,
                 )
             pallas_ok = _use_pallas(self._capacity, metric)
-            # block-top1 keeps one winner per 128-lane block; for huge k
-            # fall back to exact selection so top_k has enough candidates
-            if approx and k_pad * 128 > self._capacity:
+            # the block kernel keeps W winners per 128-lane block; for huge
+            # k fall back to exact selection so top_k has enough candidates
+            if approx and k_pad * (128 // _BLOCK_WINNERS) > self._capacity:
                 approx = False
             if self._quantized:
                 if pallas_ok:
@@ -477,12 +582,19 @@ class FlatIndex:
                         pallas_search_topk_int8,
                     )
 
-                    fn = (
-                        pallas_search_block_topk_int8
-                        if approx
-                        else pallas_search_topk_int8
-                    )
-                    return fn(
+                    if approx:
+                        return pallas_search_block_topk_int8(
+                            self._dev_values,
+                            self._dev_scales,
+                            self._dev_sqnorms,
+                            self._dev_valid,
+                            queries,
+                            metric=metric,
+                            k=k_pad,
+                            tile_n=_PALLAS_TILE_BLOCK,
+                            winners=_BLOCK_WINNERS,
+                        )
+                    return pallas_search_topk_int8(
                         self._dev_values,
                         self._dev_scales,
                         self._dev_sqnorms,
@@ -490,11 +602,7 @@ class FlatIndex:
                         queries,
                         metric=metric,
                         k=k_pad,
-                        tile_n=(
-                            _PALLAS_TILE_BLOCK
-                            if approx
-                            else _PALLAS_TILE_F32
-                        ),
+                        tile_n=_PALLAS_TILE_F32,
                     )
                 from ..kernels.topk import search_topk_int8
 
@@ -513,21 +621,29 @@ class FlatIndex:
                     pallas_search_topk,
                 )
 
-                fn = pallas_search_block_topk if approx else pallas_search_topk
                 if approx:
-                    tile = _PALLAS_TILE_BLOCK
-                elif self._device_dtype == jnp.bfloat16:
-                    tile = _PALLAS_TILE_BF16
-                else:
-                    tile = _PALLAS_TILE_F32
-                return fn(
+                    return pallas_search_block_topk(
+                        self._dev_values,
+                        self._dev_sqnorms,
+                        self._dev_valid,
+                        queries,
+                        metric=metric,
+                        k=k_pad,
+                        tile_n=_PALLAS_TILE_BLOCK,
+                        winners=_BLOCK_WINNERS,
+                    )
+                return pallas_search_topk(
                     self._dev_values,
                     self._dev_sqnorms,
                     self._dev_valid,
                     queries,
                     metric=metric,
                     k=k_pad,
-                    tile_n=tile,
+                    tile_n=(
+                        _PALLAS_TILE_BF16
+                        if self._device_dtype == jnp.bfloat16
+                        else _PALLAS_TILE_F32
+                    ),
                 )
             return search_topk(
                 self._dev_values,
@@ -559,6 +675,10 @@ class FlatIndex:
         )
         self._texts.extend([None] * self._capacity)
         self._metas.extend([None] * self._capacity)
+        if self._host_norms64 is not None:
+            self._host_norms64 = np.concatenate(
+                [self._host_norms64, np.zeros(self._capacity, np.float64)]
+            )
         self._capacity = new_cap
         # Capacity changed: device buffers must be rebuilt wholesale.
         self._dev_values = None
@@ -575,6 +695,10 @@ class FlatIndex:
             self._sync_device_mesh()
             return
         if self._dev_values is None:
+            # resolve "auto" on every wholesale rebuild (capacity growth
+            # nulls the cache, so the profile adapts as the corpus grows —
+            # no mid-buffer dtype switches)
+            self._device_dtype = self._prospective_dtype()
             vals32 = jnp.asarray(self._values64, dtype=jnp.float32)
             self._dev_sqnorms = row_sqnorms(vals32)
             if self._quantized:

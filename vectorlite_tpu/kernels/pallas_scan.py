@@ -144,7 +144,7 @@ def _scores_tile(
     raise NotImplementedError("manhattan uses the tiled XLA path")
 
 
-def _block_top1_kernel(
+def _block_topw_kernel(
     q_ref,
     qscale_ref,
     qsq_ref,
@@ -152,17 +152,20 @@ def _block_top1_kernel(
     vscale_ref,
     sq_ref,
     valid_ref,
-    out_s_ref,  # [1, B, TILE/BLOCK]
-    out_i_ref,  # [1, B, TILE/BLOCK]
+    out_s_ref,  # [1, B, W * TILE/BLOCK]
+    out_i_ref,  # [1, B, W * TILE/BLOCK]
     *,
     metric: SimilarityMetric,
     tile_n: int,
+    winners: int,
 ):
-    """TPU-KNN-style partial reduction: keep only the best row of every
-    128-wide block (one reduction pass instead of K max/mask rounds). The
+    """TPU-KNN-style partial reduction: keep the best W rows of every
+    128-wide block (W reduction passes instead of K max/mask rounds). The
     global top-k over all block winners loses a true neighbor only when
-    two of the top-k share a block: P(miss) ~ C(k,2) * BLOCK / N
-    (~0.6% for k=10 at N=1M). See PAPERS.md (TPU-KNN)."""
+    more than W of the top-k share a block: P(miss) ~ C(k,W+1) *
+    (BLOCK/N)^W — ~0.6% for k=10, W=1 at N=1M and ~2e-5 for W=2, where
+    the second pass costs ~3% (the matmul dominates). See PAPERS.md
+    (TPU-KNN)."""
     scores = _scores_tile(
         q_ref[:], qscale_ref[:], qsq_ref[:], v_ref[:], vscale_ref[:],
         sq_ref[:], metric, tile_n,
@@ -173,14 +176,19 @@ def _block_top1_kernel(
     b = scores.shape[0]
     n_blocks = tile_n // BLOCK
     s3 = scores.reshape(b, n_blocks, BLOCK)
-    best = jnp.max(s3, axis=2)  # [B, n_blocks]
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks, BLOCK), 2)
-    cand = jnp.where(s3 >= best[:, :, None], lane, BLOCK)
-    lidx = jnp.min(cand, axis=2)  # [B, n_blocks] lane of the winner
     tile_base = pl.program_id(0) * tile_n
     blk = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks), 1)
-    out_s_ref[0] = best
-    out_i_ref[0] = tile_base + blk * BLOCK + lidx
+    for w in range(winners):  # static unroll; W is tiny (1 or 2)
+        best = jnp.max(s3, axis=2)  # [B, n_blocks]
+        cand = jnp.where(s3 >= best[:, :, None], lane, BLOCK)
+        lidx = jnp.min(cand, axis=2)  # [B, n_blocks] lane of the winner
+        out_s_ref[0, :, pl.ds(w * n_blocks, n_blocks)] = best
+        out_i_ref[0, :, pl.ds(w * n_blocks, n_blocks)] = (
+            tile_base + blk * BLOCK + lidx
+        )
+        if w + 1 < winners:
+            s3 = jnp.where(lane == lidx[:, :, None], NEG_INF, s3)
 
 
 def _block_topk_call(
@@ -194,11 +202,12 @@ def _block_topk_call(
     tile_n: int,
     bytes_per_row: int,
     interpret: bool,
+    winners: int = 1,
 ):
     n_tiles = n // tile_n
-    n_blocks = tile_n // BLOCK
+    n_blocks = (tile_n // BLOCK) * winners
     kernel = functools.partial(
-        _block_top1_kernel, metric=metric, tile_n=tile_n
+        _block_topw_kernel, metric=metric, tile_n=tile_n, winners=winners
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -234,7 +243,8 @@ def _block_topk_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "k", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("metric", "k", "tile_n", "interpret", "winners"),
 )
 def pallas_search_block_topk(
     values: jax.Array,  # [N, D] f32/bf16
@@ -246,9 +256,11 @@ def pallas_search_block_topk(
     k: int,
     tile_n: int = DEFAULT_TILE_N,
     interpret: bool = False,
+    winners: int = 1,
 ):
-    """Approximate (block-top1) top-k at peak throughput; recall@10 ~99.4%
-    at 1M. Pair with exact host re-scoring of the winners."""
+    """Approximate (block-top-W) top-k at peak throughput; recall@10
+    ~99.4% at 1M for W=1, ~1.0 for W=2. Pair with exact host re-scoring
+    of the winners."""
     n, d = values.shape
     b = queries.shape[0]
     assert n % tile_n == 0 and tile_n % BLOCK == 0
@@ -283,11 +295,13 @@ def pallas_search_block_topk(
         tile_n=tile_n,
         bytes_per_row=d * values.dtype.itemsize,
         interpret=interpret,
+        winners=winners,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "k", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("metric", "k", "tile_n", "interpret", "winners"),
 )
 def pallas_search_block_topk_int8(
     values_q: jax.Array,  # [N, D] int8
@@ -300,6 +314,7 @@ def pallas_search_block_topk_int8(
     k: int,
     tile_n: int = DEFAULT_TILE_N,
     interpret: bool = False,
+    winners: int = 1,
 ):
     n, d = values_q.shape
     b = queries.shape[0]
@@ -334,6 +349,7 @@ def pallas_search_block_topk_int8(
         tile_n=tile_n,
         bytes_per_row=d,
         interpret=interpret,
+        winners=winners,
     )
 
 
