@@ -275,3 +275,64 @@ class TestAutoProfile:
         np.testing.assert_allclose(
             n3[:5], np.linalg.norm(data[15:20], axis=1)
         )
+
+
+class TestHostScanFastPath:
+    """Small-corpus single-query searches skip the device (exact f64 host
+    scan, the sub-millisecond latency path). Must agree with the device
+    path on ids and near-exactly on scores."""
+
+    @pytest.mark.parametrize(
+        "metric",
+        [
+            SimilarityMetric.COSINE,
+            SimilarityMetric.EUCLIDEAN,
+            SimilarityMetric.MANHATTAN,
+            SimilarityMetric.DOT_PRODUCT,
+        ],
+    )
+    def test_matches_device_path(self, metric, monkeypatch):
+        rng = np.random.default_rng(5)
+        n, d, k = 300, 16, 7
+        data = rng.normal(size=(n, d))
+        idx = FlatIndex(d, [vec(i, data[i]) for i in range(n)])
+        idx.delete(17)
+        idx.delete(230)
+        q = rng.normal(size=(2, d))
+        assert idx._host_scan_eligible(2)
+        host = idx.search_batch(q, k, metric)
+        monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+        assert not idx._host_scan_eligible(2)
+        dev = idx.search_batch(q, k, metric)
+        for hrow, drow in zip(host, dev):
+            assert [r.id for r in hrow] == [r.id for r in drow]
+            np.testing.assert_allclose(
+                [r.score for r in hrow],
+                [r.score for r in drow],
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+    def test_batch_cutoff_routes_to_device(self):
+        idx = FlatIndex(4, [vec(i, [i, 0, 0, 0]) for i in range(1, 6)])
+        assert idx._host_scan_eligible(4)
+        assert not idx._host_scan_eligible(5)
+
+    def test_tie_break_lowest_slot(self):
+        idx = FlatIndex(2)
+        for i in (3, 1, 2):
+            idx.add(vec(i, [1.0, 0.0]))
+        res = idx.search([1.0, 0.0], 3, SimilarityMetric.COSINE)
+        # identical vectors: insertion (slot) order, ids 3, 1, 2
+        assert [r.id for r in res] == [3, 1, 2]
+
+    def test_arrays_path_host_scan(self):
+        rng = np.random.default_rng(6)
+        data = rng.normal(size=(50, 8))
+        idx = FlatIndex(8)
+        idx.add_batch_arrays(list(range(50)), data)
+        ids, scores = idx.search_batch_arrays(
+            data[:2], 5, SimilarityMetric.COSINE
+        )
+        assert ids[0][0] == 0 and ids[1][0] == 1
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-12)

@@ -60,6 +60,16 @@ _BLOCK_WINNERS = 2
 #: value here is capacity, not speed. Tunable: VECTORLITE_AUTO_BF16_GB.
 _AUTO_BF16_BYTES = 6 << 30
 
+#: Single/tiny-batch queries over small corpora skip the device entirely:
+#: an exact f64 numpy scan measured 0.17 ms (1K rows) / 1.2 ms (10K) /
+#: 4.6 ms (32K) per query on one core, vs ~25-30 ms per TPU relay RPC.
+#: This restores the reference's sub-millisecond single-query latency at
+#: its intended Flat scale (<10K rows, reference: src/index/flat.rs:15)
+#: while batched/large searches keep the device path. Tunables:
+#: VECTORLITE_HOST_SCAN_ROWS (0 disables), batch cutoff fixed at 4.
+_HOST_SCAN_ROWS = 32768
+_HOST_SCAN_MAX_BATCH = 4
+
 
 def _quantize_rows_int8_np(rows32: np.ndarray):
     """Host-side mirror of core.metrics.quantize_rows_int8 (same rounding:
@@ -293,25 +303,35 @@ class FlatIndex:
             return [[] for _ in range(b)]
 
         k_eff = min(k, self._count)
-        k_pad = min(self._capacity, max(1, next_pow2(min(k_eff, _MAX_K_BUCKET))))
-        if k_eff > k_pad:  # k beyond the bucket ceiling: widen to exact need
-            k_pad = min(self._capacity, next_pow2(k_eff))
-        b_pad = next_pow2(b)
-        if b_pad > b:
-            q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
+        if self._host_scan_eligible(b):
+            scores, slots = self._host_scan(q64, k_eff, metric)
+        else:
+            k_pad = min(
+                self._capacity, max(1, next_pow2(min(k_eff, _MAX_K_BUCKET)))
+            )
+            if k_eff > k_pad:  # k beyond the bucket ceiling: widen
+                k_pad = min(self._capacity, next_pow2(k_eff))
+            b_pad = next_pow2(b)
+            if b_pad > b:
+                q = np.concatenate(
+                    [q, np.zeros((b_pad - b, self.dim), np.float32)]
+                )
 
-        approx = self._resolve_approx(approx, k_pad, metric)
-        scores, slots = self._device_topk(q, k_pad, metric, approx)
-        # one fused device->host transfer (each np.asarray is a round trip)
-        scores, slots = jax.device_get((scores, slots))
-        scores = scores[:b, :k_eff]
-        slots = slots[:b, :k_eff]
-        if self._needs_rescore(approx):
-            scores, slots = self._exact_rescore(q64, scores, slots, metric)
-        elif metric is SimilarityMetric.COSINE:
-            # f32 device rounding can overshoot 1.0; clamp for consistency
-            # with the exact-rescore path and the HNSW distance clamp
-            scores = np.minimum(scores, 1.0)
+            approx = self._resolve_approx(approx, k_pad, metric)
+            scores, slots = self._device_topk(q, k_pad, metric, approx)
+            # one fused device->host transfer (np.asarray is a round trip)
+            scores, slots = jax.device_get((scores, slots))
+            scores = scores[:b, :k_eff]
+            slots = slots[:b, :k_eff]
+            if self._needs_rescore(approx):
+                scores, slots = self._exact_rescore(
+                    q64, scores, slots, metric
+                )
+            elif metric is SimilarityMetric.COSINE:
+                # f32 device rounding can overshoot 1.0; clamp for
+                # consistency with the exact-rescore path and the HNSW
+                # distance clamp
+                scores = np.minimum(scores, 1.0)
 
         out: list[list[SearchResult]] = []
         for row_scores, row_slots in zip(scores, slots):
@@ -354,22 +374,30 @@ class FlatIndex:
         if q.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, q.shape[1])
         k_eff = min(int(k), self._count)
-        k_pad = min(self._capacity, next_pow2(max(1, k_eff)))
-        b_pad = next_pow2(b)
-        if b_pad > b:
-            q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
-        approx = self._resolve_approx(approx, k_pad, metric)
-        scores, slots = self._device_topk(q, k_pad, metric, approx)
-        # one fused device->host transfer (each np.asarray is a round trip)
-        scores, slots = jax.device_get((scores, slots))
-        scores = scores[:b, :k_eff]
-        slots = slots[:b, :k_eff]
-        if self._needs_rescore(approx):
-            scores, slots = self._exact_rescore(q64, scores, slots, metric)
-        elif metric is SimilarityMetric.COSINE:
-            # f32 device rounding can overshoot 1.0; clamp for consistency
-            # with the exact-rescore path and the HNSW distance clamp
-            scores = np.minimum(scores, 1.0)
+        if self._host_scan_eligible(b):
+            scores, slots = self._host_scan(q64, k_eff, metric)
+        else:
+            k_pad = min(self._capacity, next_pow2(max(1, k_eff)))
+            b_pad = next_pow2(b)
+            if b_pad > b:
+                q = np.concatenate(
+                    [q, np.zeros((b_pad - b, self.dim), np.float32)]
+                )
+            approx = self._resolve_approx(approx, k_pad, metric)
+            scores, slots = self._device_topk(q, k_pad, metric, approx)
+            # one fused device->host transfer (np.asarray is a round trip)
+            scores, slots = jax.device_get((scores, slots))
+            scores = scores[:b, :k_eff]
+            slots = slots[:b, :k_eff]
+            if self._needs_rescore(approx):
+                scores, slots = self._exact_rescore(
+                    q64, scores, slots, metric
+                )
+            elif metric is SimilarityMetric.COSINE:
+                # f32 device rounding can overshoot 1.0; clamp for
+                # consistency with the exact-rescore path and the HNSW
+                # distance clamp
+                scores = np.minimum(scores, 1.0)
         ids = self._ids[slots].astype(np.int64)
         ids[scores == -np.inf] = -1
         if k_eff < k:
@@ -414,6 +442,60 @@ class FlatIndex:
         if not self._id_to_slot:
             return None
         return max(self._id_to_slot)
+
+    def _host_scan_eligible(self, b: int) -> bool:
+        import os
+
+        rows = _HOST_SCAN_ROWS
+        env = os.environ.get("VECTORLITE_HOST_SCAN_ROWS")
+        if env:
+            try:
+                rows = int(env)
+            except ValueError:
+                pass
+        return (
+            self._mesh is None
+            and b <= _HOST_SCAN_MAX_BATCH
+            and self._size <= rows
+        )
+
+    def _host_scan(
+        self, q64: np.ndarray, k_eff: int, metric: SimilarityMetric
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact f64 scan + top-k on the host — the latency path for
+        single/tiny-batch queries over small corpora (module constants for
+        the measured crossover vs the TPU relay RPC). Semantics match the
+        device path: tombstones -inf, ties break to the lower slot,
+        scores are the scalar reference formulas in f64
+        (reference: src/index/flat.rs:98-119)."""
+        v = self._values64[: self._size]  # [N, D]
+        if metric is SimilarityMetric.MANHATTAN:
+            # [B, N] pairwise L1 — small corpora only, fine to materialize
+            scores = 1.0 / (
+                1.0 + np.abs(q64[:, None, :] - v[None, :, :]).sum(-1)
+            )
+        else:
+            dots = q64 @ v.T  # [B, N]
+            if metric is SimilarityMetric.DOT_PRODUCT:
+                scores = dots
+            elif metric is SimilarityMetric.COSINE:
+                vn = self._host_norms()[: self._size]
+                qn = np.linalg.norm(q64, axis=1, keepdims=True)
+                denom = qn * vn[None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    scores = np.where(
+                        denom > 0.0, dots / np.maximum(denom, 1e-300), 0.0
+                    )
+            else:  # euclidean
+                vsq = np.einsum("nd,nd->n", v, v)
+                qsq = np.einsum("bd,bd->b", q64, q64)[:, None]
+                d_sq = np.maximum(qsq + vsq[None, :] - 2.0 * dots, 0.0)
+                scores = 1.0 / (1.0 + np.sqrt(d_sq))
+        scores = np.where(self._valid[: self._size][None, :], scores, -np.inf)
+        # stable argsort: equal scores order by ascending slot, matching
+        # the device kernels' lowest-row tie-break
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k_eff]
+        return np.take_along_axis(scores, order, axis=1), order
 
     def _prospective_dtype(self):
         """The device-cache dtype the next wholesale rebuild will use.
