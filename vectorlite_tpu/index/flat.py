@@ -534,16 +534,21 @@ class FlatIndex:
         the same exact f32 the exact kernel returns, so nothing is lost).
         Block selection needs capacity/128*W >= k_pad candidates; huge k
         falls back to exact selection. Mesh selection is always exact (the
-        block kernel is single-chip), and bf16 storage avoids the block
-        kernel (fast-matmul + block-select measured pathological on this
-        Mosaic stack: 25 ms vs 9.4 ms exact at 1M)."""
+        block kernel is single-chip). Auto engages ONLY for f32 storage:
+        block-select over bf16 or int8 tiles measured pathological on
+        this Mosaic stack (25-28 ms vs 9.4-10.2 ms for their exact
+        kernels at 1M — the slowdown tracks the storage dtype, not the
+        matmul or the cast)."""
         if self._mesh is not None or not _use_pallas(self._capacity, metric):
             return False
         if k_pad * (128 // _BLOCK_WINNERS) > self._capacity:
             return False
         if approx is not None:
             return bool(approx)
-        return self._prospective_dtype() != jnp.bfloat16
+        return (
+            not self._quantized
+            and self._prospective_dtype() == jnp.float32
+        )
 
     def _needs_rescore(self, approx: bool) -> bool:
         """Exact f64 host re-scoring of the k winners is required whenever
