@@ -514,9 +514,12 @@ struct Builder {
     }
   }
 
-  // only call with global_mu held (or single-threaded): uses the rng
+  // only call with global_mu held (or single-threaded): uses the rng.
+  // Clamped to the fixed upper-level slot count (P(level >= 32) < 1e-38
+  // at M=16, but an unclamped draw would index past adj_upper[]).
   int draw_level() {
-    return static_cast<int>(-std::log(std::max(unif(rng), 1e-300)) * ml);
+    int level = static_cast<int>(-std::log(std::max(unif(rng), 1e-300)) * ml);
+    return std::min(level, kMaxUpperLevels);
   }
 
   void register_node(int64_t node) {
@@ -595,7 +598,8 @@ struct Builder {
     int level;
     {
       std::lock_guard<std::mutex> g(global_mu);
-      level = forced_level >= 0 ? forced_level : draw_level();
+      level = forced_level >= 0 ? std::min(forced_level, kMaxUpperLevels)
+                                : draw_level();
     }
     Scratch* scr = acquire_scratch();
     insert_at_level<false>(node, level, *scr);
