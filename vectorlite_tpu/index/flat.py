@@ -505,6 +505,8 @@ class FlatIndex:
         host re-scoring. While a cache is live, its dtype is pinned."""
         if self._quantized or not self._auto_dtype:
             return self._device_dtype
+        if self._mesh is not None:
+            return jnp.float32  # sharded kernels run f32 (or explicit int8)
         if self._dev_values is not None:
             return self._device_dtype
         import os
