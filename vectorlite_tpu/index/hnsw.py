@@ -73,21 +73,28 @@ def convert_distance_to_similarity(
     return min(max((1000.0 - distance) / 1000.0, 0.0), 1.0)
 
 
-def _build_threads() -> int:
-    """Worker count for the native parallel graph build.
+def _threads_from_env(var: str) -> int:
+    """Worker count for native thread fan-out (build or batched search).
 
-    VECTORLITE_BUILD_THREADS overrides; defaults to the host CPU count
-    (1 on single-core boxes -> sequential, deterministic builds).
-    """
+    The env var overrides; defaults to the host CPU count (1 on
+    single-core boxes -> sequential, deterministic builds)."""
     import os
 
-    env = os.environ.get("VECTORLITE_BUILD_THREADS")
+    env = os.environ.get(var)
     if env:
         try:
             return max(1, int(env))
         except ValueError:
             pass
     return max(1, os.cpu_count() or 1)
+
+
+def _build_threads() -> int:
+    return _threads_from_env("VECTORLITE_BUILD_THREADS")
+
+
+def _search_threads() -> int:
+    return _threads_from_env("VECTORLITE_SEARCH_THREADS")
 
 
 class HNSWIndex:
@@ -633,7 +640,7 @@ class HNSWIndex:
             out_ids.ctypes.data_as(c.POINTER(c.c_int32)),
             out_d.ctypes.data_as(c.POINTER(c.c_float)),
             out_n.ctypes.data_as(c.POINTER(c.c_int32)),
-            _build_threads(),
+            _search_threads(),
         )
         results = []
         for i in range(b):
