@@ -163,3 +163,35 @@ def test_concurrent_hnsw_native_searches():
     assert not errors, errors
     # deterministic graph + query => every search returns the same set
     assert len({frozenset(r) for r in results}) == 1
+
+
+def test_concurrent_host_scan_cold_norms():
+    """Many sibling readers hitting a COLD row-norm cache concurrently:
+    the lazy f64 norm table (index/flat.py:_host_norms) must never expose
+    a half-filled or freshly-reallocated array to another reader."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from vectorlite_tpu import FlatIndex, SimilarityMetric, Vector
+
+    rng = np.random.default_rng(11)
+    n, d = 2000, 32
+    data = rng.normal(size=(n, d))
+    idx = FlatIndex(d, [Vector(id=i, values=data[i], text="") for i in range(n)])
+    q = data[123]
+    expected = 123
+
+    def hit(_):
+        r = idx.search(q, 1, SimilarityMetric.COSINE)
+        return r[0].id, r[0].score
+
+    for _ in range(5):
+        # reset the cache each round so every round races the realloc path
+        idx._host_norms64 = None
+        idx._host_norms_n = 0
+        with ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(hit, range(32)))
+        for rid, score in results:
+            assert rid == expected
+            assert score > 0.999

@@ -137,9 +137,13 @@ class FlatIndex:
         self._size = 0  # next append slot (monotonic until compaction)
         self._count = 0  # number of live vectors
         self._id_to_slot: dict[int, int] = {}
-        # lazy f64 row-norm table for the exact-rescore fast path
+        # lazy f64 row-norm table for the exact-rescore fast path.
+        # Guarded by its own lock: concurrent searches hold only the
+        # collection READ lock, and the realloc/extend here must not
+        # expose a half-filled table to a sibling reader.
         self._host_norms64: Optional[np.ndarray] = None
         self._host_norms_n = 0
+        self._norms_lock = threading.Lock()
 
         # Device cache state. The mutex makes sync + dispatch atomic:
         # update_rows donates the old buffer, so a concurrent reader must
@@ -596,20 +600,25 @@ class FlatIndex:
 
     def _host_norms(self) -> np.ndarray:
         """Float64 row L2-norm table, extended lazily to the append
-        watermark (rows are append-only; compaction resets the watermark)."""
-        if (
-            self._host_norms64 is None
-            or len(self._host_norms64) != self._capacity
-        ):
-            self._host_norms64 = np.zeros(self._capacity, dtype=np.float64)
-            self._host_norms_n = 0
-        if self._host_norms_n < self._size:
-            lo, hi = self._host_norms_n, self._size
-            self._host_norms64[lo:hi] = np.linalg.norm(
-                self._values64[lo:hi], axis=1
-            )
-            self._host_norms_n = hi
-        return self._host_norms64
+        watermark (rows are append-only; compaction resets the watermark).
+        Callers hold the collection read lock, which admits siblings —
+        the table mutation itself is serialized by ``_norms_lock``."""
+        with self._norms_lock:
+            if (
+                self._host_norms64 is None
+                or len(self._host_norms64) != self._capacity
+            ):
+                self._host_norms64 = np.zeros(
+                    self._capacity, dtype=np.float64
+                )
+                self._host_norms_n = 0
+            if self._host_norms_n < self._size:
+                lo, hi = self._host_norms_n, self._size
+                self._host_norms64[lo:hi] = np.linalg.norm(
+                    self._values64[lo:hi], axis=1
+                )
+                self._host_norms_n = hi
+            return self._host_norms64
 
     # ------------------------------------------------------- device plumbing
 
