@@ -107,3 +107,40 @@ class TestNativeBuilder:
         assert (levels >= 0).all()
         # every node must have at least one level-0 link (connected graph)
         assert (adj0 >= 0).any(axis=1).all()
+
+
+class TestTsanHarness:
+    """ThreadSanitizer pass over the parallel builder (the reference has
+    no race-detection tooling; this is the TPU build's analogue of
+    cargo's thread-safety-by-construction). Skips when the toolchain
+    lacks -fsanitize=thread."""
+
+    def test_tsan_clean(self, tmp_path):
+        import subprocess
+        from pathlib import Path
+
+        src = (
+            Path(__file__).parent.parent
+            / "vectorlite_tpu"
+            / "native"
+            / "tsan_harness.cpp"
+        )
+        exe = tmp_path / "vl_tsan"
+        build = subprocess.run(
+            [
+                "g++", "-fsanitize=thread", "-O1", "-g", "-std=c++17",
+                "-pthread", str(src), "-o", str(exe),
+            ],
+            capture_output=True,
+            text=True,
+        )
+        if build.returncode != 0:
+            import pytest
+
+            pytest.skip(f"tsan unsupported: {build.stderr[:200]}")
+        run = subprocess.run(
+            [str(exe)], capture_output=True, text=True, timeout=600
+        )
+        assert run.returncode == 0, run.stderr[-2000:]
+        assert "ThreadSanitizer" not in run.stderr, run.stderr[-2000:]
+        assert "tsan harness OK" in run.stdout
