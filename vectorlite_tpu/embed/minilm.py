@@ -306,7 +306,14 @@ class MiniLMEmbedder:
         (indexes consume the block directly via add_batch_arrays)."""
         if not texts:
             return np.zeros((0, self.dimension), np.float32)
-        encodings = [self._encode(t) for t in texts]
+        if hasattr(self._tokenizer, "encode_batch"):
+            # one FFI crossing; the Rust tokenizer parallelizes internally
+            encodings = [
+                list(e.ids[: self._max_len])
+                for e in self._tokenizer.encode_batch(list(texts))
+            ]
+        else:
+            encodings = [self._encode(t) for t in texts]
         max_len = max(len(e) for e in encodings)
         l_pad = next(
             (b for b in _LEN_BUCKETS if b >= max_len), self._max_len
