@@ -1,7 +1,7 @@
 # Developer entry points. Tests force CPU JAX (tests/conftest.py);
 # bench targets run on whatever accelerator the environment provides.
 
-.PHONY: test bench bench-suite bench-full serve serve-mock dryrun native clean
+.PHONY: test bench bench-suite bench-full serve serve-mock dryrun native tsan clean
 
 test:
 	python -m pytest tests/ -q
@@ -29,6 +29,10 @@ dryrun:
 native:
 	rm -f vectorlite_tpu/native/build/libhnsw_builder.so
 	python -c "from vectorlite_tpu import native; assert native.load()"
+
+tsan:
+	g++ -fsanitize=thread -O1 -g -std=c++17 -pthread \
+	  vectorlite_tpu/native/tsan_harness.cpp -o /tmp/vl_tsan && /tmp/vl_tsan
 
 clean:
 	rm -rf vectorlite_tpu/native/build bench/report*.json
