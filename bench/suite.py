@@ -209,15 +209,29 @@ def _bench_hnsw(profile_name, n, dtype_label):
     }
     qlist = [list(map(float, row)) for row in queries]
     for ef in (16, 64, 128):
-        # recall on 32 queries via device path
+        # recall on 32 queries via the SERVING path (native host search —
+        # see README "Which path serves"); the demoted device beam's
+        # recall is recorded separately (it trails the host ef-search at
+        # equal ef: fixed-iteration beam vs unbounded best-first)
         res = idx.search_batch(
-            qlist[:32], K, SimilarityMetric.COSINE, ef=ef, use_device=True
+            qlist[:32], K, SimilarityMetric.COSINE, ef=ef, use_device=False
         )
         recall = float(
             np.mean(
                 [
                     len({r.id for r in row} & set(truth[i])) / K
                     for i, row in enumerate(res)
+                ]
+            )
+        )
+        res_dev = idx.search_batch(
+            qlist[:32], K, SimilarityMetric.COSINE, ef=ef, use_device=True
+        )
+        recall_dev = float(
+            np.mean(
+                [
+                    len({r.id for r in row} & set(truth[i])) / K
+                    for i, row in enumerate(res_dev)
                 ]
             )
         )
@@ -238,6 +252,7 @@ def _bench_hnsw(profile_name, n, dtype_label):
         entry = {
             "ef": ef,
             "recall_at_10": round(recall, 4),
+            "recall_at_10_device_beam": round(recall_dev, 4),
             "device_batch_qps": round(BATCH / dev_t, 1),
             "host_qps": round(1 / host_t, 1),
             "host_p50_ms": round(host_t * 1e3, 3),
@@ -245,6 +260,7 @@ def _bench_hnsw(profile_name, n, dtype_label):
         result["sweep"].append(entry)
         log(
             f"[hnsw:{profile_name}] ef={ef}: recall@10={recall:.3f} "
+            f"(device beam {recall_dev:.3f}) "
             f"device {BATCH / dev_t:,.0f} QPS, host {1 / host_t:,.0f} QPS "
             f"({host_t * 1e3:.2f} ms p50)"
         )

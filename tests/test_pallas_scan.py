@@ -183,3 +183,24 @@ class TestBlockTopW:
         np.testing.assert_allclose(
             np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
         )
+
+    def test_w2_tie_break_lowest_row(self, rng):
+        from vectorlite_tpu.kernels.pallas_scan import pallas_search_block_topk
+
+        # identical vectors at 130, 140 (same block) and 300 (later
+        # block): equal scores must come back in ascending row order
+        n, d, b, k = 1024, 64, 2, 3
+        base = rng.normal(size=d).astype(np.float32)
+        data = rng.normal(size=(n, d)).astype(np.float32) * 0.01
+        for row in (130, 140, 300):
+            data[row] = base
+        values = jnp.asarray(data)
+        sqnorms = jnp.sum(values * values, axis=-1)
+        valid = jnp.ones(n, dtype=bool)
+        q = jnp.asarray(np.repeat(base[None, :], b, axis=0))
+        s, i = pallas_search_block_topk(
+            values, sqnorms, valid, q,
+            metric=SimilarityMetric.COSINE, k=k, tile_n=256,
+            interpret=True, winners=2,
+        )
+        assert list(np.asarray(i)[0]) == [130, 140, 300]

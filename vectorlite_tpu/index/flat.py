@@ -14,6 +14,12 @@ The reference stores ``Vec<Vector>`` and linearly scans + sorts per query
 * **Search** — batched queries go through one jitted
   score-matmul + ``lax.top_k`` program (kernels/topk.py). Capacity, batch and
   k are bucketed to powers of two so XLA compiles a handful of programs total.
+  Score/selection contract: returned scores are exact-f32 evaluations of the
+  scalar reference formulas (f64 on the host-scan and rescore paths; the
+  reference itself is f64). Default selection at Pallas scale is block-top-W
+  (see ``_BLOCK_WINNERS``): a true neighbor is missed only when more than W
+  of the top-k share one 128-row block (P ~ 2e-5 at 1M, k=10) — pass
+  ``approx=False`` for guaranteed-exhaustive selection.
 * **Delete** — validity-mask clear (the reference's ``retain``
   semantics: deleting an absent id succeeds, reference: src/index/flat.rs:93-96).
 """
@@ -285,10 +291,11 @@ class FlatIndex:
         """Batched top-k. The single-query API wraps this with B=1.
 
         ``approx`` selects candidates with the block-top-W kernel
-        (Pallas-eligible corpora only) and re-scores them exactly in f64;
-        ``None`` (default) auto-engages it at Pallas scale — the
-        measured-fastest large-corpus profile; ``False`` forces exact
-        selection.
+        (Pallas-eligible corpora only); ``None`` (default) auto-engages
+        it at Pallas scale for f32 corpora — the measured-fastest
+        profile, returning the same exact-f32 scores as the exact kernel
+        (int8/bf16 storage is always re-scored in exact f64); ``False``
+        forces exhaustive selection.
 
         Dimension check only applies when the index is non-empty, matching the
         reference quirk (reference: src/index/flat.rs:99).
@@ -448,15 +455,9 @@ class FlatIndex:
         return max(self._id_to_slot)
 
     def _host_scan_eligible(self, b: int) -> bool:
-        import os
+        from ..utils import env_number
 
-        rows = _HOST_SCAN_ROWS
-        env = os.environ.get("VECTORLITE_HOST_SCAN_ROWS")
-        if env:
-            try:
-                rows = int(env)
-            except ValueError:
-                pass
+        rows = env_number("VECTORLITE_HOST_SCAN_ROWS", _HOST_SCAN_ROWS)
         return (
             self._mesh is None
             and b <= _HOST_SCAN_MAX_BATCH
@@ -474,10 +475,17 @@ class FlatIndex:
         (reference: src/index/flat.rs:98-119)."""
         v = self._values64[: self._size]  # [N, D]
         if metric is SimilarityMetric.MANHATTAN:
-            # [B, N] pairwise L1 — small corpora only, fine to materialize
-            scores = 1.0 / (
-                1.0 + np.abs(q64[:, None, :] - v[None, :, :]).sum(-1)
-            )
+            # chunked |v - q| reduce: a full [B, N, D] f64 broadcast would
+            # be ~100 MB/query at the 32K-row threshold
+            scores = np.empty((q64.shape[0], v.shape[0]))
+            step = 4096
+            for b_i in range(q64.shape[0]):
+                for lo in range(0, v.shape[0], step):
+                    chunk = v[lo : lo + step]
+                    scores[b_i, lo : lo + len(chunk)] = np.abs(
+                        chunk - q64[b_i]
+                    ).sum(1)
+            scores = 1.0 / (1.0 + scores)
         else:
             dots = q64 @ v.T  # [B, N]
             if metric is SimilarityMetric.DOT_PRODUCT:
@@ -513,15 +521,16 @@ class FlatIndex:
             return jnp.float32  # sharded kernels run f32 (or explicit int8)
         if self._dev_values is not None:
             return self._device_dtype
-        import os
+        from ..utils import env_number
 
-        budget = _AUTO_BF16_BYTES
-        env = os.environ.get("VECTORLITE_AUTO_BF16_GB")
-        if env:
-            try:
-                budget = int(float(env) * (1 << 30))
-            except ValueError:
-                pass
+        budget = int(
+            env_number(
+                "VECTORLITE_AUTO_BF16_GB",
+                _AUTO_BF16_BYTES / (1 << 30),
+                cast=float,
+            )
+            * (1 << 30)
+        )
         if (
             jax.default_backend() == "tpu"
             and self._capacity >= _PALLAS_MIN_CAPACITY
@@ -547,7 +556,7 @@ class FlatIndex:
         matmul or the cast)."""
         if self._mesh is not None or not _use_pallas(self._capacity, metric):
             return False
-        if k_pad * (128 // _BLOCK_WINNERS) > self._capacity:
+        if not self._block_selection_feasible(k_pad):
             return False
         if approx is not None:
             return bool(approx)
@@ -555,6 +564,11 @@ class FlatIndex:
             not self._quantized
             and self._prospective_dtype() == jnp.float32
         )
+
+    def _block_selection_feasible(self, k_pad: int) -> bool:
+        """Block selection yields capacity/128*W candidates; top_k needs
+        at least k_pad of them."""
+        return k_pad * (128 // _BLOCK_WINNERS) <= self._capacity
 
     def _needs_rescore(self, approx: bool) -> bool:
         """Exact f64 host re-scoring of the k winners is required whenever
@@ -632,10 +646,11 @@ class FlatIndex:
         """Dispatch to the fused Pallas tiled scan for huge corpora (no
         [B, cap] intermediate) or the plain XLA path otherwise. With
         ``approx`` (and a Pallas-eligible corpus), selection uses the
-        TPU-KNN block-top1 kernel (~99.4% recall@10 at 1M, ~1.6x faster);
-        scores are exactly re-scored on the host either way. Sync and
-        dispatch are atomic under the device mutex; the (async) result is
-        fetched by the caller outside it."""
+        TPU-KNN block-top-W kernel (recall ~1.0 at W=2, ~1.45x faster
+        than the exact kernel); reduced-precision storage (int8/bf16) is
+        re-scored exactly by the callers. Sync and dispatch are atomic
+        under the device mutex; the (async) result is fetched by the
+        caller outside it."""
         with self._dev_lock:
             self._sync_device()
             queries = jnp.asarray(q)
@@ -669,9 +684,9 @@ class FlatIndex:
                     mesh=self._mesh,
                 )
             pallas_ok = _use_pallas(self._capacity, metric)
-            # the block kernel keeps W winners per 128-lane block; for huge
-            # k fall back to exact selection so top_k has enough candidates
-            if approx and k_pad * (128 // _BLOCK_WINNERS) > self._capacity:
+            # safety for direct callers: _resolve_approx applies the same
+            # feasibility rule on the public paths
+            if approx and not self._block_selection_feasible(k_pad):
                 approx = False
             if self._quantized:
                 if pallas_ok:

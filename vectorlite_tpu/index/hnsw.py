@@ -80,13 +80,9 @@ def _threads_from_env(var: str) -> int:
     single-core boxes -> sequential, deterministic builds)."""
     import os
 
-    env = os.environ.get(var)
-    if env:
-        try:
-            return max(1, int(env))
-        except ValueError:
-            pass
-    return max(1, os.cpu_count() or 1)
+    from ..utils import env_number
+
+    return max(1, env_number(var, os.cpu_count() or 1))
 
 
 def _build_threads() -> int:
@@ -1007,6 +1003,13 @@ class HNSWIndex:
         self._top_level = int(graph["top_level"])
         if not (0 <= self._entry < n):
             raise ValueError("invalid entry point")
+        # top_level must match the shipped upper arrays and the native
+        # builder's fixed 32-slot bound — a dump claiming more levels
+        # would index past them on the first descend
+        if not (0 <= self._top_level <= len(upper)) or len(upper) > 32:
+            raise ValueError("top_level/upper level count out of range")
+        if levels.size and int(levels.max()) > self._top_level:
+            raise ValueError("node level exceeds top_level")
         self._adj_dirty.update(range(n))
 
         if self._nb is not None:

@@ -235,8 +235,24 @@ def _block_topk_call(
         ),
         interpret=interpret,
     )(*inputs)
-    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * n_blocks)
-    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * n_blocks)
+    # Re-layout per-tile candidates from winner-major ([w0: blocks][w1:
+    # blocks]) to block-major/winner-minor so lax.top_k's positional
+    # tie-break still resolves equal scores to the LOWEST global row:
+    # within a block w0's lane <= w1's lane on ties, and blocks/tiles are
+    # already in ascending row order.
+    nb1 = tile_n // BLOCK
+    s_flat = (
+        jnp.moveaxis(out_s, 0, 1)
+        .reshape(b, n_tiles, winners, nb1)
+        .swapaxes(2, 3)
+        .reshape(b, n_tiles * n_blocks)
+    )
+    i_flat = (
+        jnp.moveaxis(out_i, 0, 1)
+        .reshape(b, n_tiles, winners, nb1)
+        .swapaxes(2, 3)
+        .reshape(b, n_tiles * n_blocks)
+    )
     s_top, pos = jax.lax.top_k(s_flat, k)
     i_top = jnp.take_along_axis(i_flat, pos, axis=1)
     return s_top, i_top

@@ -21,9 +21,32 @@ _BUILD_DIR = _HERE / "build"
 _SRC = _HERE / "hnsw_builder.cpp"
 _LIB_PATH = _BUILD_DIR / "libhnsw_builder.so"
 
+_STAMP_PATH = _BUILD_DIR / "isa.stamp"
+
 _lock = threading.Lock()
 _lib = None
 _load_failed = False
+
+
+def _isa_fingerprint() -> str:
+    """Host vector-ISA fingerprint. A -march=native .so cached in the
+    repo can SIGILL when the checkout moves to a host without the same
+    extensions (NFS home, copied container layer); the stamp forces a
+    recompile there instead."""
+    import platform
+    import re
+
+    try:
+        text = Path("/proc/cpuinfo").read_text()
+        m = re.search(r"^flags\s*:\s*(.*)$", text, re.M)
+        if m:
+            relevant = {"sse4_2", "avx", "avx2", "fma", "avx512f"}
+            flags = sorted(set(m.group(1).split()) & relevant)
+            if flags:
+                return platform.machine() + ":" + "-".join(flags)
+    except OSError:
+        pass
+    return platform.machine()
 
 
 def _compile() -> None:
@@ -48,6 +71,7 @@ def _compile() -> None:
         logger.info("compiling native hnsw builder: %s", " ".join(cmd))
         try:
             subprocess.run(cmd, check=True, capture_output=True)
+            _STAMP_PATH.write_text(_isa_fingerprint())
             return
         except subprocess.CalledProcessError:
             if not extra:
@@ -152,9 +176,15 @@ def load():
         if _lib is not None:
             return _lib
         try:
-            if not _LIB_PATH.exists() or (
+            stale = not _LIB_PATH.exists() or (
                 _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
-            ):
+            )
+            if not stale:
+                try:
+                    stale = _STAMP_PATH.read_text() != _isa_fingerprint()
+                except OSError:
+                    stale = True  # pre-stamp cache: rebuild once
+            if stale:
                 _compile()
             _lib = _bind(ctypes.CDLL(str(_LIB_PATH)))
         except Exception as e:  # noqa: BLE001

@@ -865,9 +865,13 @@ void hnsw_restore(Builder* b, int64_t num_nodes, int64_t entry,
                   const int32_t* upper /* [num_upper, num_nodes, m] */) {
   b->num_nodes.store(num_nodes, std::memory_order_relaxed);
   b->entry = entry;
-  b->top_level = top_level;
+  // clamp: a dump claiming more levels than the fixed slot count would
+  // otherwise index past adj_upper[] on the first descend (Python-side
+  // validation rejects such dumps and rebuilds; this is the backstop)
+  b->top_level = std::min(top_level, kMaxUpperLevels);
   for (int l = 0; l < b->upper_count; ++l) b->adj_upper[l].clear();
   b->upper_count = std::min<int32_t>(num_upper, kMaxUpperLevels);
+  if (b->top_level > b->upper_count) b->top_level = b->upper_count;
   for (int32_t l = 0; l < b->upper_count; ++l) {
     b->adj_upper[l].assign(b->cap * b->m, -1);
     std::memcpy(b->adj_upper[l].data(),

@@ -67,3 +67,19 @@ class AtomicCounter:
     def load(self) -> int:
         with self._lock:
             return self._value
+
+
+def env_number(name: str, default, cast=int):
+    """Parse a numeric env override, falling back on absence or garbage.
+
+    Deliberately uncached: tests and operators flip these at runtime
+    (e.g. VECTORLITE_HOST_SCAN_ROWS=0 to force the device path)."""
+    import os
+
+    raw = os.environ.get(name)
+    if raw:
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    return default
