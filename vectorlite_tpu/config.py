@@ -43,7 +43,7 @@ class VectorLiteConfig:
     hnsw_m: int = 16
     hnsw_m0: int = 32
     hnsw_ef_construction: int = 100
-    hnsw_ef_search: int = 64
+    hnsw_ef_search: int = 128
     device_dtype: object = "auto"
     profile_name: str = "default"
     #: Multi-chip serving: number of devices to shard Flat corpora over
