@@ -209,22 +209,28 @@ class FlatIndex:
         if n == 0:
             return
         int_ids = [int(i) for i in ids]
-        seen: set[int] = set()
-        for vid in int_ids:
-            if vid in self._id_to_slot or vid in seen:
-                raise DuplicateVectorId(vid)
-            seen.add(vid)
+        # set-algebra dup detection (C speed; the loop below only runs to
+        # name the offending id on the error path)
+        batch_set = set(int_ids)
+        if len(batch_set) != n or self._id_to_slot.keys() & batch_set:
+            seen: set[int] = set()
+            for vid in int_ids:
+                if vid in self._id_to_slot or vid in seen:
+                    raise DuplicateVectorId(vid)
+                seen.add(vid)
         while self._size + n > self._capacity:
             self._grow()
         lo = self._size
         self._values64[lo : lo + n] = values
         self._ids[lo : lo + n] = int_ids
         self._valid[lo : lo + n] = True
-        for i, vid in enumerate(int_ids):
-            slot = lo + i
-            self._texts[slot] = texts[i] if texts is not None else ""
-            self._metas[slot] = metadatas[i] if metadatas is not None else None
-            self._id_to_slot[vid] = slot
+        self._texts[lo : lo + n] = (
+            list(texts) if texts is not None else [""] * n
+        )
+        self._metas[lo : lo + n] = (
+            list(metadatas) if metadatas is not None else [None] * n
+        )
+        self._id_to_slot.update(zip(int_ids, range(lo, lo + n)))
         self._size += n
         self._count += n
         self._mark_dirty(lo)
