@@ -816,16 +816,26 @@ class FlatIndex:
         if self._dev_values is None:
             # resolve "auto" on every wholesale rebuild (capacity growth
             # nulls the cache, so the profile adapts as the corpus grows —
-            # no mid-buffer dtype switches)
+            # no mid-buffer dtype switches). Cast/quantize on the HOST so
+            # only final-dtype bytes ever transfer or stage in HBM — an
+            # f32 staging copy would defeat the bf16/int8 capacity
+            # profiles exactly when they matter (corpus ~ HBM size).
             self._device_dtype = self._prospective_dtype()
-            vals32 = jnp.asarray(self._values64, dtype=jnp.float32)
-            self._dev_sqnorms = row_sqnorms(vals32)
+            vals32 = np.asarray(self._values64, dtype=np.float32)
+            sq = np.einsum("nd,nd->n", vals32, vals32, dtype=np.float32)
+            self._dev_sqnorms = jnp.asarray(sq)
             if self._quantized:
-                self._dev_values, self._dev_scales = quantize_rows_int8(
-                    vals32
+                q, scales = _quantize_rows_int8_np(vals32)
+                self._dev_values = jnp.asarray(q)
+                self._dev_scales = jnp.asarray(scales)
+            elif self._device_dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                self._dev_values = jnp.asarray(
+                    vals32.astype(ml_dtypes.bfloat16)
                 )
             else:
-                self._dev_values = vals32.astype(self._device_dtype)
+                self._dev_values = jnp.asarray(vals32)
             self._dev_valid = jnp.asarray(self._valid)
             self._dirty_lo = self._dirty_hi = self._size
             self._mask_dirty = False
