@@ -502,14 +502,15 @@ class HNSWIndex:
         self._vecs[start : start + n] = values.astype(np.float32)
         if self._vecs64 is not None:
             self._vecs64[start : start + n] = values
-        for i, vid in enumerate(int_ids):
-            node = start + i
-            self._id_to_index[vid] = node
-            self._index_to_id[node] = vid
-            self._texts[vid] = texts[i] if texts is not None else ""
-            self._metas[vid] = (
-                metadatas[i] if metadatas is not None else None
-            )
+        nodes = range(start, start + n)
+        self._id_to_index.update(zip(int_ids, nodes))
+        self._index_to_id.update(zip(nodes, int_ids))
+        self._texts.update(
+            zip(int_ids, texts if texts is not None else [""] * n)
+        )
+        self._metas.update(
+            zip(int_ids, metadatas if metadatas is not None else [None] * n)
+        )
         self._link_batch(start, n)
 
     def _link_batch(self, start: int, count: int) -> None:
