@@ -335,11 +335,12 @@ class FlatIndex:
                 )
 
             approx = self._resolve_approx(approx, k_pad, metric)
-            scores, slots = self._device_topk(q, k_pad, metric, approx)
+            k_sel = self._selection_k(k_pad, approx)
+            scores, slots = self._device_topk(q, k_sel, metric, approx)
             # one fused device->host transfer (np.asarray is a round trip)
             scores, slots = jax.device_get((scores, slots))
-            scores = scores[:b, :k_eff]
-            slots = slots[:b, :k_eff]
+            scores = scores[:b]
+            slots = slots[:b]
             if self._needs_rescore(approx):
                 scores, slots = self._exact_rescore(
                     q64, scores, slots, metric
@@ -349,6 +350,8 @@ class FlatIndex:
                 # consistency with the exact-rescore path and the HNSW
                 # distance clamp
                 scores = np.minimum(scores, 1.0)
+            scores = scores[:, :k_eff]
+            slots = slots[:, :k_eff]
 
         out: list[list[SearchResult]] = []
         for row_scores, row_slots in zip(scores, slots):
@@ -401,11 +404,12 @@ class FlatIndex:
                     [q, np.zeros((b_pad - b, self.dim), np.float32)]
                 )
             approx = self._resolve_approx(approx, k_pad, metric)
-            scores, slots = self._device_topk(q, k_pad, metric, approx)
+            k_sel = self._selection_k(k_pad, approx)
+            scores, slots = self._device_topk(q, k_sel, metric, approx)
             # one fused device->host transfer (np.asarray is a round trip)
             scores, slots = jax.device_get((scores, slots))
-            scores = scores[:b, :k_eff]
-            slots = slots[:b, :k_eff]
+            scores = scores[:b]
+            slots = slots[:b]
             if self._needs_rescore(approx):
                 scores, slots = self._exact_rescore(
                     q64, scores, slots, metric
@@ -415,6 +419,8 @@ class FlatIndex:
                 # consistency with the exact-rescore path and the HNSW
                 # distance clamp
                 scores = np.minimum(scores, 1.0)
+            scores = scores[:, :k_eff]
+            slots = slots[:, :k_eff]
         ids = self._ids[slots].astype(np.int64)
         ids[scores == -np.inf] = -1
         if k_eff < k:
@@ -570,6 +576,19 @@ class FlatIndex:
             not self._quantized
             and self._prospective_dtype() == jnp.float32
         )
+
+    def _selection_k(self, k_pad: int, approx: bool) -> int:
+        """Candidate-list width for device selection.
+
+        Reduced-precision storage (int8/bf16) ranks candidates on
+        approximate scores, so a true top-k member can fall just past the
+        k_pad boundary before the exact re-score re-sorts (measured
+        recall 0.994 at 1M/bf16 with k_sel == k_pad). Doubling the
+        candidate pool closes that gap for ~nothing: selection cost is
+        dominated by the scan, and the rescore is O(B * k_sel * D)."""
+        if self._quantized or self._prospective_dtype() == jnp.bfloat16:
+            return min(self._capacity, next_pow2(2 * k_pad))
+        return k_pad
 
     def _block_selection_feasible(self, k_pad: int) -> bool:
         """Block selection yields capacity/128*W candidates; top_k needs
