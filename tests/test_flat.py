@@ -336,3 +336,29 @@ class TestHostScanFastPath:
         )
         assert ids[0][0] == 0 and ids[1][0] == 1
         np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-12)
+
+    def test_auto_capacity_ladder(self, monkeypatch):
+        """auto dtype ladder: f32 -> bf16 -> int8 as the HBM budget
+        shrinks (resolution is pure given backend/capacity/budget)."""
+        import jax
+        import jax.numpy as jnp
+
+        idx = FlatIndex(128)
+        idx._capacity = 1 << 20  # pretend Pallas-scale
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        gib = (1 << 20) * 128  # row_bytes for this capacity/dim
+        monkeypatch.setenv(
+            "VECTORLITE_AUTO_BF16_GB", str(gib * 4 / (1 << 30))
+        )
+        assert idx._prospective_dtype() == jnp.float32
+        monkeypatch.setenv(
+            "VECTORLITE_AUTO_BF16_GB", str(gib * 2 / (1 << 30))
+        )
+        assert idx._prospective_dtype() == jnp.bfloat16
+        monkeypatch.setenv(
+            "VECTORLITE_AUTO_BF16_GB", str(gib * 1 / (1 << 30))
+        )
+        assert idx._prospective_dtype() == jnp.int8
+        # off-TPU always f32
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert idx._prospective_dtype() == jnp.float32
