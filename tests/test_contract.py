@@ -171,3 +171,31 @@ def test_spec_k_bounds_match_server():
     k_schema = schema["properties"]["k"]
     assert k_schema["minimum"] == K_MIN
     assert k_schema["maximum"] == K_MAX
+
+
+def test_packaged_spec_matches_docs_copy():
+    """The wheel ships vectorlite_tpu/api/openapi.yaml so /openapi.yaml
+    works outside a source checkout; it must stay byte-identical to the
+    repo contract in docs/."""
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    docs = (root / "docs" / "openapi.yaml").read_text()
+    packaged = (
+        root / "vectorlite_tpu" / "api" / "openapi.yaml"
+    ).read_text()
+    assert docs == packaged
+
+
+def test_batch_route_k_bounds_declared():
+    """The served spec must declare the same 1..1000 k bounds the server
+    enforces on the batched search route (it already did for the single
+    route)."""
+    from pathlib import Path
+
+    spec = (
+        Path(__file__).parent.parent / "docs" / "openapi.yaml"
+    ).read_text()
+    assert (
+        spec.count("minimum: 1") >= 2
+    ), "batched route k lost its bounds"

@@ -362,3 +362,15 @@ class TestHostScanFastPath:
         # off-TPU always f32
         monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
         assert idx._prospective_dtype() == jnp.float32
+
+
+class TestBatchValidation:
+    def test_row_count_mismatch_is_not_dimension_mismatch(self):
+        idx = FlatIndex(12)
+        with pytest.raises(ValueError, match="row mismatch"):
+            idx.add_batch_arrays([1, 2], np.zeros((3, 12)))
+
+    def test_dim_mismatch_still_reported(self):
+        idx = FlatIndex(12)
+        with pytest.raises(DimensionMismatch):
+            idx.add_batch_arrays([1, 2], np.zeros((2, 8)))

@@ -319,3 +319,23 @@ class TestParallelBuild:
         for i, q in enumerate(qs):
             single = idx.search(q, 5, SimilarityMetric.COSINE)
             assert [r.id for r in batched[i]] == [r.id for r in single]
+
+
+class TestCorruptGraphDump:
+    def test_corrupt_top_level_falls_back_to_rebuild(self, rng):
+        """A dump claiming more levels than it ships (or than the native
+        builder's fixed slot count) must be rejected by validation and
+        rebuilt from vectors — previously it loaded 'successfully' and
+        the first search crashed in native code."""
+        idx = HNSWIndex(8, SimilarityMetric.COSINE)
+        idx.add_batch(
+            [vec(i, rng.normal(size=8), text=f"t{i}") for i in range(400)]
+        )
+        obj = idx.index_to_json()
+        obj["graph"]["top_level"] = 50
+        idx2 = HNSWIndex.index_from_json(obj)
+        q = rng.normal(size=8)
+        got = [r.id for r in idx2.search(q, 5, SimilarityMetric.COSINE)]
+        want = [r.id for r in idx.search(q, 5, SimilarityMetric.COSINE)]
+        assert got == want
+        assert len(idx2) == 400

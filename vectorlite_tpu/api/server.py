@@ -415,13 +415,27 @@ async def openapi_spec(request: web.Request) -> web.Response:
     return web.Response(text=spec, content_type="application/yaml")
 
 
-@functools.lru_cache(maxsize=1)
+_spec_cache: "str | None" = None
+
+
 def _openapi_spec_text():
-    path = Path(__file__).resolve().parents[2] / "docs" / "openapi.yaml"
-    try:
-        return path.read_text(encoding="utf-8")
-    except OSError:
-        return None
+    """Contract text: the repo's docs/openapi.yaml in a source checkout,
+    else the copy packaged inside the wheel (tests pin them identical).
+    Failures are NOT cached, so a transient read error heals on retry."""
+    global _spec_cache
+    if _spec_cache is not None:
+        return _spec_cache
+    here = Path(__file__).resolve()
+    for path in (
+        here.parents[2] / "docs" / "openapi.yaml",
+        here.parent / "openapi.yaml",
+    ):
+        try:
+            _spec_cache = path.read_text(encoding="utf-8")
+            return _spec_cache
+        except OSError:
+            continue
+    return None
 
 
 def create_app(client: VectorLiteClient) -> web.Application:

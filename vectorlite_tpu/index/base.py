@@ -47,3 +47,36 @@ class VectorIndex(Protocol):
     def index_to_json(self) -> dict:
         """Serialize to the reference .vlc ``index`` payload shape."""
         ...
+
+
+def validate_batch_arrays(ids, values, dim: int, existing_ids):
+    """Shared validation for the array-native bulk-insert paths
+    (FlatIndex/HNSWIndex.add_batch_arrays): all-or-nothing, C-speed set
+    algebra on the happy path, per-id scan only to name the offender.
+
+    Returns ``(int_ids, values_f64)``; raises DimensionMismatch for a
+    wrong vector width, ValueError for an ids/rows count mismatch, and
+    DuplicateVectorId for a repeat within the batch or against
+    ``existing_ids`` (a set-like of ints, e.g. dict.keys())."""
+    import numpy as np
+
+    from ..errors import DimensionMismatch, DuplicateVectorId
+
+    values = np.asarray(values, dtype=np.float64)
+    n = len(ids)
+    if values.ndim != 2 or values.shape[1] != dim:
+        got = values.shape[1] if values.ndim == 2 else -1
+        raise DimensionMismatch(dim, int(got))
+    if values.shape[0] != n:
+        raise ValueError(
+            f"ids/values row mismatch: {n} ids, {values.shape[0]} rows"
+        )
+    int_ids = [int(i) for i in ids]
+    batch_set = set(int_ids)
+    if len(batch_set) != n or existing_ids & batch_set:
+        seen: set[int] = set()
+        for vid in int_ids:
+            if vid in existing_ids or vid in seen:
+                raise DuplicateVectorId(vid)
+            seen.add(vid)
+    return int_ids, values

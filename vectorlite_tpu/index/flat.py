@@ -37,6 +37,7 @@ from ..core.metrics import SimilarityMetric
 from ..core.types import SearchResult, Vector
 from ..errors import DimensionMismatch, DuplicateVectorId
 from ..kernels.topk import next_pow2, row_sqnorms, search_topk, update_rows
+from .base import validate_batch_arrays
 
 _MIN_CAPACITY = 256
 _MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
@@ -201,23 +202,12 @@ class FlatIndex:
         duplicates within the batch and against the index) before any
         mutation. This is the high-throughput ingestion path fed directly
         by EmbeddingFunction.embed_batch_arrays."""
-        values = np.asarray(values, dtype=np.float64)
-        n = len(ids)
-        if values.shape != (n, self.dim):
-            got = values.shape[1] if values.ndim == 2 else -1
-            raise DimensionMismatch(self.dim, int(got))
+        int_ids, values = validate_batch_arrays(
+            ids, values, self.dim, self._id_to_slot.keys()
+        )
+        n = len(int_ids)
         if n == 0:
             return
-        int_ids = [int(i) for i in ids]
-        # set-algebra dup detection (C speed; the loop below only runs to
-        # name the offending id on the error path)
-        batch_set = set(int_ids)
-        if len(batch_set) != n or self._id_to_slot.keys() & batch_set:
-            seen: set[int] = set()
-            for vid in int_ids:
-                if vid in self._id_to_slot or vid in seen:
-                    raise DuplicateVectorId(vid)
-                seen.add(vid)
         while self._size + n > self._capacity:
             self._grow()
         lo = self._size

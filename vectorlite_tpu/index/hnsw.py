@@ -471,19 +471,14 @@ class HNSWIndex:
         """Array-native bulk insert: the embedding block is written into
         the shared native buffers in one vectorized copy (no per-row
         Vector objects). Validation is all-or-nothing like add_batch."""
-        values = np.asarray(values, dtype=np.float64)
-        n = len(ids)
-        if values.shape != (n, self.dim):
-            got = values.shape[1] if values.ndim == 2 else -1
-            raise DimensionMismatch(self.dim, int(got))
+        from .base import validate_batch_arrays
+
+        int_ids, values = validate_batch_arrays(
+            ids, values, self.dim, self._id_to_index.keys()
+        )
+        n = len(int_ids)
         if n == 0:
             return
-        int_ids = [int(i) for i in ids]
-        seen: set[int] = set()
-        for vid in int_ids:
-            if vid in self._id_to_index or vid in seen:
-                raise DuplicateVectorId(vid)
-            seen.add(vid)
         if self._nb is None:
             for i, vid in enumerate(int_ids):
                 self.add(
