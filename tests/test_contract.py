@@ -190,12 +190,13 @@ def test_packaged_spec_matches_docs_copy():
 def test_batch_route_k_bounds_declared():
     """The served spec must declare the same 1..1000 k bounds the server
     enforces on the batched search route (it already did for the single
-    route)."""
+    route). The inline-map k schema is unique to the batched route."""
     from pathlib import Path
 
     spec = (
         Path(__file__).parent.parent / "docs" / "openapi.yaml"
     ).read_text()
     assert (
-        spec.count("minimum: 1") >= 2
+        "k: {type: integer, default: 10, minimum: 1, maximum: 1000}"
+        in spec
     ), "batched route k lost its bounds"

@@ -374,3 +374,20 @@ class TestBatchValidation:
         idx = FlatIndex(12)
         with pytest.raises(DimensionMismatch):
             idx.add_batch_arrays([1, 2], np.zeros((2, 8)))
+
+    def test_texts_length_mismatch_rejected(self):
+        idx = FlatIndex(4)
+        with pytest.raises(ValueError, match="texts length mismatch"):
+            idx.add_batch_arrays(
+                range(10), np.zeros((10, 4)), texts=["a"] * 5
+            )
+        # nothing was inserted; the capacity invariant holds
+        assert len(idx) == 0
+        assert len(idx._texts) == idx._capacity
+
+    def test_metadatas_length_mismatch_rejected(self):
+        idx = FlatIndex(4)
+        with pytest.raises(ValueError, match="metadatas length mismatch"):
+            idx.add_batch_arrays(
+                range(3), np.zeros((3, 4)), metadatas=[None] * 2
+            )

@@ -49,15 +49,19 @@ class VectorIndex(Protocol):
         ...
 
 
-def validate_batch_arrays(ids, values, dim: int, existing_ids):
+def validate_batch_arrays(
+    ids, values, dim: int, existing_ids, texts=None, metadatas=None
+):
     """Shared validation for the array-native bulk-insert paths
     (FlatIndex/HNSWIndex.add_batch_arrays): all-or-nothing, C-speed set
     algebra on the happy path, per-id scan only to name the offender.
 
     Returns ``(int_ids, values_f64)``; raises DimensionMismatch for a
-    wrong vector width, ValueError for an ids/rows count mismatch, and
-    DuplicateVectorId for a repeat within the batch or against
-    ``existing_ids`` (a set-like of ints, e.g. dict.keys())."""
+    wrong vector width, ValueError for an ids/rows/texts/metadatas count
+    mismatch (the vectorized fills downstream would otherwise silently
+    truncate or resize), and DuplicateVectorId for a repeat within the
+    batch or against ``existing_ids`` (a set-like of ints, e.g.
+    dict.keys())."""
     import numpy as np
 
     from ..errors import DimensionMismatch, DuplicateVectorId
@@ -70,6 +74,15 @@ def validate_batch_arrays(ids, values, dim: int, existing_ids):
     if values.shape[0] != n:
         raise ValueError(
             f"ids/values row mismatch: {n} ids, {values.shape[0]} rows"
+        )
+    if texts is not None and len(texts) != n:
+        raise ValueError(
+            f"ids/texts length mismatch: {n} ids, {len(texts)} texts"
+        )
+    if metadatas is not None and len(metadatas) != n:
+        raise ValueError(
+            f"ids/metadatas length mismatch: {n} ids, "
+            f"{len(metadatas)} metadatas"
         )
     int_ids = [int(i) for i in ids]
     batch_set = set(int_ids)

@@ -203,7 +203,8 @@ class FlatIndex:
         mutation. This is the high-throughput ingestion path fed directly
         by EmbeddingFunction.embed_batch_arrays."""
         int_ids, values = validate_batch_arrays(
-            ids, values, self.dim, self._id_to_slot.keys()
+            ids, values, self.dim, self._id_to_slot.keys(),
+            texts=texts, metadatas=metadatas,
         )
         n = len(int_ids)
         if n == 0:

@@ -474,7 +474,8 @@ class HNSWIndex:
         from .base import validate_batch_arrays
 
         int_ids, values = validate_batch_arrays(
-            ids, values, self.dim, self._id_to_index.keys()
+            ids, values, self.dim, self._id_to_index.keys(),
+            texts=texts, metadatas=metadatas,
         )
         n = len(int_ids)
         if n == 0:
