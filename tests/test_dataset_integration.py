@@ -42,3 +42,49 @@ def test_real_dataset_flat_search():
     for probe in vectors[:: max(1, len(vectors) // 20)]:
         results = index.search(probe.values, 1, SimilarityMetric.COSINE)
         assert results[0].id == probe.id
+
+
+def test_generated_dataset_jsonl_pipeline(tmp_path):
+    """The same JSONL-ingestion pipeline, exercised unconditionally with a
+    deterministic generated dataset shaped like the reference's
+    github-issues.jsonl (2175 x 768-d pre-computed embeddings,
+    reference: tests/integration_test.rs:53) — so the loading code runs
+    in every CI pass instead of only when the optional file exists."""
+    import numpy as np
+
+    rng = np.random.default_rng(2175)
+    n, d = 300, 768  # same schema/dim as the reference dataset, CI-sized
+    emb = rng.normal(size=(n, d))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    path = tmp_path / "issues.jsonl"
+    with path.open("w") as f:
+        for i in range(n):
+            f.write(
+                json.dumps(
+                    {
+                        "id": i,
+                        "text": f"issue #{i}: synthetic title",
+                        "embedding": [float(x) for x in emb[i]],
+                    }
+                )
+                + "\n"
+            )
+
+    vectors = []
+    with path.open() as f:
+        for i, line in enumerate(f):
+            row = json.loads(line)
+            e = row.get("embedding") or row.get("values")
+            vectors.append(
+                Vector(
+                    id=int(row.get("id", i)),
+                    values=[float(x) for x in e],
+                    text=str(row.get("text", "")),
+                )
+            )
+    index = FlatIndex(len(vectors[0].values), vectors)
+    assert len(index) == n
+    for probe in vectors[:: n // 10]:
+        results = index.search(probe.values, 1, SimilarityMetric.COSINE)
+        assert results[0].id == probe.id
+        assert results[0].text.startswith(f"issue #{probe.id}:")
