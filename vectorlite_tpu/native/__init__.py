@@ -111,6 +111,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32,
     ]
     lib.hnsw_insert_leveled.argtypes = [c.c_void_p, c.c_int64, c.c_int32]
+    lib.hnsw_set_keep_pruned.argtypes = [c.c_void_p, c.c_int32]
     lib.hnsw_draw_levels.argtypes = [c.c_void_p, c.c_int64, p(c.c_int32)]
     lib.hnsw_bulk_link_heuristic_l0.argtypes = [
         c.c_void_p,
