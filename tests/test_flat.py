@@ -245,11 +245,11 @@ class TestAutoProfile:
 
         idx = FlatIndex(4)
         idx._device_dtype = jnp.float32
-        assert idx._needs_rescore(True) is False  # f32 block: exact scores
+        assert idx._needs_rescore() is False  # f32 block: exact scores
         idx._device_dtype = jnp.bfloat16
-        assert idx._needs_rescore(False) is True
+        assert idx._needs_rescore() is True
         idx_q = FlatIndex(4, device_dtype="int8")
-        assert idx_q._needs_rescore(False) is True
+        assert idx_q._needs_rescore() is True
 
     def test_host_norms_watermark(self):
         rng = np.random.default_rng(0)
@@ -391,3 +391,20 @@ class TestBatchValidation:
             idx.add_batch_arrays(
                 range(3), np.zeros((3, 4)), metadatas=[None] * 2
             )
+
+    def test_k_nonpositive_arrays_path(self):
+        idx = FlatIndex(4, [vec(i, [i, 0, 0, 0]) for i in range(1, 6)])
+        ids, scores = idx.search_batch_arrays(
+            np.zeros((2, 4)), 0, SimilarityMetric.COSINE
+        )
+        assert ids.shape == (2, 0) and scores.shape == (2, 0)
+        ids, scores = idx.search_batch_arrays(
+            np.zeros((2, 4)), -5, SimilarityMetric.COSINE
+        )
+        assert ids.shape == (2, 0)
+
+    def test_empty_batch_is_noop(self):
+        idx = FlatIndex(4)
+        idx.add_batch_arrays([], [])
+        idx.add_batch_arrays([], np.zeros((0, 4)))
+        assert len(idx) == 0

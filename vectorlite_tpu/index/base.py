@@ -68,6 +68,10 @@ def validate_batch_arrays(
 
     values = np.asarray(values, dtype=np.float64)
     n = len(ids)
+    if n == 0 and values.size == 0:
+        # documented no-op: an empty batch from a generic caller arrives
+        # as shape (0,), which must not trip the width check below
+        return [], values.reshape(0, dim)
     if values.ndim != 2 or values.shape[1] != dim:
         got = values.shape[1] if values.ndim == 2 else -1
         raise DimensionMismatch(dim, int(got))

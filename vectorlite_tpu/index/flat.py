@@ -60,11 +60,13 @@ _PALLAS_TILE_BLOCK = 4096
 #: same exact-f32 scores as the exact kernel, so it needs NO re-scoring.
 _BLOCK_WINNERS = 2
 
-#: "auto" dtype keeps the corpus f32 until it would not fit comfortably in
-#: one chip's HBM, then drops to bf16 storage (+ exact host re-scoring).
-#: f32 + block-W2 measured FASTER than bf16 anything once re-scoring is
-#: priced in (bf16 scores are not exact, so bf16 always re-scores); bf16's
-#: value here is capacity, not speed. Tunable: VECTORLITE_AUTO_BF16_GB.
+#: "auto" dtype is a capacity ladder: f32 until the corpus would not fit
+#: comfortably in one chip's HBM, then bf16 (2x rows), then int8 (4x
+#: rows) — each reduced rung adds 2x candidate oversampling + exact f64
+#: host re-scoring (recall@10 measured 1.0 at 1M for both). f32 +
+#: block-W2 measured FASTER than bf16 anything once re-scoring is priced
+#: in, so reduced precision buys capacity, never speed, here. Tunable:
+#: VECTORLITE_AUTO_BF16_GB.
 _AUTO_BF16_BYTES = 6 << 30
 
 #: Single/tiny-batch queries over small corpora skip the device entirely:
@@ -113,10 +115,9 @@ class FlatIndex:
         # "int8" selects the quantized profile: symmetric per-row int8
         # corpus + int8-MXU scoring, with exact host re-scoring of the k
         # winners (scores returned to callers are exact f64 math).
-        # "auto" (default) stores f32 below the Pallas threshold and
-        # switches the device cache to bf16 at large scale on TPU (halves
-        # HBM traffic, winners exactly re-scored on the host) — the
-        # measured-fastest composition at 1M x 384 (BASELINE.md).
+        # "auto" (default) is the capacity ladder: f32 below the HBM
+        # budget, then bf16, then int8 — see _AUTO_BF16_BYTES and
+        # _prospective_dtype (measured trade-offs in BASELINE.md).
         self._auto_dtype = device_dtype == "auto"
         if self._auto_dtype:
             device_dtype = jnp.float32
@@ -332,7 +333,7 @@ class FlatIndex:
             scores, slots = jax.device_get((scores, slots))
             scores = scores[:b]
             slots = slots[:b]
-            if self._needs_rescore(approx):
+            if self._needs_rescore():
                 scores, slots = self._exact_rescore(
                     q64, scores, slots, metric
                 )
@@ -369,22 +370,26 @@ class FlatIndex:
         *,
         approx: Optional[bool] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Array fast path: returns (ids [B,k] int64, scores [B,k] f32)
-        without materializing per-hit Python objects. Rows with fewer than k
-        live vectors are padded with id=-1 / score=-inf. This is the
-        production serving path for high-QPS batched search.
+        """Array fast path: returns (ids [B,k] int64, scores [B,k] f64)
+        without materializing per-hit Python objects (score dtype is
+        normalized to float64 across the f32-device / host-scan / exact-
+        rescore routes). Rows with fewer than k live vectors are padded
+        with id=-1 / score=-inf; k <= 0 returns [B, 0] arrays. This is
+        the production serving path for high-QPS batched search.
         """
         q64 = np.asarray(queries, dtype=np.float64)
         q = q64.astype(np.float32)
         b = q.shape[0]
-        if self._count == 0:
+        k = int(k)
+        if self._count == 0 or k <= 0:
+            k_out = max(0, k)
             return (
-                np.full((b, k), -1, np.int64),
-                np.full((b, k), -np.inf, np.float32),
+                np.full((b, k_out), -1, np.int64),
+                np.full((b, k_out), -np.inf, np.float64),
             )
         if q.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, q.shape[1])
-        k_eff = min(int(k), self._count)
+        k_eff = min(k, self._count)
         if self._host_scan_eligible(b):
             scores, slots = self._host_scan(q64, k_eff, metric)
         else:
@@ -401,7 +406,7 @@ class FlatIndex:
             scores, slots = jax.device_get((scores, slots))
             scores = scores[:b]
             slots = slots[:b]
-            if self._needs_rescore(approx):
+            if self._needs_rescore():
                 scores, slots = self._exact_rescore(
                     q64, scores, slots, metric
                 )
@@ -421,7 +426,7 @@ class FlatIndex:
                 ((0, 0), (0, k - k_eff)),
                 constant_values=-np.inf,
             )
-        return ids, scores
+        return ids, scores.astype(np.float64, copy=False)
 
     def __len__(self) -> int:
         return self._count
@@ -476,6 +481,7 @@ class FlatIndex:
         device path: tombstones -inf, ties break to the lower slot,
         scores are the scalar reference formulas in f64
         (reference: src/index/flat.rs:98-119)."""
+        k_eff = max(0, int(k_eff))  # defensive: public paths guard k<=0
         v = self._values64[: self._size]  # [N, D]
         if metric is SimilarityMetric.MANHATTAN:
             # chunked |v - q| reduce: a full [B, N, D] f64 broadcast would
@@ -592,12 +598,12 @@ class FlatIndex:
         at least k_pad of them."""
         return k_pad * (128 // _BLOCK_WINNERS) <= self._capacity
 
-    def _needs_rescore(self, approx: bool) -> bool:
+    def _needs_rescore(self) -> bool:
         """Exact f64 host re-scoring of the k winners is required whenever
         device *scores* ran on reduced precision (int8/bf16 storage);
-        returned scores then match the scalar reference formulas. f32
-        block selection needs none: its candidate scores are the same
-        exact-f32 values the exact kernel returns."""
+        returned scores then match the scalar reference formulas. Approx
+        (block) selection alone needs none: its candidate scores are the
+        same exact-f32 values the exact kernel returns."""
         return self._quantized or self._device_dtype == jnp.bfloat16
 
     def _exact_rescore(

@@ -277,8 +277,13 @@ struct Builder {
 
   // entry/top_level + upper-level allocation + rng
   std::mutex global_mu;
-  // adjacency row locks (only honored on the concurrent-build path)
-  std::unique_ptr<std::mutex[]> row_locks{new std::mutex[kLockPoolSize]};
+  // adjacency row locks (only honored on the concurrent-build path);
+  // allocated lazily on the first parallel build — ~2.6 MB of mutexes
+  // that single-threaded builders never need
+  std::unique_ptr<std::mutex[]> row_locks;
+  void ensure_row_locks() {
+    if (!row_locks) row_locks.reset(new std::mutex[kLockPoolSize]);
+  }
 
   // scratch pool: searches run concurrently, each with its own visited[]
   std::mutex pool_mu;
@@ -656,6 +661,7 @@ struct Builder {
       release_scratch(scr);
       return;
     }
+    ensure_row_locks();  // single-threaded here, before workers spawn
     std::atomic<int64_t> cursor{i0};
     auto worker = [&]() {
       Scratch* scr = acquire_scratch();
@@ -759,7 +765,8 @@ void hnsw_insert_leveled(Builder* b, int64_t node, int32_t level) {
   b->insert(node, level);
 }
 
-// toggle keepPrunedConnections (insert-time closest-backfill); default on
+// toggle keepPrunedConnections (insert-time closest-backfill); default
+// OFF (measured harmful on clustered embeddings — see the Builder field)
 void hnsw_set_keep_pruned(Builder* b, int32_t on) {
   b->keep_pruned = on != 0;
 }
