@@ -2,12 +2,15 @@
 
 Headline (BASELINE.md primary metric): cosine top-10 QPS at measured
 recall@10 = 1.0 on a 1M x 384 corpus, batch 256 — served by the default
-large-corpus profile: the fused Pallas block-top-W scan (W=2 winners per
-128-lane block, kernels/pallas_scan.py), whose candidate scores are the
-same exact-f32 values the exact kernel computes. Selection misses need
->2 of the true top-10 in one 128-row block (P ~ 2e-5 at 1M); recall is
-verified against float64 numpy on a subsample at startup and the exact
-kernel is also measured (stderr secondary).
+large-corpus profile ("speed mode", index/flat.py): a bf16 scan copy
+selects 2x-oversampled block-top-W2 candidates (half the HBM reads,
+1-pass MXU matmul, argmax select), and the co-resident f32 rows re-score
+them exactly on device in the same dispatch
+(kernels/pallas_scan.py::pallas_search_block_topk_rescored). Returned
+scores are exact-f32; indices measured 100% identical to the exhaustive
+kernel at 1M. Recall is verified against float64 numpy on a subsample at
+startup; the f32 block and exhaustive kernels are also measured (stderr
+secondaries).
 
 The reference publishes no measured numbers (BASELINE.md); the baseline
 denominator is a measured CPU float64 exact scan on this host — the direct
@@ -67,6 +70,7 @@ def main() -> None:
     from vectorlite_tpu.core.metrics import SimilarityMetric
     from vectorlite_tpu.kernels.pallas_scan import (
         pallas_search_block_topk,
+        pallas_search_block_topk_rescored,
         pallas_search_topk,
     )
 
@@ -80,12 +84,29 @@ def main() -> None:
     on_tpu = dev.platform == "tpu"
 
     values = jnp.asarray(values_f32)
+    values_scan = values.astype(jnp.bfloat16)
     sqnorms = jnp.sum(values * values, axis=-1)
     valid = jnp.ones(N, dtype=bool)
     queries = jnp.asarray(queries_f32)
 
     def run():
-        # default large-corpus profile (index/flat.py): f32 block-top-W
+        # default large-corpus profile (index/flat.py "speed mode"):
+        # bf16 scan copy + device exact-f32 rescore, one dispatch
+        return pallas_search_block_topk_rescored(
+            values_scan,
+            values,
+            sqnorms,
+            valid,
+            queries,
+            metric=SimilarityMetric.COSINE,
+            k=K,
+            k_sel=2 * K,
+            tile_n=4096,
+            winners=2,
+            interpret=not on_tpu,
+        )
+
+    def run_block_f32():
         return pallas_search_block_topk(
             values,
             sqnorms,
@@ -144,24 +165,28 @@ def main() -> None:
     t_exec = (t_large - t_small) / ITERS
     device_qps = BATCH / t_exec
     log(
-        f"device search (block-W2 default profile): "
+        f"device search (speed-mode default profile): "
         f"{t_exec * 1e3:.3f} ms/batch ({device_qps:,.0f} QPS, "
         f"batch={BATCH}, N={N}, D={D}, pallas tile=4096)"
     )
 
-    # secondary: the exact tiled kernel (forced approx=False path)
-    def chain_exact(m):
+    # secondaries: f32 block kernel and the exhaustive tiled kernel
+    def chain_fn(fn, m):
         t0 = time.perf_counter()
-        outs = [run_exact() for _ in range(m)]
+        outs = [fn() for _ in range(m)]
         np.asarray(outs[-1][0])
         return time.perf_counter() - t0
 
-    chain_exact(2)
-    te = (chain_exact(4 + ITERS) - chain_exact(4)) / ITERS
-    log(
-        f"device search (exact kernel, secondary): {te * 1e3:.3f} ms/batch "
-        f"({BATCH / te:,.0f} QPS, tile={TILE})"
-    )
+    for name, fn, tile in (
+        ("f32 block-W2", run_block_f32, 4096),
+        ("exhaustive", run_exact, TILE),
+    ):
+        chain_fn(fn, 2)
+        te = (chain_fn(fn, 4 + ITERS) - chain_fn(fn, 4)) / ITERS
+        log(
+            f"device search ({name}, secondary): {te * 1e3:.3f} ms/batch "
+            f"({BATCH / te:,.0f} QPS, tile={tile})"
+        )
 
     log("measuring CPU float64 baseline (reference-analogue scan)...")
     baseline = cpu_baseline_qps(v64, queries_f32.astype(np.float64))

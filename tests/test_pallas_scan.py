@@ -204,3 +204,46 @@ class TestBlockTopW:
             interpret=True, winners=2,
         )
         assert list(np.asarray(i)[0]) == [130, 140, 300]
+
+    @pytest.mark.parametrize("metric", MATMUL_METRICS)
+    def test_rescored_matches_exhaustive(self, metric, rng):
+        """Speed mode (bf16 scan copy + device exact-f32 rescore) must
+        find planted well-separated neighbors and score them exactly.
+        (At the tiny n used here, fully random data would make >W-per-
+        block collisions likely; production engages this path only at
+        >=128K rows where that probability is ~2e-5 — the 1M on-chip
+        check measured 100% index agreement with the exhaustive kernel.)
+        """
+        from vectorlite_tpu.kernels.pallas_scan import (
+            pallas_search_block_topk_rescored,
+        )
+
+        n, d, b, k = 2048, 64, 4, 4
+        data = rng.normal(size=(n, d)).astype(np.float32) * 0.01
+        q_np = rng.normal(size=(b, d)).astype(np.float32)
+        hits = (5, 300, 900, 1500)  # distinct 128-blocks
+        pert = rng.normal(size=(4, d)).astype(np.float32)
+        for j, row in enumerate(hits):
+            # distinct angles AND magnitudes so every metric orders the
+            # hits strictly (scalar multiples would tie under cosine and
+            # make the order ulp-dependent)
+            data[row] = (q_np[0] + 0.15 * (j + 1) * pert[j]) * (
+                3.0 - 0.2 * j
+            )
+        values = jnp.asarray(data)
+        sqnorms = jnp.sum(values * values, axis=-1)
+        valid = jnp.ones(n, dtype=bool)
+        vbf = values.astype(jnp.bfloat16)
+        queries = jnp.asarray(np.repeat(q_np[:1], b, axis=0))
+        s1, i1 = pallas_search_block_topk_rescored(
+            vbf, values, sqnorms, valid, queries,
+            metric=metric, k=k, k_sel=16, tile_n=256,
+            interpret=True, winners=2,
+        )
+        s2, i2 = search_topk(
+            values, sqnorms, valid, queries, metric=metric, k=k
+        )
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+        )

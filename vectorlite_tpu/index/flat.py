@@ -69,6 +69,14 @@ _BLOCK_WINNERS = 2
 #: VECTORLITE_AUTO_BF16_GB.
 _AUTO_BF16_BYTES = 6 << 30
 
+#: Speed mode: while the budget allows 6 bytes/element (f32 corpus + a
+#: bf16 scan copy), candidate selection scans the bf16 copy (half the
+#: HBM reads, 1-pass MXU matmul) and the winners are exactly re-scored
+#: on device from the co-resident f32 rows — one dispatch, exact-f32
+#: scores, indices measured identical to the exhaustive kernel at 1M
+#: (6.45 ms vs 9.4 ms, ~40K QPS, recall 1.0; BASELINE.md).
+_SCAN_COPY_BYTES_PER_ELEM = 6
+
 #: Single/tiny-batch queries over small corpora skip the device entirely:
 #: an exact f64 numpy scan measured 0.17 ms (1K rows) / 1.2 ms (10K) /
 #: 4.6 ms (32K) per query on one core, vs ~25-30 ms per TPU relay RPC.
@@ -158,6 +166,7 @@ class FlatIndex:
         # never dispatch against a reference captured before a sync.
         self._dev_lock = threading.Lock()
         self._dev_values: Optional[jax.Array] = None
+        self._dev_scan: Optional[jax.Array] = None  # bf16 speed-mode copy
         self._dev_scales: Optional[jax.Array] = None  # int8 profile only
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
@@ -266,6 +275,7 @@ class FlatIndex:
         self._host_norms_n = 0  # rows moved: rebuild the norm table lazily
         # device cache must be rebuilt wholesale
         self._dev_values = None
+        self._dev_scan = None
         self._dev_scales = None
         self._dev_sqnorms = None
         self._dev_valid = None
@@ -554,6 +564,33 @@ class FlatIndex:
             return jnp.bfloat16
         return jnp.int8
 
+    def _scan_copy_wanted(self) -> bool:
+        """Speed mode: keep a bf16 scan copy next to the f32 corpus (see
+        _SCAN_COPY_BYTES_PER_ELEM) whenever the budget allows — single
+        chip, auto profile, Pallas scale, f32 rung."""
+        if (
+            not self._auto_dtype
+            or self._quantized
+            or self._mesh is not None
+            or self._capacity < _PALLAS_MIN_CAPACITY
+        ):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ..utils import env_number
+
+        budget = int(
+            env_number(
+                "VECTORLITE_AUTO_BF16_GB",
+                _AUTO_BF16_BYTES / (1 << 30),
+                cast=float,
+            )
+            * (1 << 30)
+        )
+        return (
+            self._capacity * self.dim * _SCAN_COPY_BYTES_PER_ELEM <= budget
+        )
+
     def _resolve_approx(
         self, approx: Optional[bool], k_pad: int, metric: SimilarityMetric
     ) -> bool:
@@ -759,9 +796,29 @@ class FlatIndex:
             if pallas_ok:
                 from ..kernels.pallas_scan import (
                     pallas_search_block_topk,
+                    pallas_search_block_topk_rescored,
                     pallas_search_topk,
                 )
 
+                if approx and self._dev_scan is not None:
+                    # speed mode: bf16 scan copy selects 2x-oversampled
+                    # candidates, f32 rows re-score them exactly on
+                    # device — one dispatch, exact-f32 scores
+                    k_sel = next_pow2(2 * k_pad)
+                    if k_sel * (128 // _BLOCK_WINNERS) > self._capacity:
+                        k_sel = k_pad
+                    return pallas_search_block_topk_rescored(
+                        self._dev_scan,
+                        self._dev_values,
+                        self._dev_sqnorms,
+                        self._dev_valid,
+                        queries,
+                        metric=metric,
+                        k=k_pad,
+                        k_sel=k_sel,
+                        tile_n=_PALLAS_TILE_BLOCK,
+                        winners=_BLOCK_WINNERS,
+                    )
                 if approx:
                     return pallas_search_block_topk(
                         self._dev_values,
@@ -823,6 +880,7 @@ class FlatIndex:
         self._capacity = new_cap
         # Capacity changed: device buffers must be rebuilt wholesale.
         self._dev_values = None
+        self._dev_scan = None
         self._dev_scales = None
         self._dev_sqnorms = None
         self._dev_valid = None
@@ -863,6 +921,17 @@ class FlatIndex:
                 )
             else:
                 self._dev_values = jnp.asarray(vals32)
+            if (
+                self._device_dtype == jnp.float32
+                and self._scan_copy_wanted()
+            ):
+                import ml_dtypes
+
+                self._dev_scan = jnp.asarray(
+                    vals32.astype(ml_dtypes.bfloat16)
+                )
+            else:
+                self._dev_scan = None
             self._dev_valid = jnp.asarray(self._valid)
             self._dirty_lo = self._dirty_hi = self._size
             self._mask_dirty = False
@@ -890,6 +959,10 @@ class FlatIndex:
             else:
                 self._dev_values = update_rows(
                     self._dev_values, rows32.astype(self._device_dtype), lo
+                )
+            if self._dev_scan is not None:
+                self._dev_scan = update_rows(
+                    self._dev_scan, rows32.astype(jnp.bfloat16), lo
                 )
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:

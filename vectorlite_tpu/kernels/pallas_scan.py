@@ -176,18 +176,23 @@ def _block_topw_kernel(
     b = scores.shape[0]
     n_blocks = tile_n // BLOCK
     s3 = scores.reshape(b, n_blocks, BLOCK)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks, BLOCK), 2)
     tile_base = pl.program_id(0) * tile_n
     blk = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks), 1)
     for w in range(winners):  # static unroll; W is tiny (1 or 2)
+        # argmax (first max = lowest lane, the tie-break we want) lowers
+        # ~3x better in Mosaic than the where/iota/min idiom: with a
+        # 1-pass bf16 matmul the old idiom cost ~11 ms/pass at 1M — the
+        # select, not the matmul, was the "pathology" (BASELINE.md)
+        lidx = jnp.argmax(s3, axis=2).astype(jnp.int32)  # [B, n_blocks]
         best = jnp.max(s3, axis=2)  # [B, n_blocks]
-        cand = jnp.where(s3 >= best[:, :, None], lane, BLOCK)
-        lidx = jnp.min(cand, axis=2)  # [B, n_blocks] lane of the winner
         out_s_ref[0, :, pl.ds(w * n_blocks, n_blocks)] = best
         out_i_ref[0, :, pl.ds(w * n_blocks, n_blocks)] = (
             tile_base + blk * BLOCK + lidx
         )
         if w + 1 < winners:
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (b, n_blocks, BLOCK), 2
+            )
             s3 = jnp.where(lane == lidx[:, :, None], NEG_INF, s3)
 
 
@@ -367,6 +372,74 @@ def pallas_search_block_topk_int8(
         interpret=interpret,
         winners=winners,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "k_sel", "tile_n", "interpret", "winners"),
+)
+def pallas_search_block_topk_rescored(
+    values_scan: jax.Array,  # [N, D] bf16 scan copy (half the HBM reads)
+    values_exact: jax.Array,  # [N, D] f32 exact rows (co-resident)
+    sqnorms: jax.Array,  # [N] f32 exact squared norms
+    valid: jax.Array,  # [N] bool
+    queries: jax.Array,  # [B, D] f32
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    k_sel: int,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+    winners: int = 2,
+):
+    """Speed-mode scan: block-top-W candidate selection over the bf16
+    copy (1-pass MXU matmul + argmax select — reads half the bytes of
+    the f32 scan), then an exact-f32 re-score of the k_sel candidates
+    from the co-resident f32 rows, all in one dispatch. Returned scores
+    are the same exact-f32 values the exhaustive kernel computes; with
+    k_sel ~ 2x the k bucket, measured recall@10 = 1.0 at 1M (bf16
+    selection error only reorders near-boundary candidates).
+
+    Costs one extra bf16 corpus copy in HBM (1.5x total vs f32-only) —
+    index/flat.py enables this only while the budget allows.
+    """
+    s_sel, i_sel = pallas_search_block_topk(
+        values_scan,
+        sqnorms,
+        valid,
+        queries,
+        metric=metric,
+        k=k_sel,
+        tile_n=tile_n,
+        interpret=interpret,
+        winners=winners,
+    )
+    queries = queries.astype(jnp.float32)
+    rows = values_exact[i_sel]  # [B, k_sel, D] gather
+    dot = jnp.einsum(
+        "bkd,bd->bk",
+        rows,
+        queries,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric is SimilarityMetric.DOT_PRODUCT:
+        exact = dot
+    elif metric is SimilarityMetric.COSINE:
+        qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        denom = jnp.sqrt(qsq) * jnp.sqrt(sqnorms[i_sel])
+        exact = jnp.where(denom > 0.0, dot / jnp.maximum(denom, 1e-30), 0.0)
+    elif metric is SimilarityMetric.EUCLIDEAN:
+        qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        d_sq = jnp.maximum(qsq + sqnorms[i_sel] - 2.0 * dot, 0.0)
+        exact = 1.0 / (1.0 + jnp.sqrt(d_sq))
+    else:
+        raise NotImplementedError("manhattan uses the tiled XLA path")
+    exact = jnp.where(s_sel == NEG_INF, NEG_INF, exact)
+    # candidates arrive block-major/ascending-slot, so positional top_k
+    # keeps the lowest-slot tie-break
+    s_top, pos = jax.lax.top_k(exact, k)
+    i_top = jnp.take_along_axis(i_sel, pos, axis=1)
+    return s_top, i_top
 
 
 def _tile_kernel_int8(
