@@ -597,25 +597,22 @@ class FlatIndex:
         """Resolve the tri-state ``approx`` flag.
 
         ``None`` auto-engages block-top-W selection at Pallas scale — the
-        measured-fastest composition for f32 corpora (selection scores are
-        the same exact f32 the exact kernel returns, so nothing is lost).
-        Block selection needs capacity/128*W >= k_pad candidates; huge k
-        falls back to exact selection. Mesh selection is always exact (the
-        block kernel is single-chip). Auto engages ONLY for f32 storage:
-        block-select over bf16 or int8 tiles measured pathological on
-        this Mosaic stack (25-28 ms vs 9.4-10.2 ms for their exact
-        kernels at 1M — the slowdown tracks the storage dtype, not the
-        matmul or the cast)."""
+        measured-fastest selection for every storage dtype since the
+        argmax select landed (1M x 384, b=256: f32 9.4 ms vs exhaustive
+        14.1; bf16 5.5 vs 9.4; int8 7.0 vs 10.2 — the old where/iota/min
+        idiom made the reduced-precision variants pathological, see
+        BASELINE.md). Reduced-precision candidates are 2x-oversampled
+        (_selection_k) and exactly re-scored as before. Block selection
+        needs capacity/128*W >= k_pad candidates; huge k falls back to
+        exhaustive selection. Mesh selection is always exact (the block
+        kernel is single-chip)."""
         if self._mesh is not None or not _use_pallas(self._capacity, metric):
             return False
         if not self._block_selection_feasible(k_pad):
             return False
         if approx is not None:
             return bool(approx)
-        return (
-            not self._quantized
-            and self._prospective_dtype() == jnp.float32
-        )
+        return True
 
     def _selection_k(self, k_pad: int, approx: bool) -> int:
         """Candidate-list width for device selection.
