@@ -223,12 +223,15 @@ class TestBlockTopW:
         q_np = rng.normal(size=(b, d)).astype(np.float32)
         hits = (5, 300, 900, 1500)  # distinct 128-blocks
         pert = rng.normal(size=(4, d)).astype(np.float32)
+        pert /= np.linalg.norm(pert, axis=1, keepdims=True)
         for j, row in enumerate(hits):
-            # distinct angles AND magnitudes so every metric orders the
-            # hits strictly (scalar multiples would tie under cosine and
-            # make the order ulp-dependent)
-            data[row] = (q_np[0] + 0.15 * (j + 1) * pert[j]) * (
-                3.0 - 0.2 * j
+            # planted rows sit NEAR the query with strictly increasing
+            # perturbation and a slight magnitude ramp, so every metric
+            # (cosine: angle; euclidean: distance; dot: magnitude) ranks
+            # them as the strict top-4 in the same planted order, well
+            # separated from the 0.01-scale noise rows
+            data[row] = (q_np[0] + 0.3 * (j + 1) * pert[j]) * (
+                1.0 - 0.05 * j
             )
         values = jnp.asarray(data)
         sqnorms = jnp.sum(values * values, axis=-1)

@@ -98,6 +98,22 @@ def _quantize_rows_int8_np(rows32: np.ndarray):
     return q.astype(np.int8), scale
 
 
+def _hbm_budget_bytes() -> int:
+    """The auto-profile HBM budget (VECTORLITE_AUTO_BF16_GB override),
+    shared by the dtype ladder and the scan-copy decision so the two can
+    never disagree."""
+    from ..utils import env_number
+
+    return int(
+        env_number(
+            "VECTORLITE_AUTO_BF16_GB",
+            _AUTO_BF16_BYTES / (1 << 30),
+            cast=float,
+        )
+        * (1 << 30)
+    )
+
+
 def _use_pallas(capacity: int, metric: SimilarityMetric) -> bool:
     if capacity < _PALLAS_MIN_CAPACITY:
         return False
@@ -300,10 +316,11 @@ class FlatIndex:
 
         ``approx`` selects candidates with the block-top-W kernel
         (Pallas-eligible corpora only); ``None`` (default) auto-engages
-        it at Pallas scale for f32 corpora — the measured-fastest
-        profile, returning the same exact-f32 scores as the exact kernel
-        (int8/bf16 storage is always re-scored in exact f64); ``False``
-        forces exhaustive selection.
+        it at Pallas scale for every storage dtype (see _resolve_approx
+        for the measurements). Returned scores stay exact: exact-f32 via
+        the speed-mode device re-score or f32 block selection, exact f64
+        host re-scoring for int8/bf16 storage. ``False`` forces
+        exhaustive selection on the storage dtype.
 
         Dimension check only applies when the index is non-empty, matching the
         reference quirk (reference: src/index/flat.rs:99).
@@ -543,16 +560,7 @@ class FlatIndex:
             return jnp.float32  # sharded kernels run f32 (or explicit int8)
         if self._dev_values is not None:
             return self._device_dtype
-        from ..utils import env_number
-
-        budget = int(
-            env_number(
-                "VECTORLITE_AUTO_BF16_GB",
-                _AUTO_BF16_BYTES / (1 << 30),
-                cast=float,
-            )
-            * (1 << 30)
-        )
+        budget = _hbm_budget_bytes()
         row_bytes = self._capacity * self.dim
         if (
             jax.default_backend() != "tpu"
@@ -567,7 +575,19 @@ class FlatIndex:
     def _scan_copy_wanted(self) -> bool:
         """Speed mode: keep a bf16 scan copy next to the f32 corpus (see
         _SCAN_COPY_BYTES_PER_ELEM) whenever the budget allows — single
-        chip, auto profile, Pallas scale, f32 rung."""
+        chip, auto profile, Pallas scale, f32 rung.
+
+        Selection ranks on bf16 scores; recall@10 measured 1.0 at 1M
+        with the 2x oversample on clustered cosine/euclidean, iid
+        gaussian, and a 10x-norm euclidean cancellation stress (bf16
+        error and score gaps both scale with |q||v| on realistic data).
+        VECTORLITE_SPEED_MODE=0 opts out (falls back to exact-f32
+        block selection) for adversarial corpora — huge-norm, ultra-
+        tight clusters where d^2 spread << |q||v|."""
+        from ..utils import env_number
+
+        if env_number("VECTORLITE_SPEED_MODE", 1) != 1:
+            return False
         if (
             not self._auto_dtype
             or self._quantized
@@ -577,18 +597,9 @@ class FlatIndex:
             return False
         if jax.default_backend() != "tpu":
             return False
-        from ..utils import env_number
-
-        budget = int(
-            env_number(
-                "VECTORLITE_AUTO_BF16_GB",
-                _AUTO_BF16_BYTES / (1 << 30),
-                cast=float,
-            )
-            * (1 << 30)
-        )
         return (
-            self._capacity * self.dim * _SCAN_COPY_BYTES_PER_ELEM <= budget
+            self._capacity * self.dim * _SCAN_COPY_BYTES_PER_ELEM
+            <= _hbm_budget_bytes()
         )
 
     def _resolve_approx(
@@ -958,9 +969,8 @@ class FlatIndex:
                     self._dev_values, rows32.astype(self._device_dtype), lo
                 )
             if self._dev_scan is not None:
-                self._dev_scan = update_rows(
-                    self._dev_scan, rows32.astype(jnp.bfloat16), lo
-                )
+                # update_rows casts to the buffer dtype internally
+                self._dev_scan = update_rows(self._dev_scan, rows32, lo)
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:
             self._dev_valid = jnp.asarray(self._valid)

@@ -435,8 +435,13 @@ def pallas_search_block_topk_rescored(
     else:
         raise NotImplementedError("manhattan uses the tiled XLA path")
     exact = jnp.where(s_sel == NEG_INF, NEG_INF, exact)
-    # candidates arrive block-major/ascending-slot, so positional top_k
-    # keeps the lowest-slot tie-break
+    # i_sel is ordered by bf16 selection score; re-sort candidates by
+    # global row so positional top_k breaks exact-score ties toward the
+    # LOWEST row — the same insertion-order tie-break as the exhaustive
+    # kernel, the host scan, and the reference's stable sort
+    order = jnp.argsort(i_sel, axis=1)
+    i_sel = jnp.take_along_axis(i_sel, order, axis=1)
+    exact = jnp.take_along_axis(exact, order, axis=1)
     s_top, pos = jax.lax.top_k(exact, k)
     i_top = jnp.take_along_axis(i_sel, pos, axis=1)
     return s_top, i_top
