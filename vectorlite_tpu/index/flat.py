@@ -534,6 +534,9 @@ class FlatIndex:
                     scores = np.where(
                         denom > 0.0, dots / np.maximum(denom, 1e-300), 0.0
                     )
+                # f64 rounding can put self-similarity at 1+1ulp; the
+                # device paths clamp, so clamp here for consistency
+                np.minimum(scores, 1.0, out=scores)
             else:  # euclidean
                 vsq = np.einsum("nd,nd->n", v, v)
                 qsq = np.einsum("bd,bd->b", q64, q64)[:, None]
@@ -674,11 +677,19 @@ class FlatIndex:
             denom = vn * qn
             with np.errstate(invalid="ignore", divide="ignore"):
                 exact = np.where(denom > 0.0, dot / np.maximum(denom, 1e-300), 0.0)
+            np.minimum(exact, 1.0, out=exact)  # match device-path clamp
         elif metric is SimilarityMetric.EUCLIDEAN:
             exact = 1.0 / (1.0 + np.linalg.norm(v - q, axis=-1))
         else:
             exact = 1.0 / (1.0 + np.sum(np.abs(v - q), axis=-1))
         exact = np.where(scores == -np.inf, -np.inf, exact)
+        # candidates arrive in device-selection-score order; re-sort by
+        # slot first so the stable score argsort breaks exact-score ties
+        # to the LOWEST row (insertion order), matching the host scan,
+        # the device kernels, and the reference's stable sort
+        slot_order = np.argsort(slots, axis=1, kind="stable")
+        exact = np.take_along_axis(exact, slot_order, axis=1)
+        slots = np.take_along_axis(slots, slot_order, axis=1)
         order = np.argsort(-exact, axis=1, kind="stable")
         return (
             np.take_along_axis(exact, order, axis=1),

@@ -152,20 +152,35 @@ def _block_topw_kernel(
     vscale_ref,
     sq_ref,
     valid_ref,
-    out_s_ref,  # [1, B, W * TILE/BLOCK]
-    out_i_ref,  # [1, B, W * TILE/BLOCK]
+    out_s_ref,  # [1, B, W * BLOCK]
+    out_i_ref,  # [1, B, W * BLOCK]
     *,
     metric: SimilarityMetric,
     tile_n: int,
     winners: int,
 ):
-    """TPU-KNN-style partial reduction: keep the best W rows of every
-    128-wide block (W reduction passes instead of K max/mask rounds). The
-    global top-k over all block winners loses a true neighbor only when
-    more than W of the top-k share a block: P(miss) ~ C(k,W+1) *
-    (BLOCK/N)^W — ~0.6% for k=10, W=1 at N=1M and ~2e-5 for W=2, where
-    the second pass costs ~3% (the matmul dominates). See PAPERS.md
-    (TPU-KNN)."""
+    """Partial top-W reduction over LANE GROUPS (TPU-KNN-style, but with
+    a hardware-native partition). Group l of a tile = rows {t : t === l
+    (mod 128)} — i.e. the rows sharing VPU lane l. Reducing a group is
+    then a log2(T/128) sequence of *elementwise* vreg folds
+    (``max(s[:, :half], s[:, half:])``): no cross-lane shuffles, no
+    relayout. The previous per-128-consecutive-rows partition needed a
+    cross-lane argmax, which Mosaic lowers ~4x slower than the matmul
+    itself — the select, not the matmul or the DMA, was the 6.5 ms
+    bottleneck at 1M (BASELINE.md round-3 notes; this fold dropped it
+    to ~2.9 ms).
+
+    The strided partition is also *more robust* for real ingestion:
+    consecutively-inserted near-duplicates land in consecutive rows,
+    which are DIFFERENT lane groups (old layout: the same 128-row block,
+    where only W of them could ever surface). A miss now needs more than
+    W of the true top-k to share both a tile and a lane (P ~ C(k, W+1) *
+    (1/128)^W per tile; ~4e-4 for k=10, W=2 even when all ten live in
+    one tile).
+
+    Ties resolve to the lowest row: the max-fold is score-only, and the
+    index-recovery fold takes the *minimum* matching column.
+    """
     scores = _scores_tile(
         q_ref[:], qscale_ref[:], qsq_ref[:], v_ref[:], vscale_ref[:],
         sq_ref[:], metric, tile_n,
@@ -174,26 +189,28 @@ def _block_topw_kernel(
     scores = jnp.where(valid_row, scores, NEG_INF)
 
     b = scores.shape[0]
-    n_blocks = tile_n // BLOCK
-    s3 = scores.reshape(b, n_blocks, BLOCK)
+    n_rep = tile_n // BLOCK
     tile_base = pl.program_id(0) * tile_n
-    blk = jax.lax.broadcasted_iota(jnp.int32, (b, n_blocks), 1)
-    for w in range(winners):  # static unroll; W is tiny (1 or 2)
-        # argmax (first max = lowest lane, the tie-break we want) lowers
-        # ~3x better in Mosaic than the where/iota/min idiom: with a
-        # 1-pass bf16 matmul the old idiom cost ~11 ms/pass at 1M — the
-        # select, not the matmul, was the "pathology" (BASELINE.md)
-        lidx = jnp.argmax(s3, axis=2).astype(jnp.int32)  # [B, n_blocks]
-        best = jnp.max(s3, axis=2)  # [B, n_blocks]
-        out_s_ref[0, :, pl.ds(w * n_blocks, n_blocks)] = best
-        out_i_ref[0, :, pl.ds(w * n_blocks, n_blocks)] = (
-            tile_base + blk * BLOCK + lidx
-        )
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+
+    for w in range(winners):  # static unroll; W is tiny (2-4)
+        # score-only halving fold: [B, T] -> [B, 128] group maxima
+        s = scores
+        while s.shape[1] > BLOCK:
+            half = s.shape[1] // 2
+            s = jnp.maximum(s[:, :half], s[:, half:])
+        s_bcast = jnp.tile(s, (1, n_rep))  # [B, T]; t -> group t%128
+        # lowest column attaining the group max (= lowest global row)
+        cand = jnp.where(scores >= s_bcast, col_ids, tile_n)
+        while cand.shape[1] > BLOCK:
+            half = cand.shape[1] // 2
+            cand = jnp.minimum(cand[:, :half], cand[:, half:])
+        out_s_ref[0, :, pl.ds(w * BLOCK, BLOCK)] = s
+        out_i_ref[0, :, pl.ds(w * BLOCK, BLOCK)] = cand + tile_base
         if w + 1 < winners:
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (b, n_blocks, BLOCK), 2
+            scores = jnp.where(
+                col_ids == jnp.tile(cand, (1, n_rep)), NEG_INF, scores
             )
-            s3 = jnp.where(lane == lidx[:, :, None], NEG_INF, s3)
 
 
 def _block_topk_call(
@@ -210,7 +227,7 @@ def _block_topk_call(
     winners: int = 1,
 ):
     n_tiles = n // tile_n
-    n_blocks = (tile_n // BLOCK) * winners
+    n_cand = BLOCK * winners  # per-tile candidates (tile-size invariant)
     kernel = functools.partial(
         _block_topw_kernel, metric=metric, tile_n=tile_n, winners=winners
     )
@@ -220,17 +237,17 @@ def _block_topk_call(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, b, n_blocks), lambda j: (j, 0, 0),
+                (1, b, n_cand), lambda j: (j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, b, n_blocks), lambda j: (j, 0, 0),
+                (1, b, n_cand), lambda j: (j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, b, n_blocks), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b, n_blocks), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, b, n_cand), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b, n_cand), jnp.int32),
         ],
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
@@ -240,24 +257,13 @@ def _block_topk_call(
         ),
         interpret=interpret,
     )(*inputs)
-    # Re-layout per-tile candidates from winner-major ([w0: blocks][w1:
-    # blocks]) to block-major/winner-minor so lax.top_k's positional
-    # tie-break still resolves equal scores to the LOWEST global row:
-    # within a block w0's lane <= w1's lane on ties, and blocks/tiles are
-    # already in ascending row order.
-    nb1 = tile_n // BLOCK
-    s_flat = (
-        jnp.moveaxis(out_s, 0, 1)
-        .reshape(b, n_tiles, winners, nb1)
-        .swapaxes(2, 3)
-        .reshape(b, n_tiles * n_blocks)
-    )
-    i_flat = (
-        jnp.moveaxis(out_i, 0, 1)
-        .reshape(b, n_tiles, winners, nb1)
-        .swapaxes(2, 3)
-        .reshape(b, n_tiles * n_blocks)
-    )
+    # Candidate rows interleave across lane groups, so flat position is
+    # NOT row-monotonic and lax.top_k's positional tie-break no longer
+    # implies lowest-row-on-ties here. Every serving path re-scores the
+    # winners (device rescored kernel / host f64) and re-sorts candidates
+    # by row there, restoring the reference's stable-sort tie semantics.
+    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * n_cand)
+    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * n_cand)
     s_top, pos = jax.lax.top_k(s_flat, k)
     i_top = jnp.take_along_axis(i_flat, pos, axis=1)
     return s_top, i_top
