@@ -117,9 +117,16 @@ def _hbm_budget_bytes() -> int:
 def _use_pallas(capacity: int, metric: SimilarityMetric) -> bool:
     if capacity < _PALLAS_MIN_CAPACITY:
         return False
-    if metric is SimilarityMetric.MANHATTAN:
-        return False  # no matmul form; tiled XLA path handles it
     return jax.default_backend() == "tpu"
+
+
+def _amk_enabled() -> bool:
+    """ApproxTopK selection (kernels/amk.py) — VECTORLITE_AMK=0 reverts
+    to the round-2 Pallas block kernels (escape hatch, not a tuned
+    path)."""
+    from ..utils import env_number
+
+    return env_number("VECTORLITE_AMK", 1) == 1
 
 
 class FlatIndex:
@@ -622,6 +629,10 @@ class FlatIndex:
         kernel is single-chip)."""
         if self._mesh is not None or not _use_pallas(self._capacity, metric):
             return False
+        if metric is SimilarityMetric.MANHATTAN:
+            # no matmul form: the L1 scan is VPU-bound and selection is a
+            # rounding error of its cost — always exact (pallas_l1.py)
+            return False
         if not self._block_selection_feasible(k_pad):
             return False
         if approx is not None:
@@ -772,6 +783,9 @@ class FlatIndex:
             # feasibility rule on the public paths
             if approx and not self._block_selection_feasible(k_pad):
                 approx = False
+            if metric is SimilarityMetric.MANHATTAN:
+                pallas_ok = pallas_ok and not self._quantized
+            use_amk = pallas_ok and _amk_enabled()
             if self._quantized:
                 if pallas_ok:
                     from ..kernels.pallas_scan import (
@@ -779,6 +793,18 @@ class FlatIndex:
                         pallas_search_topk_int8,
                     )
 
+                    if approx and use_amk:
+                        from ..kernels.amk import amk_select_int8
+
+                        return amk_select_int8(
+                            self._dev_values,
+                            self._dev_scales,
+                            self._dev_sqnorms,
+                            self._dev_valid,
+                            queries,
+                            metric=metric,
+                            k=k_pad,
+                        )
                     if approx:
                         return pallas_search_block_topk_int8(
                             self._dev_values,
@@ -819,10 +845,54 @@ class FlatIndex:
                     pallas_search_topk,
                 )
 
+                if metric is SimilarityMetric.MANHATTAN:
+                    # fused L1 scan: no [B, cap] HBM intermediate (the
+                    # XLA path's 1 GB at 1M x b256); exact selection
+                    from ..kernels.pallas_l1 import pallas_search_topk_l1
+
+                    return pallas_search_topk_l1(
+                        self._dev_values,
+                        self._dev_valid,
+                        queries,
+                        k=k_pad,
+                        tile_n=_PALLAS_TILE_F32,
+                    )
+                if approx and use_amk:
+                    # default serving scan: fused matmul + ApproxTopK
+                    # candidate selection + exact-f32 device re-score,
+                    # one dispatch (kernels/amk.py; 1M x b256 measured
+                    # ~2 ms vs 6.5 ms for the Pallas block path). The
+                    # bf16 scan copy halves the selection reads when
+                    # present; bf16-storage results are additionally
+                    # f64-re-scored on the host (_needs_rescore).
+                    from ..kernels.amk import (
+                        K_SEL_MIN,
+                        amk_search_topk_rescored,
+                    )
+
+                    scan = (
+                        self._dev_scan
+                        if self._dev_scan is not None
+                        else self._dev_values
+                    )
+                    k_sel = min(
+                        self._capacity,
+                        max(K_SEL_MIN, next_pow2(2 * k_pad)),
+                    )
+                    return amk_search_topk_rescored(
+                        scan,
+                        self._dev_values,
+                        self._dev_sqnorms,
+                        self._dev_valid,
+                        queries,
+                        metric=metric,
+                        k=k_pad,
+                        k_sel=k_sel,
+                    )
                 if approx and self._dev_scan is not None:
-                    # speed mode: bf16 scan copy selects 2x-oversampled
-                    # candidates, f32 rows re-score them exactly on
-                    # device — one dispatch, exact-f32 scores
+                    # legacy speed mode (VECTORLITE_AMK=0): bf16 scan
+                    # copy selects 2x-oversampled candidates, f32 rows
+                    # re-score them exactly on device — one dispatch
                     k_sel = next_pow2(2 * k_pad)
                     if k_sel * (128 // _BLOCK_WINNERS) > self._capacity:
                         k_sel = k_pad

@@ -858,9 +858,28 @@ int32_t hnsw_search(Builder* b, const float* q, int32_t ef,
 // Batched host search: one FFI crossing for the whole query block, with
 // optional thread fan-out. out_ids/out_dists are [count, ef]; out_counts
 // is [count]. Unused tail slots are left untouched.
+// Concurrent HTTP streams each fan a batch out; without coordination N
+// streams spawn N x cpu_count workers and oversubscribe the host. The
+// active-call counter divides each call's fan-out by the number of
+// batches in flight, keeping total workers ~= cpu_count.
+static std::atomic<int32_t> g_active_search_batches{0};
+
+struct ActiveBatchGuard {
+  int32_t active;
+  ActiveBatchGuard()
+      : active(g_active_search_batches.fetch_add(
+                   1, std::memory_order_relaxed) +
+               1) {}
+  ~ActiveBatchGuard() {
+    g_active_search_batches.fetch_sub(1, std::memory_order_relaxed);
+  }
+};
+
 void hnsw_search_batch(Builder* b, const float* qs, int64_t count,
                        int32_t ef, int32_t* out_ids, float* out_dists,
                        int32_t* out_counts, int32_t threads) {
+  ActiveBatchGuard guard;
+  threads = std::max(1, threads / guard.active);
   threads = static_cast<int32_t>(
       std::max<int64_t>(1, std::min<int64_t>(threads, count)));
   if (threads <= 1) {
