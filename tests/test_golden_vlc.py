@@ -103,3 +103,84 @@ class TestHnswGolden:
             assert len(idx) == 3
             res = idx.search([0.0, 0.0, 1.0], 1, SimilarityMetric.COSINE)
             assert res[0].id == 12
+
+
+class TestEdgeCaseGoldens:
+    """Round-3 fixture matrix (VERDICT item 8): unicode, -0.0/denormal/
+    1e308, decimal/scientific formatting boundaries, nested/empty
+    metadata, empty collection, and HNSW x all four metrics.
+    Regeneration recipe: scripts/gen_goldens.py (our emitter) and
+    scripts/gen_goldens.rs (the real engine, cargo environments)."""
+
+    def test_flat_edge_load_values_bitexact(self):
+        col = load_collection_from_file(GOLDEN / "flat_edge_reference.vlc")
+        with col.index_read() as idx:
+            import math
+
+            v0 = idx.get_vector(0)
+            assert math.copysign(1.0, v0.values[0]) == -1.0  # -0.0 kept
+            assert v0.values[1] == 5e-324  # denormal
+            assert v0.values[2] == 1e308
+            assert v0.text == "héllo 世界 🚀"
+            assert v0.metadata == {
+                "a": {"b": [1, None, {"c": "ü"}], "empty": {}},
+                "list": [],
+            }
+            assert idx.get_vector(3).values == [1e-5, 1e-6, 1e16]
+            assert idx.get_vector(4).text == 'tab\tnewline\n"quoted"'
+        assert col.next_id() == 5
+
+    def test_flat_edge_resave_byte_identical(self, tmp_path):
+        col = load_collection_from_file(GOLDEN / "flat_edge_reference.vlc")
+        out = tmp_path / "edge.vlc"
+        save_collection_to_file(col, out)
+        norm = lambda s: re.sub(
+            r'"created_at": "[^"]+"', '"created_at": "T"', s
+        )
+        assert norm(out.read_text(encoding="utf-8")) == norm(
+            (GOLDEN / "flat_edge_reference.vlc").read_text(encoding="utf-8")
+        )
+
+    def test_empty_collection(self, tmp_path):
+        col = load_collection_from_file(GOLDEN / "flat_empty_reference.vlc")
+        with col.index_read() as idx:
+            assert len(idx) == 0
+            assert idx.dimension == 384
+        assert col.next_id() == 0
+        out = tmp_path / "empty.vlc"
+        save_collection_to_file(col, out)
+        norm = lambda s: re.sub(
+            r'"created_at": "[^"]+"', '"created_at": "T"', s
+        )
+        assert norm(out.read_text()) == norm(
+            (GOLDEN / "flat_empty_reference.vlc").read_text()
+        )
+
+    def test_hnsw_all_metrics(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("VECTORLITE_VLC_GRAPH", "0")
+        probes = {
+            # per-metric probe -> expected nearest id
+            "cosine": ([1.0, 0.0, 0.5], 20),
+            "euclidean": ([0.0, 1.0, -0.25], 21),
+            "manhattan": ([0.5, 0.5, 0.0], 22),
+            "dotproduct": ([1.0, 0.2, 0.9], 20),
+        }
+        for metric_name, (probe, want_id) in probes.items():
+            path = GOLDEN / f"hnsw_{metric_name}_reference.vlc"
+            golden = json.loads(path.read_text(encoding="utf-8"))
+            col = load_collection_from_file(path)
+            with col.index_read() as idx:
+                metric = SimilarityMetric.from_serde(
+                    golden["index"]["HNSW"]["metric"]
+                )
+                assert idx.metric() is metric
+                res = idx.search(probe, 1, metric)
+                assert res[0].id == want_id, metric_name
+                assert idx.get_vector(21).text == "zwölf 🌍"
+                assert idx.get_vector(21).metadata == {"k": [1.5, None]}
+            payload = collection_to_json(col)
+            ours = payload["index"]["HNSW"]
+            ref = golden["index"]["HNSW"]
+            assert ours["metric"] == ref["metric"]
+            assert ours["vector_values"] == ref["vector_values"]
+            assert ours["metadata"] == ref["metadata"]

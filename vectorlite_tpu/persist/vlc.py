@@ -35,6 +35,131 @@ FORMAT_VERSION = "1.0.0"
 FORMAT_NAME = "vectorlite-collection"
 
 
+# ----------------------------------------------------- serde_json emitter
+#
+# The reference writes `serde_json::to_string_pretty` output
+# (reference: src/persistence.rs:137): 2-space indent, raw UTF-8 (no
+# \uXXXX escaping of non-ASCII), and ryu float formatting. Python's
+# json.dump diverges on exactly the edge cases: it escapes non-ASCII by
+# default, prints exponents as `1e+308`/`1e-05` (ryu: `1e308`/`1e-5`),
+# and switches decimal->scientific at different magnitudes. This emitter
+# reproduces serde_json's format so golden-file byte equality holds on
+# edge-case corpora too. scripts/gen_goldens.rs regenerates the fixtures
+# from the real engine in any cargo-equipped environment — a mismatch
+# there is a bug HERE.
+
+_ESCAPES = {
+    '"': '\\"', "\\": "\\\\", "\n": "\\n", "\r": "\\r", "\t": "\\t",
+    "\b": "\\b", "\f": "\\f",
+}
+
+
+def _emit_str(s: str) -> str:
+    out = ['"']
+    for ch in s:
+        esc = _ESCAPES.get(ch)
+        if esc is not None:
+            out.append(esc)
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)  # raw UTF-8, like serde_json
+    out.append('"')
+    return "".join(out)
+
+
+def _emit_f64(x: float) -> str:
+    """ryu `Buffer::format` (the pretty d2s serde_json uses).
+
+    Decimal notation while the decimal point position kk is in
+    (-5, 16]; scientific otherwise, with bare exponents (`1e308`,
+    `5e-324`) and no trailing `.0` on scientific mantissas. Python's
+    repr supplies the shortest round-trip digits; only the rendering
+    differs. Non-finite f64 serializes as null (serde_json behavior).
+    """
+    if x != x or x in (float("inf"), float("-inf")):
+        return "null"
+    r = repr(float(x))
+    sign = ""
+    if r.startswith("-"):
+        sign, r = "-", r[1:]
+    if "e" in r:
+        mant, exp = r.split("e")
+        exp = int(exp)
+    else:
+        mant, exp = r, 0
+    if "." in mant:
+        int_part, frac = mant.split(".")
+    else:
+        int_part, frac = mant, ""
+    digits = (int_part + frac).lstrip("0") or "0"
+    if digits == "0":
+        return sign + "0.0"
+    # kk: value = 0.D1D2... * 10^kk with D1 != 0
+    lead_zeros = len(int_part + frac) - len((int_part + frac).lstrip("0"))
+    kk = len(int_part) - lead_zeros + exp
+    digits = digits.rstrip("0") or "0"
+    if 0 < kk <= 16:
+        if len(digits) <= kk:  # integer-valued: pad and add .0
+            return sign + digits + "0" * (kk - len(digits)) + ".0"
+        return sign + digits[:kk] + "." + digits[kk:]
+    if -5 < kk <= 0:
+        return sign + "0." + "0" * (-kk) + digits
+    # scientific: D1[.rest]eE
+    mant_s = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return sign + f"{mant_s}e{kk - 1}"
+
+
+def _emit(obj, indent: int, out: list) -> None:
+    pad = "  " * indent
+    pad_in = "  " * (indent + 1)
+    if obj is None:
+        out.append("null")
+    elif obj is True:
+        out.append("true")
+    elif obj is False:
+        out.append("false")
+    elif isinstance(obj, str):
+        out.append(_emit_str(obj))
+    elif isinstance(obj, int):
+        out.append(str(obj))
+    elif isinstance(obj, float):
+        out.append(_emit_f64(obj))
+    elif isinstance(obj, dict):
+        if not obj:
+            out.append("{}")
+            return
+        out.append("{\n")
+        for i, (k, v) in enumerate(obj.items()):
+            out.append(pad_in)
+            out.append(_emit_str(str(k)))
+            out.append(": ")
+            _emit(v, indent + 1, out)
+            out.append(",\n" if i + 1 < len(obj) else "\n")
+        out.append(pad + "}")
+    elif isinstance(obj, (list, tuple)):
+        if not obj:
+            out.append("[]")
+            return
+        out.append("[\n")
+        for i, v in enumerate(obj):
+            out.append(pad_in)
+            _emit(v, indent + 1, out)
+            out.append(",\n" if i + 1 < len(obj) else "\n")
+        out.append(pad + "]")
+    else:
+        raise SerializationError(
+            f"Unsupported type in .vlc payload: {type(obj)!r}"
+        )
+
+
+def dumps_pretty(payload) -> str:
+    """serde_json::to_string_pretty-compatible serialization."""
+    out: list = []
+    _emit(payload, 0, out)
+    return "".join(out)
+
+
 def _now_rfc3339() -> str:
     """chrono-style UTC timestamp, e.g. 2026-08-16T04:45:47.810123Z."""
     dt = datetime.now(timezone.utc)
@@ -98,7 +223,7 @@ def save_collection_to_file(collection: Collection, path) -> None:
     )
     try:
         with open(tmp_path, "w", encoding="utf-8") as f:
-            json.dump(payload, f, indent=2)
+            f.write(dumps_pretty(payload))
         os.replace(tmp_path, path)
     finally:
         if tmp_path.exists():
