@@ -70,6 +70,71 @@ def make_data(n, d=D, seed=0):
     return rng.normal(size=(n, d)).astype(np.float32)
 
 
+_CAL_STATE: dict = {}
+
+
+def calibrate_ms() -> float:
+    """Tiny fixed probe kernel (chained [2048,384] matmuls) timed with
+    the slope method. The shared-pool chip shows 2-4x run-to-run
+    variance in contended windows (BASELINE.md round-2 notes: flat100k
+    swung 126K <-> 75K QPS on identical kernels); bracketing each config
+    with this probe detects those windows so reports can be flagged and
+    re-run instead of silently misleading the next round's tuning."""
+    import jax
+    import jax.numpy as jnp
+
+    if "x" not in _CAL_STATE:
+        rng = np.random.default_rng(7)
+        _CAL_STATE["x"] = jnp.asarray(
+            rng.normal(size=(2048, 384)).astype(np.float32)
+        )
+
+        @jax.jit
+        def probe(x):
+            y = x
+            for _ in range(8):
+                y = jnp.tanh(y @ x.T @ x * 1e-3)
+            return y
+
+        _CAL_STATE["fn"] = probe
+        probe(_CAL_STATE["x"]).block_until_ready()
+    x, fn = _CAL_STATE["x"], _CAL_STATE["fn"]
+    return slope_time(lambda: fn(x), iters=8) * 1e3
+
+
+def run_stable(name: str, fn, max_tries: int = 2, rel_tol: float = 0.35):
+    """Run one bench config bracketed by calibration probes.
+
+    If the probe time moves more than ``rel_tol`` across the config (a
+    contended window), the config re-runs once; the report entry carries
+    a ``stability`` field either way so no number is trusted blindly.
+    """
+    tries = []
+    for attempt in range(max_tries):
+        before = calibrate_ms()
+        result = fn()
+        after = calibrate_ms()
+        dispersion = abs(after - before) / max(min(after, before), 1e-9)
+        stable = dispersion <= rel_tol
+        tries.append((result, before, after, dispersion, stable))
+        if stable:
+            break
+        log(
+            f"[{name}] UNSTABLE window (probe {before:.2f} -> "
+            f"{after:.2f} ms, dispersion {dispersion:.2f}); "
+            + ("re-running" if attempt + 1 < max_tries else "keeping last")
+        )
+    result, before, after, dispersion, stable = tries[-1]
+    result["stability"] = {
+        "calibration_before_ms": round(before, 3),
+        "calibration_after_ms": round(after, 3),
+        "dispersion": round(dispersion, 3),
+        "stable_window": stable,
+        "attempts": len(tries),
+    }
+    return result
+
+
 def make_embeddings(n, d=D, n_clusters=256, spread=0.35, seed=0):
     """Synthetic embedding-like corpus: clusters on the unit sphere with
     intra-cluster noise, L2-normalized — the structure of real MiniLM
@@ -405,23 +470,20 @@ def main():
     import jax
 
     log(f"platform: {jax.devices()[0]}")
+    fns = {
+        "flat10k": bench_flat10k,
+        "flat100k": bench_flat100k,
+        "hnsw": lambda: bench_hnsw(args.full),
+        "hnswf16": lambda: bench_hnswf16(args.full),
+        "e2e": bench_e2e,
+        "flat4m": bench_flat4m,
+    }
     results = []
     for name in args.configs.split(","):
         name = name.strip()
-        if name == "flat10k":
-            results.append(bench_flat10k())
-        elif name == "flat100k":
-            results.append(bench_flat100k())
-        elif name == "hnsw":
-            results.append(bench_hnsw(args.full))
-        elif name == "hnswf16":
-            results.append(bench_hnswf16(args.full))
-        elif name == "e2e":
-            results.append(bench_e2e())
-        elif name == "flat4m":
-            results.append(bench_flat4m())
-        else:
+        if name not in fns:
             raise SystemExit(f"unknown config {name}")
+        results.append(run_stable(name, fns[name]))
     Path(args.out).write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 

@@ -408,3 +408,55 @@ class TestBatchValidation:
         idx.add_batch_arrays([], [])
         idx.add_batch_arrays([], np.zeros((0, 4)))
         assert len(idx) == 0
+
+
+class TestSpeedModeAutoGuard:
+    """VERDICT round-2 item 9: adversarial corpora must be detected at
+    sync time with no env vars set (the old escape hatch was
+    VECTORLITE_SPEED_MODE=0, which required the operator to know)."""
+
+    def _risky(self, data):
+        from vectorlite_tpu.index.flat import _bf16_selection_risky
+
+        n = len(data)
+        return _bf16_selection_risky(
+            np.asarray(data, np.float32), np.ones(n, bool), n
+        )
+
+    def test_realistic_corpora_not_flagged(self, rng):
+        # iid gaussian
+        assert not self._risky(rng.normal(size=(4096, 64)))
+        # clustered L2-normalized (MiniLM-like)
+        centers = rng.normal(size=(64, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        data = centers[rng.integers(0, 64, 4096)] + 0.05 * rng.normal(
+            size=(4096, 64)
+        ) / 8.0
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        assert not self._risky(data)
+        # 10x norm spread, still well-separated
+        assert not self._risky(rng.normal(size=(4096, 64)) * 10)
+
+    def test_euclidean_cancellation_flagged(self, rng):
+        # huge shared base + tiny perturbations: d^2 spread << |q||v|,
+        # the bf16 cancellation pathology
+        base = rng.normal(size=(1, 64)) * 1e4
+        data = base + 1e-4 * rng.normal(size=(4096, 64))
+        assert self._risky(data)
+
+    def test_tight_angular_cluster_flagged(self, rng):
+        # normalized vectors within ~1e-6 radians of each other: cosine
+        # gaps far below bf16 resolution
+        base = rng.normal(size=(1, 64))
+        data = base + 1e-6 * rng.normal(size=(4096, 64))
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        assert self._risky(data)
+
+    def test_exact_duplicates_not_flagged(self, rng):
+        # pure ties are resolved by slot order, not precision
+        row = rng.normal(size=(1, 64))
+        data = np.repeat(row, 4096, axis=0)
+        assert not self._risky(data)
+
+    def test_small_corpus_never_flagged(self, rng):
+        assert not self._risky(rng.normal(size=(100, 64)))

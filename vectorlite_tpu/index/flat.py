@@ -88,6 +88,77 @@ _HOST_SCAN_ROWS = 32768
 _HOST_SCAN_MAX_BATCH = 4
 
 
+#: bf16 has an 8-bit significand: one ulp of relative error per operand.
+_BF16_EPS = 2.0 ** -8
+
+#: auto-guard trigger: estimated rank displacement from bf16 selection
+#: error beyond which reduced-precision candidate selection is refused
+#: (the amk candidate pool recovers displacements up to ~K_SEL_MIN/2;
+#: 32 leaves a 2x margin under the default pool of 128)
+_GUARD_DISPLACEMENT = 32.0
+
+
+def _bf16_selection_risky(
+    vals32: np.ndarray, valid: np.ndarray, size: int
+) -> bool:
+    """Estimate whether bf16-precision candidate selection could displace
+    true top-k members beyond the oversampled candidate pool
+    (VERDICT round-2 item 9: an auto-guard instead of the
+    VECTORLITE_SPEED_MODE=0 escape hatch).
+
+    Mechanism: device selection ranks on bf16-rounded dot products, so
+    score perturbations are ~_BF16_EPS * |q||v|. On realistic corpora
+    the per-rank score gap near the top dwarfs that (measured recall 1.0
+    at 1M across clustered/iid/10x-norm sweeps, BASELINE.md round 2);
+    the pathological regime is gap << perturbation — huge-norm vectors
+    with tiny absolute differences (euclidean cancellation) or
+    ultra-tight angular clusters (cosine). A sampled nearest-neighbor
+    gap statistic estimates the expected displacement
+    ``perturbation / per-rank gap`` for both the raw geometry
+    (euclidean/dot risk) and the normalized geometry (cosine risk); if
+    either exceeds _GUARD_DISPLACEMENT the index refuses reduced-
+    precision selection and serves the exact exhaustive kernel instead.
+
+    O(sample^2 * D) on the host, run only on wholesale device rebuilds
+    (capacity growth), never per query.
+    """
+    live = np.flatnonzero(valid[:size])
+    if live.size < 256:
+        return False
+    rng = np.random.default_rng(0xC0FFEE)
+    take = rng.choice(live.size, min(1024, live.size), replace=False)
+    rows = vals32[live[take]].astype(np.float64)
+
+    def displacement(r: np.ndarray) -> float:
+        probes = r[:64]
+        sq_p = np.einsum("pd,pd->p", probes, probes)
+        sq_r = np.einsum("nd,nd->n", r, r)
+        d2 = sq_p[:, None] + sq_r[None, :] - 2.0 * (probes @ r.T)
+        np.maximum(d2, 0.0, out=d2)
+        d2[np.arange(len(probes)), np.arange(len(probes))] = np.inf
+        near = np.sort(d2, axis=1)[:, :16]
+        # typical per-rank gap at the head of each probe's ranking
+        gap = np.median(np.maximum(near[:, -1] - near[:, 0], 0.0) / 15.0)
+        scale = float(
+            np.median(np.sqrt(sq_p)) * np.median(np.sqrt(sq_r))
+        )
+        if gap <= 0.0:
+            # exact duplicates dominate the sample: ties are handled by
+            # slot order, not precision — not the pathological regime
+            return 0.0
+        return _BF16_EPS * max(scale, 1e-300) / gap
+
+    # per-rank gaps shrink ~linearly with corpus density: the sampled
+    # statistic sees a len(take)-point subsample, the serving scan sees
+    # all live rows — correct the displacement estimate accordingly
+    density = live.size / len(take)
+    raw = displacement(rows)
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    normed = rows / np.maximum(norms, 1e-300)
+    cosine = displacement(normed)
+    return max(raw, cosine) * density > _GUARD_DISPLACEMENT
+
+
 def _quantize_rows_int8_np(rows32: np.ndarray):
     """Host-side mirror of core.metrics.quantize_rows_int8 (same rounding:
     np.round and jnp.round are both half-to-even). Used by the mesh path so
@@ -183,6 +254,8 @@ class FlatIndex:
         self._host_norms64: Optional[np.ndarray] = None
         self._host_norms_n = 0
         self._norms_lock = threading.Lock()
+        # set at wholesale device rebuilds by the bf16 auto-guard
+        self._precision_risky = False
 
         # Device cache state. The mutex makes sync + dispatch atomic:
         # update_rows donates the old buffer, so a concurrent reader must
@@ -598,6 +671,8 @@ class FlatIndex:
 
         if env_number("VECTORLITE_SPEED_MODE", 1) != 1:
             return False
+        if self._precision_risky:
+            return False
         if (
             not self._auto_dtype
             or self._quantized
@@ -748,6 +823,18 @@ class FlatIndex:
         caller outside it."""
         with self._dev_lock:
             self._sync_device()
+            if (
+                approx
+                and self._precision_risky
+                and not self._quantized
+                and self._device_dtype == jnp.float32
+            ):
+                # auto-guard verdict from the last rebuild: f32 storage
+                # serves the exact exhaustive kernel on risky corpora
+                # (reduced-precision *storage* rungs keep their wider
+                # oversample + exact re-score — precision there is the
+                # capacity trade itself, not an optimization)
+                approx = False
             queries = jnp.asarray(q)
             if self._mesh is not None:
                 # per-shard scan + all-gather merge; selection is always
@@ -996,6 +1083,22 @@ class FlatIndex:
                 # re-scoring); monotonic — capacity never shrinks
                 self._quantized = True
             vals32 = np.asarray(self._values64, dtype=np.float32)
+            # auto-guard (VECTORLITE_SPEED_GUARD=0 disables): on corpora
+            # where bf16-precision selection could displace true top-k
+            # members beyond the candidate pool, refuse the scan copy
+            # and approximate selection — serve the exact exhaustive
+            # kernel instead (no env knowledge required of the operator)
+            from ..utils import env_number
+
+            if (
+                self._capacity >= _PALLAS_MIN_CAPACITY
+                and env_number("VECTORLITE_SPEED_GUARD", 1) == 1
+            ):
+                self._precision_risky = _bf16_selection_risky(
+                    vals32, self._valid, self._size
+                )
+            else:
+                self._precision_risky = False
             sq = np.einsum("nd,nd->n", vals32, vals32, dtype=np.float32)
             self._dev_sqnorms = jnp.asarray(sq)
             if self._quantized:
