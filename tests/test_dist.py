@@ -214,3 +214,88 @@ class TestMeshFlatIndex:
             res = li.search(list(map(float, data[3])), 1,
                             SimilarityMetric.COSINE)
             assert res[0].id == 3
+
+
+class TestMeshHNSW:
+    """Replicated-graph query-sharded beam (dist/hnsw_mesh.py): per-query
+    results must be IDENTICAL to the single-chip device beam — sharding
+    the batch axis cannot change any query's search."""
+
+    def _build(self, rng, mesh=None, n=512, d=32):
+        from vectorlite_tpu.index.hnsw import HNSWIndex
+
+        data = rng.normal(size=(n, d)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        idx = HNSWIndex(
+            d, SimilarityMetric.COSINE, mesh=mesh, native=False, seed=7
+        )
+        idx.add_batch(
+            [
+                Vector(id=i, values=[float(x) for x in data[i]], text="")
+                for i in range(n)
+            ]
+        )
+        return idx, data
+
+    def test_mesh_beam_matches_single_chip(self, mesh, rng):
+        idx_mesh, data = self._build(rng, mesh=mesh)
+        idx_one, _ = self._build(
+            np.random.default_rng(0), mesh=None
+        )  # same seed stream for data
+        # rebuild both from identical data: use the same rng draw
+        rng_a = np.random.default_rng(123)
+        idx_mesh, data = self._build(rng_a, mesh=mesh)
+        rng_b = np.random.default_rng(123)
+        idx_one, _ = self._build(rng_b, mesh=None)
+
+        q = [list(map(float, data[i] + 1e-3)) for i in range(16)]
+        res_mesh = idx_mesh.search_batch(
+            q, 5, SimilarityMetric.COSINE, ef=32, use_device=True
+        )
+        res_one = idx_one.search_batch(
+            q, 5, SimilarityMetric.COSINE, ef=32, use_device=True
+        )
+        for rm, ro in zip(res_mesh, res_one):
+            assert [r.id for r in rm] == [r.id for r in ro]
+            np.testing.assert_allclose(
+                [r.score for r in rm], [r.score for r in ro], rtol=1e-6
+            )
+
+    def test_mesh_beam_recall_vs_truth(self, mesh, rng):
+        idx, data = self._build(rng, mesh=mesh)
+        b, k = 8, 5
+        q = data[:b] + 1e-3
+        truth = np.argsort(
+            -(q @ data.T)
+            / (
+                np.linalg.norm(q, axis=1, keepdims=True)
+                * np.linalg.norm(data, axis=1)[None, :]
+            ),
+            axis=1,
+        )[:, :k]
+        res = idx.search_batch(
+            [list(map(float, row)) for row in q],
+            k,
+            SimilarityMetric.COSINE,
+            ef=64,
+            use_device=True,
+        )
+        recall = np.mean(
+            [
+                len({r.id for r in row} & set(truth[i])) / k
+                for i, row in enumerate(res)
+            ]
+        )
+        assert recall >= 0.9, recall
+
+    def test_mesh_batch_padding(self, mesh, rng):
+        # batch smaller than the mesh pads to mesh size transparently
+        idx, data = self._build(rng, mesh=mesh, n=256)
+        res = idx.search_batch(
+            [list(map(float, data[3] + 1e-3))],
+            3,
+            SimilarityMetric.COSINE,
+            ef=32,
+            use_device=True,
+        )
+        assert res[0][0].id == 3

@@ -111,11 +111,16 @@ class HNSWIndex:
         seed: int = 0x7E57,
         store_f64: bool = True,
         native: Optional[bool] = None,
+        mesh=None,
     ):
         if dim == 0:
             raise ValueError("HNSW index dimension cannot be 0")
         self.dim = int(dim)
         self._metric = metric
+        # Multi-chip serving (dist/hnsw_mesh.py): level-0 graph arrays
+        # replicated per device, query batches sharded over the mesh.
+        # Host-side semantics (build, ids, tombstones, serde) identical.
+        self._mesh = mesh
         self.m = int(m)
         self.m0 = int(m0)
         self.ef_construction = int(ef_construction)
@@ -697,6 +702,10 @@ class HNSWIndex:
                 jnp.asarray(self._sqnorms[:n]),
                 jnp.asarray(self._adj[0][:n]),
             )
+            if self._mesh is not None:
+                from ..dist.hnsw_mesh import replicate_graph
+
+                self._dev = replicate_graph(self._mesh, *self._dev)
         else:
             vecs, sqn, adj = self._dev
             if n > self._vec_synced:
@@ -731,6 +740,8 @@ class HNSWIndex:
         )
         ef_pad = next_pow2(max(ef, 8))
         b_pad = next_pow2(b)
+        if self._mesh is not None:
+            b_pad = max(b_pad, int(self._mesh.devices.size))
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
             entries = np.concatenate(
@@ -739,16 +750,31 @@ class HNSWIndex:
         with self._dev_lock:
             self._sync_device()
             vecs, sqn, adj = self._dev
-            beam_ids, beam_dist = beam_search_l0(
-                vecs,
-                sqn,
-                adj,
-                jnp.asarray(entries),
-                jnp.asarray(q),
-                metric=self._metric,
-                ef=ef_pad,
-                max_iters=4 * ef_pad + 32,
-            )
+            if self._mesh is not None:
+                from ..dist.hnsw_mesh import mesh_beam_search
+
+                beam_ids, beam_dist = mesh_beam_search(
+                    self._mesh,
+                    vecs,
+                    sqn,
+                    adj,
+                    entries,
+                    q,
+                    metric=self._metric,
+                    ef=ef_pad,
+                    max_iters=4 * ef_pad + 32,
+                )
+            else:
+                beam_ids, beam_dist = beam_search_l0(
+                    vecs,
+                    sqn,
+                    adj,
+                    jnp.asarray(entries),
+                    jnp.asarray(q),
+                    metric=self._metric,
+                    ef=ef_pad,
+                    max_iters=4 * ef_pad + 32,
+                )
         beam_ids = np.asarray(beam_ids)[:b]
         beam_dist = np.asarray(beam_dist)[:b]
         out: list[list[SearchResult]] = []

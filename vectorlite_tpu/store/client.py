@@ -102,6 +102,10 @@ class VectorLiteClient:
                 m0=self._config.hnsw_m0,
                 ef_construction=self._config.hnsw_ef_construction,
                 ef_search=self._config.hnsw_ef_search,
+                # replicated-graph query sharding (dist/hnsw_mesh.py);
+                # host C++ stays the default serving path, the mesh beam
+                # serves use_device=True batches
+                mesh=self.flat_index_kwargs().get("mesh"),
             )
         self._collections[name] = Collection(name, index)
 
