@@ -1,0 +1,158 @@
+"""Sustained concurrent serving benchmark at Pallas scale.
+
+Measures steady-state index-level QPS on a 1M x 384 FlatIndex under:
+
+* ``threads`` mode — S concurrent streams calling
+  ``search_batch_arrays`` (the production serving path), the shape of a
+  multi-client HTTP deployment: each stream's relay fetch + host
+  assembly overlaps other streams' device scans.
+* ``pipelined`` mode — one stream keeping D dispatches in flight
+  (dispatch i+D issued before fetching i), the double-buffered dispatch
+  VERDICT round-2 item 2 asks for, via FlatIndex.search_batch_stream.
+
+Run: python -m bench.serving [--n 1048576] [--streams 1,2,4,6,8]
+Writes bench/report_serving.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+)
+
+from pathlib import Path
+
+import numpy as np
+
+D = 384
+K = 10
+BATCH = 256
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_index(n):
+    from vectorlite_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n, D), dtype=np.float32)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        ids=np.arange(n, dtype=np.uint64),
+        values=data.astype(np.float64),
+        texts=None,
+        metadatas=None,
+    )
+    queries = rng.standard_normal((BATCH, D), dtype=np.float32).astype(
+        np.float64
+    )
+    return idx, queries
+
+
+def bench_threads(idx, queries, n_streams, seconds=12.0):
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+
+    stop = time.perf_counter() + seconds
+    counts = [0] * n_streams
+    errs = []
+
+    def worker(s):
+        try:
+            while time.perf_counter() < stop:
+                ids, _ = idx.search_batch_arrays(
+                    queries, K, SimilarityMetric.COSINE
+                )
+                assert ids.shape == (BATCH, K)
+                counts[s] += BATCH
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t0 = time.perf_counter()
+    ts = [
+        threading.Thread(target=worker, args=(s,)) for s in range(n_streams)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+    wall = time.perf_counter() - t0
+    return sum(counts) / wall
+
+
+def bench_pipelined(idx, queries, depth, seconds=12.0):
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+
+    total = 0
+    t0 = time.perf_counter()
+    stream = idx.search_batch_stream(
+        _repeat_until(queries, t0 + seconds),
+        K,
+        SimilarityMetric.COSINE,
+        depth=depth,
+    )
+    for ids, _scores in stream:
+        assert ids.shape == (BATCH, K)
+        total += BATCH
+    wall = time.perf_counter() - t0
+    return total / wall
+
+
+def _repeat_until(queries, deadline):
+    while time.perf_counter() < deadline:
+        yield queries
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 20)
+    ap.add_argument("--streams", default="1,2,4,6,8")
+    ap.add_argument("--depths", default="1,2,4")
+    ap.add_argument("--seconds", type=float, default=12.0)
+    ap.add_argument("--out", default="bench/report_serving.json")
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"platform: {jax.devices()[0]}; building {args.n} x {D} index...")
+    idx, queries = build_index(args.n)
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+
+    # warm every jit bucket + measure the pure-kernel floor
+    idx.search_batch_arrays(queries, K, SimilarityMetric.COSINE)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        idx.search_batch_arrays(queries, K, SimilarityMetric.COSINE)
+    seq_qps = 8 * BATCH / (time.perf_counter() - t0)
+    log(f"sequential single-stream: {seq_qps:,.0f} QPS")
+
+    report = {"n": args.n, "batch": BATCH, "sequential_qps": round(seq_qps)}
+    results = []
+    for s in [int(x) for x in args.streams.split(",")]:
+        qps = bench_threads(idx, queries, s, args.seconds)
+        log(f"threads={s}: {qps:,.0f} QPS sustained")
+        results.append({"mode": "threads", "streams": s, "qps": round(qps)})
+    if hasattr(idx, "search_batch_stream"):
+        for d in [int(x) for x in args.depths.split(",")]:
+            qps = bench_pipelined(idx, queries, d, args.seconds)
+            log(f"pipelined depth={d}: {qps:,.0f} QPS sustained")
+            results.append(
+                {"mode": "pipelined", "depth": d, "qps": round(qps)}
+            )
+    report["results"] = results
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -460,3 +460,64 @@ class TestSpeedModeAutoGuard:
 
     def test_small_corpus_never_flagged(self, rng):
         assert not self._risky(rng.normal(size=(100, 64)))
+
+
+class TestSearchBatchStream:
+    """Pipelined stream must be result-identical to search_batch_arrays,
+    batch for batch, in order."""
+
+    def _index(self, rng, n=600):
+        data = rng.normal(size=(n, 16))
+        idx = FlatIndex(16)
+        idx.add_batch_arrays(
+            ids=np.arange(n, dtype=np.uint64),
+            values=data,
+            texts=None,
+            metadatas=None,
+        )
+        return idx, data
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_matches_arrays_path(self, rng, depth):
+        idx, data = self._index(rng)
+        batches = [
+            data[i * 7 : i * 7 + 5] + 0.01 * i for i in range(6)
+        ]
+        got = list(
+            idx.search_batch_stream(
+                iter(batches), 4, SimilarityMetric.COSINE, depth=depth
+            )
+        )
+        assert len(got) == len(batches)
+        for queries, (ids, scores) in zip(batches, got):
+            ref_ids, ref_scores = idx.search_batch_arrays(
+                queries, 4, SimilarityMetric.COSINE
+            )
+            np.testing.assert_array_equal(ids, ref_ids)
+            np.testing.assert_allclose(scores, ref_scores, rtol=1e-12)
+
+    def test_empty_and_k_zero(self, rng):
+        idx, data = self._index(rng, n=10)
+        out = list(
+            idx.search_batch_stream(
+                iter([data[:3]]), 0, SimilarityMetric.COSINE
+            )
+        )
+        assert out[0][0].shape == (3, 0)
+        empty = FlatIndex(16)
+        out = list(
+            empty.search_batch_stream(
+                iter([data[:2]]), 5, SimilarityMetric.COSINE
+            )
+        )
+        assert out[0][0].shape == (2, 5)
+        assert (out[0][0] == -1).all()
+
+    def test_dimension_mismatch_raises(self, rng):
+        idx, data = self._index(rng)
+        with pytest.raises(Exception):
+            list(
+                idx.search_batch_stream(
+                    iter([np.zeros((2, 5))]), 3, SimilarityMetric.COSINE
+                )
+            )

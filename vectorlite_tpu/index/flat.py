@@ -500,30 +500,40 @@ class FlatIndex:
         if self._host_scan_eligible(b):
             scores, slots = self._host_scan(q64, k_eff, metric)
         else:
-            k_pad = min(self._capacity, next_pow2(max(1, k_eff)))
-            b_pad = next_pow2(b)
-            if b_pad > b:
-                q = np.concatenate(
-                    [q, np.zeros((b_pad - b, self.dim), np.float32)]
-                )
-            approx = self._resolve_approx(approx, k_pad, metric)
-            k_sel = self._selection_k(k_pad, approx)
-            scores, slots = self._device_topk(q, k_sel, metric, approx)
-            # one fused device->host transfer (np.asarray is a round trip)
-            scores, slots = jax.device_get((scores, slots))
-            scores = scores[:b]
-            slots = slots[:b]
-            if self._needs_rescore():
-                scores, slots = self._exact_rescore(
-                    q64, scores, slots, metric
-                )
-            elif metric is SimilarityMetric.COSINE:
-                # f32 device rounding can overshoot 1.0; clamp for
-                # consistency with the exact-rescore path and the HNSW
-                # distance clamp
-                scores = np.minimum(scores, 1.0)
-            scores = scores[:, :k_eff]
-            slots = slots[:, :k_eff]
+            dev, _ = self._dispatch_arrays(q64, q, k_eff, metric, approx)
+            scores, slots = jax.device_get(dev)
+            scores, slots = self._finalize_device(
+                q64, scores[:b], slots[:b], k_eff, metric
+            )
+        return self._pack_arrays(scores, slots, k, k_eff)
+
+    def _dispatch_arrays(self, q64, q, k_eff, metric, approx):
+        """Pad + dispatch one device search; returns the async device
+        handles and the effective approx flag (no host sync)."""
+        b = q.shape[0]
+        k_pad = min(self._capacity, next_pow2(max(1, k_eff)))
+        b_pad = next_pow2(b)
+        if b_pad > b:
+            q = np.concatenate(
+                [q, np.zeros((b_pad - b, self.dim), np.float32)]
+            )
+        approx = self._resolve_approx(approx, k_pad, metric)
+        k_sel = self._selection_k(k_pad, approx)
+        return self._device_topk(q, k_sel, metric, approx), approx
+
+    def _finalize_device(self, q64, scores, slots, k_eff, metric):
+        """Post-fetch host work shared by the array path and the
+        pipelined stream: exact re-scoring / clamping and k trimming."""
+        if self._needs_rescore():
+            scores, slots = self._exact_rescore(q64, scores, slots, metric)
+        elif metric is SimilarityMetric.COSINE:
+            # f32 device rounding can overshoot 1.0; clamp for
+            # consistency with the exact-rescore path and the HNSW
+            # distance clamp
+            scores = np.minimum(scores, 1.0)
+        return scores[:, :k_eff], slots[:, :k_eff]
+
+    def _pack_arrays(self, scores, slots, k, k_eff):
         ids = self._ids[slots].astype(np.int64)
         ids[scores == -np.inf] = -1
         if k_eff < k:
@@ -534,6 +544,72 @@ class FlatIndex:
                 constant_values=-np.inf,
             )
         return ids, scores.astype(np.float64, copy=False)
+
+    def search_batch_stream(
+        self,
+        batches,
+        k: int,
+        metric: SimilarityMetric,
+        *,
+        depth: int = 2,
+        approx: Optional[bool] = None,
+    ):
+        """Pipelined batched search (VERDICT round-2 item 2): keeps up to
+        ``depth`` device dispatches in flight, so batch i+1's device scan
+        overlaps batch i's relay fetch + host assembly. Yields
+        ``(ids [B,k] int64, scores [B,k] f64)`` per input batch, in
+        order — the sustained-serving analogue of
+        ``search_batch_arrays`` (identical per-batch semantics).
+        """
+        from collections import deque
+
+        k = int(k)
+        depth = max(1, int(depth))
+        pending: deque = deque()
+
+        def finish(item):
+            kind, payload = item
+            if kind == "ready":
+                return payload
+            q64, dev, k_eff, b = payload
+            scores, slots = jax.device_get(dev)
+            scores, slots = self._finalize_device(
+                q64, scores[:b], slots[:b], k_eff, metric
+            )
+            return self._pack_arrays(scores, slots, k, k_eff)
+
+        for queries in batches:
+            q64 = np.asarray(queries, dtype=np.float64)
+            q = q64.astype(np.float32)
+            b = q.shape[0]
+            if self._count == 0 or k <= 0:
+                k_out = max(0, k)
+                item = (
+                    "ready",
+                    (
+                        np.full((b, k_out), -1, np.int64),
+                        np.full((b, k_out), -np.inf, np.float64),
+                    ),
+                )
+            else:
+                if q.shape[1] != self.dim:
+                    raise DimensionMismatch(self.dim, q.shape[1])
+                k_eff = min(k, self._count)
+                if self._host_scan_eligible(b):
+                    scores, slots = self._host_scan(q64, k_eff, metric)
+                    item = (
+                        "ready", self._pack_arrays(scores, slots, k, k_eff)
+                    )
+                else:
+                    dev, _ = self._dispatch_arrays(
+                        q64, q, k_eff, metric, approx
+                    )
+                    item = ("device", (q64, dev, k_eff, b))
+            pending.append(item)
+            if len(pending) > depth:
+                yield finish(pending.popleft())
+        while pending:
+            yield finish(pending.popleft())
 
     def __len__(self) -> int:
         return self._count
