@@ -957,7 +957,10 @@ class FlatIndex:
                     )
 
                     if approx and use_amk:
-                        from ..kernels.amk import amk_select_int8
+                        from ..kernels.amk import (
+                            amk_select_int8,
+                            recall_target,
+                        )
 
                         return amk_select_int8(
                             self._dev_values,
@@ -967,6 +970,7 @@ class FlatIndex:
                             queries,
                             metric=metric,
                             k=k_pad,
+                            recall_target=recall_target(),
                         )
                     if approx:
                         return pallas_search_block_topk_int8(
@@ -1031,6 +1035,7 @@ class FlatIndex:
                     from ..kernels.amk import (
                         K_SEL_MIN,
                         amk_search_topk_rescored,
+                        recall_target,
                     )
 
                     scan = (
@@ -1051,6 +1056,7 @@ class FlatIndex:
                         metric=metric,
                         k=k_pad,
                         k_sel=k_sel,
+                        recall_target=recall_target(),
                     )
                 if approx and self._dev_scan is not None:
                     # legacy speed mode (VECTORLITE_AMK=0): bf16 scan

@@ -42,14 +42,31 @@ from ..core.metrics import SimilarityMetric
 
 NEG_INF = float("-inf")
 
-#: reduction sizing knob for approx_max_k; measured: raising it past
-#: 0.95 costs ~20-35% and buys nothing once k_sel >= 128 (see module doc)
-RECALL_TARGET = 0.95
+#: PartialReduce sizing knob. The measured recall/latency frontier at
+#: 1M x 384 b=256 (256-query f64 ground truth, 2560 hits):
+#:   rt=0.95:  ~2.1 ms  misses 12-14/2560  (recall ~0.995)
+#:   rt=0.99:  ~3.7 ms  misses  1/2560     (recall 0.9996)   <- default
+#:   rt>=0.995: XLA abandons the fused strategy (9.7-50 ms) — same
+#:   cliff as k_sel > 128 at rt=0.99. Raising k_sel at fixed rt does
+#:   NOT recover the misses (drops happen at the shard-top-1 reduction,
+#:   before aggregation). VECTORLITE_AMK_RT overrides (e.g. 0.95 as a
+#:   turbo profile); exact serving remains approx=False (exhaustive
+#:   Pallas kernel).
+RECALL_TARGET = 0.99
 
 #: candidate-pool floor: bf16 selection error displaces true top-10
-#: members by up to ~100 rank positions at 1M; 128 recovers them all
-#: (measured recall@10 = 1.000, vs 0.997 at 64)
+#: members by up to ~100 rank positions at 1M; a 128-wide exact-rescore
+#: pool recovers every displacement observed (64-wide missed 3/2560)
 K_SEL_MIN = 128
+
+
+def recall_target() -> float:
+    """RECALL_TARGET with the VECTORLITE_AMK_RT env override."""
+    from ..utils import env_number
+
+    return float(
+        env_number("VECTORLITE_AMK_RT", RECALL_TARGET, cast=float)
+    )
 
 
 def amk_available() -> bool:
@@ -147,41 +164,6 @@ def amk_search_topk_rescored(
     )
     return _exact_rescore_device(
         i_sel, values_exact, sqnorms, valid, queries, metric, k
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("metric", "k", "recall_target")
-)
-def amk_select(
-    values: jax.Array,  # [N, D] f32/bf16
-    sqnorms: jax.Array,  # [N] f32 exact squared norms
-    valid: jax.Array,  # [N] bool
-    queries: jax.Array,  # [B, D] f32
-    *,
-    metric: SimilarityMetric,
-    k: int,
-    recall_target: float = RECALL_TARGET,
-):
-    """Candidate selection only (reduced-precision storage rungs): the
-    caller re-scores the winners in exact f64 on the host. Returned
-    scores are *rank surrogates* — monotonic for ordering and -inf for
-    invalid rows, not the reference formulas; only the indices and the
-    -inf mask are meaningful to callers."""
-    n = values.shape[0]
-    dot = _matmul(queries, values)
-    rank = jnp.where(
-        valid[None, :], _rank_scores(dot, metric, sqnorms), NEG_INF
-    )
-    s, i = jax.lax.approx_max_k(
-        rank, min(k, n), recall_target=recall_target
-    )
-    # candidates sorted by row so the host's stable re-sort sees the
-    # insertion-order tie-break
-    order = jnp.argsort(i, axis=1)
-    return (
-        jnp.take_along_axis(s, order, axis=1),
-        jnp.take_along_axis(i, order, axis=1),
     )
 
 
