@@ -92,15 +92,46 @@ def _chunk_candidates(
     n = values.shape[0]
     valid_rows = jnp.arange(n) < batch_end
     if use_pallas:
-        # block-top1 selection: measured identical recall to the exact
-        # per-tile kernel at 1M (0.831 either way — the ceiling is the
-        # kNN-link structure, not candidate quality) and ~25% faster
-        from ..kernels.pallas_scan import pallas_search_block_topk
+        # ApproxTopK selection (kernels/amk.py): fused matmul +
+        # PartialReduce, several-x faster than the round-2 block kernel
+        # at k=SCAN_K. Candidate exactness is not the recall limiter
+        # (measured: exact vs block-approximate candidates gave
+        # identical 1M recall), so the approximate pool is free speed.
+        from ..kernels.amk import _matmul, _rank_scores
 
-        scores, rows = pallas_search_block_topk(
-            values, sqnorms, valid_rows, queries,
-            metric=metric, k=k, tile_n=4096,
+        dot = _matmul(queries, values)
+        rank = jnp.where(
+            valid_rows[None, :],
+            _rank_scores(dot, metric, sqnorms),
+            -jnp.inf,
         )
+        _, rows = jax.lax.approx_max_k(rank, k, recall_target=0.95)
+        # exact f32 scores for the selected candidates only (the
+        # distance conversion below feeds the C++ heuristic)
+        rows_sorted = jnp.sort(rows, axis=1)
+        sel = values[rows_sorted].astype(jnp.float32)
+        dot2 = jnp.einsum(
+            "bkd,bd->bk", sel, queries.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric is SimilarityMetric.COSINE:
+            qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+            denom = jnp.sqrt(qsq) * jnp.sqrt(sqnorms[rows_sorted])
+            scores = jnp.where(
+                denom > 0.0, dot2 / jnp.maximum(denom, 1e-30), 0.0
+            )
+        elif metric is SimilarityMetric.EUCLIDEAN:
+            qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+            d_sq = jnp.maximum(qsq + sqnorms[rows_sorted] - 2.0 * dot2, 0.0)
+            scores = 1.0 / (1.0 + jnp.sqrt(d_sq))
+        else:
+            scores = dot2
+        scores = jnp.where(valid_rows[rows_sorted], scores, -jnp.inf)
+        # re-sort ascending-by-distance (descending score) as the
+        # heuristic expects
+        order = jnp.argsort(-scores, axis=1)
+        rows = jnp.take_along_axis(rows_sorted, order, axis=1)
+        scores = jnp.take_along_axis(scores, order, axis=1)
     else:
         from ..kernels.topk import search_topk
 
@@ -140,11 +171,17 @@ def bulk_build(index, start: int, count: int) -> None:
     present, vector rows already written to the shared buffers, id maps
     populated, metric has a matmul form.
     """
+    import os
+    import time
+
     lib = index._nb_lib
     nb = index._nb
     metric = index._metric
     m0 = index.m0
     end_total = start + count
+    # VECTORLITE_BULK_PROFILE=1 prints the scan/link/upper phase split
+    profile = os.environ.get("VECTORLITE_BULK_PROFILE") == "1"
+    t_scan = t_link = t_upper = 0.0
 
     levels = np.empty(count, np.int32)
     lib.hnsw_draw_levels(
@@ -167,15 +204,18 @@ def bulk_build(index, start: int, count: int) -> None:
         batch_nodes = np.arange(start + b_lo, start + b_hi, dtype=np.int64)
 
         # classic insert for upper-level nodes (entry/routing structure)
+        t0 = time.perf_counter()
         for off in np.nonzero(batch_levels > 0)[0]:
             lib.hnsw_insert_leveled(
                 nb, int(batch_nodes[off]), int(batch_levels[off])
             )
+        t_upper += time.perf_counter() - t0
         low_mask_all = batch_levels == 0
         if not low_mask_all.any():
             continue
 
         batch_end = start + b_hi  # candidate horizon
+        t0 = time.perf_counter()
         idx_parts, dist_parts, node_parts = [], [], []
         for q_lo in range(b_lo, b_hi, QUERY_CHUNK):
             q_hi = min(q_lo + QUERY_CHUNK, b_hi)
@@ -211,8 +251,10 @@ def bulk_build(index, start: int, count: int) -> None:
                 np.arange(start + q_lo, start + q_hi, dtype=np.int64)[low]
             )
 
+        t_scan += time.perf_counter() - t0
         if not node_parts:
             continue
+        t0 = time.perf_counter()
         cand_idx = np.ascontiguousarray(np.concatenate(idx_parts))
         cand_dist = np.ascontiguousarray(np.concatenate(dist_parts))
         low_nodes = np.ascontiguousarray(np.concatenate(node_parts))
@@ -224,7 +266,17 @@ def bulk_build(index, start: int, count: int) -> None:
             cand_idx.ctypes.data_as(c.POINTER(c.c_int32)),
             cand_dist.ctypes.data_as(c.POINTER(c.c_float)),
         )
+        t_link += time.perf_counter() - t0
 
     index._num_nodes = end_total
     index._entry = int(lib.hnsw_entry(nb))
     index._top_level = int(lib.hnsw_top_level(nb))
+    if profile:
+        import sys
+
+        print(
+            f"[bulk_build] n={count} scan={t_scan:.1f}s "
+            f"link={t_link:.1f}s upper={t_upper:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
