@@ -118,3 +118,39 @@ class TestBulkBuild:
         assert len(restored) == 2500
         res = restored.search(list(data[42]), 1, metric, use_device=False)
         assert res[0].id == 42
+
+    def test_refine_preserves_or_improves_recall(self, corpus, monkeypatch):
+        """hnsw_refine_l0: NN-descent NoN re-link must not regress recall
+        on a bulk graph (at this scale bulk is already ~exact, so the
+        invariant is non-degradation; the 1M navigability effect is
+        measured in bench runs)."""
+        n, d, data, flat = corpus
+        results = {}
+        for rounds in ("0", "2"):
+            monkeypatch.setenv("VECTORLITE_BULK_REFINE", rounds)
+            idx = HNSWIndex(d, SimilarityMetric.COSINE, seed=5)
+            idx.add_batch([vec(i, data[i]) for i in range(n)])
+            results[rounds] = self._recall(
+                idx, flat, data, SimilarityMetric.COSINE
+            )
+        assert results["2"] >= results["0"] - 0.02, results
+
+    def test_refine_keeps_graph_consistent(self, corpus, monkeypatch):
+        """After refinement every adjacency entry is a live node and the
+        graph still serves searches (no dangling/self links)."""
+        n, d, data, flat = corpus
+        monkeypatch.setenv("VECTORLITE_BULK_REFINE", "1")
+        idx = HNSWIndex(d, SimilarityMetric.COSINE, seed=6)
+        idx.add_batch([vec(i, data[i]) for i in range(2000)])
+        idx._native_drain_dirty()
+        adj = idx._adj[0][:2000]
+        assert adj.max() < 2000
+        for v in (0, 999, 1999):
+            row = adj[v]
+            live = row[row >= 0]
+            assert v not in live  # no self links
+            assert len(set(live.tolist())) == len(live)  # no dups
+        res = idx.search(
+            list(data[17]), 5, SimilarityMetric.COSINE, use_device=False
+        )
+        assert res[0].id == 17

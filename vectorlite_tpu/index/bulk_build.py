@@ -268,6 +268,18 @@ def bulk_build(index, start: int, count: int) -> None:
         )
         t_link += time.perf_counter() - t0
 
+    # NN-descent refinement (native hnsw_refine_l0): each node re-runs
+    # the diversity heuristic over neighbors + neighbors-of-neighbors,
+    # letting nodes adopt the better rows their neighbors found.
+    # VECTORLITE_BULK_REFINE sets the round count (default 1; 0 off).
+    rounds = int(
+        float(os.environ.get("VECTORLITE_BULK_REFINE", "1") or 0)
+    )
+    t0 = time.perf_counter()
+    if rounds > 0:
+        lib.hnsw_refine_l0(nb, rounds)
+    t_refine = time.perf_counter() - t0
+
     index._num_nodes = end_total
     index._entry = int(lib.hnsw_entry(nb))
     index._top_level = int(lib.hnsw_top_level(nb))
@@ -276,7 +288,8 @@ def bulk_build(index, start: int, count: int) -> None:
 
         print(
             f"[bulk_build] n={count} scan={t_scan:.1f}s "
-            f"link={t_link:.1f}s upper={t_upper:.1f}s",
+            f"link={t_link:.1f}s upper={t_upper:.1f}s "
+            f"refine={t_refine:.1f}s (rounds={rounds})",
             file=sys.stderr,
             flush=True,
         )

@@ -818,6 +818,67 @@ void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
   }
 }
 
+// NN-descent-style level-0 refinement for bulk-built graphs: re-run the
+// diversity heuristic over {current neighbors} U {neighbors of
+// neighbors} per node, in place. A bulk graph's candidates come from a
+// batched top-K scan; one NoN round lets each node see the best rows its
+// *neighbors* found (the NN-descent convergence argument), and the
+// diversity selection keeps the shortcut edges navigability needs.
+// Symmetric coverage comes from running over all nodes (v appears as a
+// NoN candidate of its own neighbors). Single-threaded by contract
+// (Python holds the collection write lock during builds).
+void hnsw_refine_l0(Builder* b, int32_t rounds) {
+  int64_t n = b->num_nodes.load(std::memory_order_relaxed);
+  std::vector<Builder::DistNode> cands;
+  std::vector<int64_t> kept;
+  std::vector<uint32_t> seen(b->cap, 0);
+  uint32_t epoch = 0;
+  for (int32_t r = 0; r < rounds; ++r) {
+    for (int64_t v = 0; v < n; ++v) {
+      if (b->levels[v] < 0) continue;
+      ++epoch;
+      if (epoch == 0) {
+        std::fill(seen.begin(), seen.end(), 0);
+        epoch = 1;
+      }
+      seen[v] = epoch;
+      const float* qv = b->vecs + v * b->dim;
+      float qn = b->norms[v];
+      cands.clear();
+      const int32_t* row_v = b->row(0, v);
+      for (int j = 0; j < b->m0; ++j) {
+        int32_t u = row_v[j];
+        if (u < 0 || seen[u] == epoch) continue;
+        seen[u] = epoch;
+        cands.emplace_back(b->dist(qv, qn, u), u);
+      }
+      int direct = static_cast<int>(cands.size());
+      for (int i = 0; i < direct; ++i) {
+        const int32_t* row_u = b->row(0, cands[i].second);
+        for (int j = 0; j < b->m0; ++j) {
+          int32_t w = row_u[j];
+          if (w < 0 || w >= n || seen[w] == epoch) continue;
+          seen[w] = epoch;
+          cands.emplace_back(b->dist(qv, qn, w), w);
+        }
+      }
+      std::stable_sort(cands.begin(), cands.end(),
+                       [](const Builder::DistNode& a,
+                          const Builder::DistNode& x) {
+                         return a.first < x.first;
+                       });
+      b->select_heuristic(cands, b->m0, kept);
+      int32_t* out_row = b->row_ptr_mut(0, v);
+      for (int j = 0; j < b->m0; ++j) {
+        out_row[j] = j < static_cast<int>(kept.size())
+                         ? static_cast<int32_t>(kept[j])
+                         : -1;
+      }
+      b->mark_dirty(v);
+    }
+  }
+}
+
 int64_t hnsw_entry(Builder* b) { return b->entry; }
 int32_t hnsw_top_level(Builder* b) { return b->top_level; }
 int64_t hnsw_num_nodes(Builder* b) {
