@@ -152,3 +152,31 @@ def test_int8_select_candidates_contain_truth(metric, rng):
         ]
     )
     assert hit >= 0.95, hit
+
+
+def test_duplicate_burst_augmentation(rng):
+    """A run of consecutively-inserted near-duplicates must all be
+    returnable: locality augmentation + dedupe in the rescore pool
+    (the ADVICE round-2 block-collision scenario)."""
+    n, d, k = 2048, 32, 8
+    values = rng.normal(size=(n, d)).astype(np.float32) * 5
+    base = rng.normal(size=d).astype(np.float32)
+    # 6 distinct near-duplicates at consecutive rows 700..705
+    for j in range(6):
+        values[700 + j] = base + 1e-3 * rng.normal(size=d).astype(
+            np.float32
+        )
+    queries = base[None, :].repeat(2, axis=0)
+    vj = jnp.asarray(values)
+    sq = jnp.sum(vj * vj, axis=-1)
+    s, i = amk_search_topk_rescored(
+        vj, vj, sq, jnp.ones(n, bool), jnp.asarray(queries),
+        metric=SimilarityMetric.COSINE, k=k, k_sel=64,
+    )
+    i = np.asarray(i)
+    for row in range(2):
+        got = set(i[row, :6])
+        assert got == set(range(700, 706)), got
+    # no duplicated rows in any result
+    for row in i:
+        assert len(set(row.tolist())) == len(row)

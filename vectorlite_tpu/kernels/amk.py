@@ -108,9 +108,18 @@ def _exact_rescore_device(
     ``i_sel`` is sorted ascending first: coalesced gather DMA and the
     lowest-row tie-break (positional top_k over row-sorted candidates)
     in one move — the same stable-sort semantics as the host scan and
-    the reference.
+    the reference. Duplicate candidate rows (possible after locality
+    augmentation) are masked to -inf after the sort so no row can be
+    returned twice.
     """
     i_sel = jnp.sort(i_sel, axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((i_sel.shape[0], 1), bool),
+            i_sel[:, 1:] == i_sel[:, :-1],
+        ],
+        axis=1,
+    )
     rows = values_exact[i_sel].astype(jnp.float32)  # [B, k_sel, D]
     queries = queries.astype(jnp.float32)
     dot = jnp.einsum(
@@ -129,13 +138,18 @@ def _exact_rescore_device(
         exact = 1.0 / (1.0 + jnp.sqrt(d_sq))
     else:
         raise NotImplementedError("manhattan uses pallas_l1 / the XLA path")
-    exact = jnp.where(valid[i_sel], exact, NEG_INF)
+    exact = jnp.where(valid[i_sel] & ~dup, exact, NEG_INF)
     s_top, pos = jax.lax.top_k(exact, k)
     return s_top, jnp.take_along_axis(i_sel, pos, axis=1)
 
 
+#: rows pulled in on each side of an augmented candidate
+_AUGMENT_RADIUS = 4
+
+
 @functools.partial(
-    jax.jit, static_argnames=("metric", "k", "k_sel", "recall_target")
+    jax.jit,
+    static_argnames=("metric", "k", "k_sel", "recall_target", "augment"),
 )
 def amk_search_topk_rescored(
     values_scan: jax.Array,  # [N, D] bf16 scan copy (or the f32 rows)
@@ -148,11 +162,14 @@ def amk_search_topk_rescored(
     k: int,
     k_sel: int = K_SEL_MIN,
     recall_target: float = RECALL_TARGET,
+    augment: int = 8,
 ):
     """Speed-mode scan: fused matmul + ApproxTopK candidate selection
     over ``values_scan``, exact-f32 re-score from ``values_exact``, one
     dispatch. Returns (scores [B, k], rows [B, k]) with exact-f32 scores
-    and lowest-row tie-breaks."""
+    and lowest-row tie-breaks. ``augment`` widens the rescore pool with
+    the row neighborhoods of that many top candidates (see inline note;
+    0 disables)."""
     n = values_scan.shape[0]
     k_sel = min(k_sel, n)
     dot = _matmul(queries, values_scan)
@@ -162,6 +179,21 @@ def amk_search_topk_rescored(
     _, i_sel = jax.lax.approx_max_k(
         rank, k_sel, recall_target=recall_target
     )
+    if augment > 0:
+        # Locality augmentation: the PartialReduce keeps ONE winner per
+        # reduction shard, so a run of consecutively-inserted
+        # near-duplicates (adjacent rows -> usually one shard) would
+        # surface only its best member no matter how wide k_sel is.
+        # Insertion locality correlates with similarity (batch
+        # ingestion), so pull each top-ranked candidate's row
+        # neighborhood into the exact-rescore pool; the rescore dedupes
+        # and re-ranks exactly.
+        top = i_sel[:, :augment]  # rank-ordered (pre row-sort)
+        offs = jnp.arange(-_AUGMENT_RADIUS, _AUGMENT_RADIUS + 1)
+        aug = jnp.clip(
+            top[:, :, None] + offs[None, None, :], 0, n - 1
+        ).reshape(top.shape[0], -1)
+        i_sel = jnp.concatenate([i_sel, aug], axis=1)
     return _exact_rescore_device(
         i_sel, values_exact, sqnorms, valid, queries, metric, k
     )
