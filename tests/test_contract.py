@@ -63,6 +63,11 @@ SCENARIO = [
      "/collections/c/search/texts", {"queries": ["a"], "k": 9999}, 400),
     ("POST", "/collections/{name}/search/texts",
      "/collections/nope/search/texts", {"queries": ["a"]}, 404),
+    # compact extension
+    ("POST", "/collections/{name}/compact", "/collections/c/compact",
+     None, 200),
+    ("POST", "/collections/{name}/compact", "/collections/nope/compact",
+     None, 404),
     # vectors: ok + missing
     ("GET", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/0", None, 200),

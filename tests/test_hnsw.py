@@ -339,3 +339,40 @@ class TestCorruptGraphDump:
         want = [r.id for r in idx.search(q, 5, SimilarityMetric.COSINE)]
         assert got == want
         assert len(idx2) == 400
+
+
+class TestCompaction:
+    """Tombstone reclamation (extension: the reference leaks soft
+    deletes forever, src/index/hnsw.rs:400-414)."""
+
+    def test_compact_reclaims_and_preserves_search(self, rng):
+        d, n = 24, 400
+        data = rng.normal(size=(n, d))
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        idx = HNSWIndex(d, SimilarityMetric.COSINE, seed=1)
+        for i in range(n):
+            idx.add(Vector(id=i, values=list(data[i]), text=f"t{i}"))
+        for i in range(0, n, 2):
+            idx.delete(i)
+        assert idx._num_nodes == n
+        reclaimed = idx.compact()
+        assert reclaimed == n // 2
+        assert idx._num_nodes == n // 2
+        assert len(idx) == n // 2
+        # live vectors still found, deleted ones gone
+        res = idx.search(list(data[101]), 1, SimilarityMetric.COSINE)
+        assert res[0].id == 101
+        assert idx.get_vector(100) is None
+        assert idx.get_vector(101).text == "t101"
+        # further inserts work and ids continue
+        idx.add(Vector(id=n, values=list(data[0]), text="new"))
+        res = idx.search(list(data[0]), 1, SimilarityMetric.COSINE)
+        assert res[0].id == n
+
+    def test_compact_noop_when_clean(self, rng):
+        d = 8
+        idx = HNSWIndex(d, SimilarityMetric.COSINE)
+        for i in range(10):
+            idx.add(Vector(id=i, values=[float(i)] * d, text=""))
+        assert idx.compact() == 0
+        assert len(idx) == 10

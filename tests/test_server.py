@@ -572,3 +572,26 @@ def test_flat_with_metric_allowed():
         assert resp.status == 200
 
     http(go)
+
+
+class TestCompactRoute:
+    def test_compact(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "cp", "index_type": "flat"}
+            )
+            for t in ("a", "b", "c"):
+                await tc.post("/collections/cp/text", json={"text": t})
+            r = await tc.post("/collections/cp/compact")
+            assert r.status == 200
+            assert (await r.json())["reclaimed"] == 0
+            await tc.delete("/collections/cp/vectors/0")
+            await tc.delete("/collections/cp/vectors/1")
+            r = await tc.post("/collections/cp/compact")
+            assert (await r.json())["reclaimed"] == 2
+            r = await tc.post("/collections/nope/compact")
+            assert r.status == 404
+            body = await r.json()
+            assert "not found" in body["message"]
+
+        http(go)

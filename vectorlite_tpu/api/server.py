@@ -337,6 +337,27 @@ async def delete_vector(request: web.Request) -> web.Response:
     return web.json_response({})
 
 
+async def compact_collection(request: web.Request) -> web.Response:
+    """Extension route: reclaim tombstoned slots/nodes (the reference
+    leaks HNSW soft deletes forever, reference: src/index/hnsw.rs:400-414).
+    HNSW compaction is an O(N·insert) rebuild — runs off the event loop."""
+    name = request.match_info["name"]
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            collection = client.get_collection(name)
+            if collection is None:
+                raise CollectionNotFound(name)
+            return collection.compact()
+
+    reclaimed = await _blocking(request, run)
+    logger.info(
+        "Compacted collection '%s': reclaimed %d", name, reclaimed
+    )
+    return web.json_response({"reclaimed": int(reclaimed)})
+
+
 async def save_collection(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     body = await _json_body(request)
@@ -460,6 +481,7 @@ def create_app(client: VectorLiteClient) -> web.Application:
     app.router.add_post("/collections/{name}/search/texts", search_texts)
     app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
     app.router.add_delete("/collections/{name}/vectors/{id}", delete_vector)
+    app.router.add_post("/collections/{name}/compact", compact_collection)
     app.router.add_post("/collections/{name}/save", save_collection)
     app.router.add_post("/collections/load", load_collection)
     return app

@@ -350,6 +350,16 @@ class FlatIndex:
         if self._size > 1024 and self._count < self._size // 2:
             self._compact()
 
+    def compact(self) -> int:
+        """Explicit tombstone reclamation (the automatic trigger in
+        ``delete`` amortizes; this is the maintenance entry point shared
+        with HNSWIndex.compact). Returns slots reclaimed."""
+        dead = self._size - self._count
+        if dead <= 0:
+            return 0
+        self._compact()
+        return dead
+
     def _compact(self) -> None:
         """Drop tombstoned slots, preserving insertion order."""
         live = np.nonzero(self._valid[: self._size])[0]

@@ -561,6 +561,51 @@ class HNSWIndex:
         self._texts.pop(vid, None)
         self._metas.pop(vid, None)
 
+    def compact(self) -> int:
+        """Rebuild the graph from live vectors, reclaiming tombstones.
+
+        Extension past the reference, which leaks soft-deleted nodes
+        forever (they keep routing searches and holding memory,
+        reference: src/index/hnsw.rs:400-414). O(N·insert) — an offline
+        maintenance operation in the same cost class as the reference's
+        load-time rebuild; callers hold the collection write lock.
+        Returns the number of tombstoned nodes reclaimed.
+        """
+        dead = self._num_nodes - len(self._id_to_index)
+        if dead <= 0:
+            return 0
+        # live vectors in insertion (node) order, preserving id sequence
+        live = sorted(self._id_to_index.items(), key=lambda kv: kv[1])
+        src = self._vecs64 if self._vecs64 is not None else self._vecs
+        vectors = [
+            Vector(
+                id=vid,
+                values=[float(x) for x in src[node]],
+                text=self._texts.get(vid, ""),
+                metadata=self._metas.get(vid),
+            )
+            for vid, node in live
+        ]
+        fresh = HNSWIndex(
+            self.dim,
+            self._metric,
+            m=self.m,
+            m0=self.m0,
+            ef_construction=self.ef_construction,
+            ef_search=self.ef_search,
+            store_f64=self._store_f64,
+            mesh=self._mesh,
+        )
+        fresh.add_batch(vectors)
+        # Adopt the rebuilt state wholesale (same object identity).
+        # The old state dict stays with `fresh`, whose __del__ then
+        # frees the OLD native builder; the adopted dict must be a
+        # different object or that same __del__ would free the new one.
+        old_state, new_state = self.__dict__, dict(fresh.__dict__)
+        fresh.__dict__ = old_state  # fresh's __del__ frees the OLD builder
+        self.__dict__ = new_state
+        return dead
+
 
     def search(
         self,

@@ -180,6 +180,16 @@ class Collection:
             m = self._index.metric()
         return m if m is not None else SimilarityMetric.COSINE
 
+    def compact(self) -> int:
+        """Reclaim tombstoned nodes (HNSW rebuild / Flat slot compaction)
+        under the write lock. Extension: the reference leaks HNSW soft
+        deletes forever (reference: src/index/hnsw.rs:400-414). Returns
+        the number of slots reclaimed (0 when nothing to do or the
+        index type has no compaction)."""
+        with self._lock.write():
+            fn = getattr(self._index, "compact", None)
+            return int(fn()) if fn is not None else 0
+
     def save_to_file(self, path) -> None:
         from ..persist.vlc import save_collection_to_file
 
