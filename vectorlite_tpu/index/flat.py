@@ -201,7 +201,19 @@ def _amk_enabled() -> bool:
 
 
 class FlatIndex:
-    """Exact O(N) search over an HBM-resident vector matrix."""
+    """O(N)-scan search over an HBM-resident vector matrix.
+
+    Reference semantics (exhaustive scan + stable sort,
+    src/index/flat.rs:98-119) with a TPU-native serving ladder. The
+    returned *scores* are always exact (f64 host math or f32 HIGHEST
+    device re-scoring); *selection* of the top-k is exact on the host
+    path and on ``approx=False`` device searches, and approximate-with-
+    exact-rescore on the default device path at Pallas scale
+    (ApproxTopK candidates + a 128-wide exactly-re-scored pool;
+    measured recall@10 0.9996 at 1M — see kernels/amk.py for the
+    frontier and the knobs, and ``_bf16_selection_risky`` for the
+    auto-guard that reverts pathological corpora to the exact kernel).
+    """
 
     def __init__(
         self,
@@ -404,13 +416,14 @@ class FlatIndex:
     ) -> list[list[SearchResult]]:
         """Batched top-k. The single-query API wraps this with B=1.
 
-        ``approx`` selects candidates with the block-top-W kernel
-        (Pallas-eligible corpora only); ``None`` (default) auto-engages
-        it at Pallas scale for every storage dtype (see _resolve_approx
-        for the measurements). Returned scores stay exact: exact-f32 via
-        the speed-mode device re-score or f32 block selection, exact f64
-        host re-scoring for int8/bf16 storage. ``False`` forces
-        exhaustive selection on the storage dtype.
+        ``approx`` selects candidates with the ApproxTopK engine
+        (kernels/amk.py; Pallas-eligible corpora only); ``None``
+        (default) auto-engages it at Pallas scale for every storage
+        dtype unless the precision auto-guard tripped
+        (see _resolve_approx). Returned scores stay exact: exact-f32
+        via the fused device re-score, exact f64 host re-scoring for
+        int8/bf16 storage. ``False`` forces exhaustive selection on the
+        storage dtype.
 
         Dimension check only applies when the index is non-empty, matching the
         reference quirk (reference: src/index/flat.rs:99).
@@ -778,16 +791,14 @@ class FlatIndex:
     ) -> bool:
         """Resolve the tri-state ``approx`` flag.
 
-        ``None`` auto-engages block-top-W selection at Pallas scale — the
-        measured-fastest selection for every storage dtype since the
-        argmax select landed (1M x 384, b=256: f32 9.4 ms vs exhaustive
-        14.1; bf16 5.5 vs 9.4; int8 7.0 vs 10.2 — the old where/iota/min
-        idiom made the reduced-precision variants pathological, see
-        BASELINE.md). Reduced-precision candidates are 2x-oversampled
-        (_selection_k) and exactly re-scored as before. Block selection
-        needs capacity/128*W >= k_pad candidates; huge k falls back to
-        exhaustive selection. Mesh selection is always exact (the block
-        kernel is single-chip)."""
+        ``None`` auto-engages ApproxTopK selection at Pallas scale —
+        measured ~2-3.8 ms vs 14.1 exhaustive at 1M x 384 b=256
+        (BASELINE.md round 3) for every storage dtype. Reduced-precision
+        candidates are 2x-oversampled (_selection_k) and exactly
+        re-scored as before; manhattan always scans exactly (the L1
+        kernel is VPU-bound, selection is a rounding error of its
+        cost). Mesh selection is always exact (the approximate kernels
+        are single-chip)."""
         if self._mesh is not None or not _use_pallas(self._capacity, metric):
             return False
         if metric is SimilarityMetric.MANHATTAN:
