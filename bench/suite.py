@@ -448,10 +448,27 @@ def bench_flat4m():
         f"[flat4m] block-approx: {t_approx * 1e3:.2f} ms/batch "
         f"({BATCH / t_approx:,.0f} QPS)"
     )
+    # amk at 4M validates the fused PartialReduce scales past the point
+    # where a [B, N] intermediate would be 4 GB
+    from vectorlite_tpu.kernels.amk import amk_search_topk_rescored
+
+    scan = values.astype(jnp.bfloat16)
+    t_amk = slope_time(
+        lambda: amk_search_topk_rescored(
+            scan, values, sqnorms, valid, queries,
+            metric=SimilarityMetric.COSINE, k=16, k_sel=128,
+        )[0],
+        iters=8,
+    )
+    log(
+        f"[flat4m] amk rescored: {t_amk * 1e3:.2f} ms/batch "
+        f"({BATCH / t_amk:,.0f} QPS)"
+    )
     return {
         "config": "flat_4m_x384_b256",
         "exact_qps": round(BATCH / t_exact, 1),
         "approx_qps": round(BATCH / t_approx, 1),
+        "amk_qps": round(BATCH / t_amk, 1),
     }
 
 
