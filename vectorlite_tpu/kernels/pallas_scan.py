@@ -285,9 +285,12 @@ def pallas_search_block_topk(
     interpret: bool = False,
     winners: int = 1,
 ):
-    """Approximate (block-top-W) top-k at peak throughput; recall@10
-    ~99.4% at 1M for W=1, ~1.0 for W=2. Pair with exact host re-scoring
-    of the winners."""
+    """Approximate (lane-group top-W) candidate selection; measured
+    recall@10 = 1.0 at 1M for W=2 vs the exhaustive kernel (the strided
+    partition tolerates consecutive near-duplicates, and a miss needs
+    >W of the true top-k sharing both a tile and a lane). Pair with
+    exact re-scoring of the winners; superseded as the serving default
+    by kernels/amk.py (VECTORLITE_AMK=0 revives this path)."""
     n, d = values.shape
     b = queries.shape[0]
     assert n % tile_n == 0 and tile_n % BLOCK == 0
