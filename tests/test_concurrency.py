@@ -195,3 +195,103 @@ def test_concurrent_host_scan_cold_norms():
         for rid, score in results:
             assert rid == expected
             assert score > 0.999
+
+
+class TestStreamAndCompactUnderChurn:
+    def test_stream_with_concurrent_writers(self, rng):
+        """search_batch_stream iterating while another thread mutates:
+        each yielded batch must be internally consistent (valid ids,
+        finite scores for live hits) and the stream must not crash."""
+        import threading
+
+        from vectorlite_tpu.core.metrics import SimilarityMetric
+        from vectorlite_tpu.index.flat import FlatIndex
+
+        d, n0 = 12, 400
+        data = rng.normal(size=(n0 + 600, d))
+        idx = FlatIndex(d)
+        idx.add_batch_arrays(
+            ids=np.arange(n0, dtype=np.uint64),
+            values=data[:n0],
+            texts=None,
+            metadatas=None,
+        )
+        stop = threading.Event()
+
+        def churn():
+            i = n0
+            while not stop.is_set() and i < len(data):
+                idx.add_batch_arrays(
+                    ids=np.arange(i, i + 20, dtype=np.uint64),
+                    values=data[i : i + 20],
+                    texts=None,
+                    metadatas=None,
+                )
+                idx.delete(int(i - 100))
+                i += 20
+
+        t = threading.Thread(target=churn)
+        t.start()
+        try:
+            def batches():
+                for j in range(30):
+                    yield data[j * 3 : j * 3 + 4]
+
+            count = 0
+            for ids, scores in idx.search_batch_stream(
+                batches(), 5, SimilarityMetric.COSINE, depth=3
+            ):
+                assert ids.shape == (4, 5)
+                live = ids >= 0
+                assert np.all(np.isfinite(scores[live]))
+                count += 1
+            assert count == 30
+        finally:
+            stop.set()
+            t.join()
+
+    def test_compact_under_concurrent_readers(self, rng):
+        """Collection.compact holds the write lock; readers before/after
+        must always see a consistent index."""
+        import threading
+
+        from vectorlite_tpu import (
+            IndexType,
+            SimilarityMetric,
+            VectorLiteClient,
+        )
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+        client = VectorLiteClient(MockEmbeddingFunction(dimension=8))
+        client.create_collection(
+            "c", IndexType.HNSW, SimilarityMetric.COSINE
+        )
+        for i in range(200):
+            client.add_text_to_collection("c", f"doc {i}")
+        for i in range(0, 120, 2):
+            client.delete_from_collection("c", i)
+        col = client.get_collection("c")
+        errs = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    res = client.search_text_in_collection("c", "doc 7", 3)
+                    assert len(res) > 0
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+                    return
+
+        ts = [threading.Thread(target=reader) for _ in range(3)]
+        for t in ts:
+            t.start()
+        try:
+            reclaimed = col.compact()
+            assert reclaimed == 60
+        finally:
+            stop.set()
+            for t in ts:
+                t.join()
+        assert not errs
+        assert col.get_info().count == 140
