@@ -594,6 +594,7 @@ class HNSWIndex:
             ef_construction=self.ef_construction,
             ef_search=self.ef_search,
             store_f64=self._store_f64,
+            native=self._nb is not None,
             mesh=self._mesh,
         )
         fresh.add_batch(vectors)
