@@ -66,6 +66,10 @@ def convert_distance_to_similarity(
     cosine = 1 - cos, dotproduct = 1000 - clamp(dot, -1000, 1000)
     (the reference's pre-scaling values).
     """
+    from ..utils import env_number
+
+    if env_number("VECTORLITE_REFERENCE_SCORES", 0) == 1:
+        return reference_score(distance, metric)
     if metric is SimilarityMetric.EUCLIDEAN:
         return 1.0 / (1.0 + distance)
     if metric is SimilarityMetric.COSINE:
@@ -74,6 +78,37 @@ def convert_distance_to_similarity(
         return 1.0 / (1.0 + distance)
     # DotProduct (reference: src/index/hnsw.rs:67-73)
     return min(max((1000.0 - distance) / 1000.0, 0.0), 1.0)
+
+
+def reference_score(distance: float, metric: SimilarityMetric) -> float:
+    """Bit-faithful reproduction of the reference's HNSW score pipeline
+    (VECTORLITE_REFERENCE_SCORES=1 routes serving through this).
+
+    The reference stores distances as ``trunc(raw * 1000) as u64``
+    (reference: src/index/hnsw.rs:113-174), divides by 1000 at the call
+    site (hnsw.rs:478) and converts (hnsw.rs:51-75). For cosine and dot
+    the conversion divides by 1000 AGAIN, so reference scores live in
+    ~[0.998, 1.0]:
+
+      euclidean/manhattan: 1 / (1 + trunc(1000*d)/1000)
+          -> drift vs our exact 1/(1+d) is bounded by the quantization
+             step: |delta| <= 1e-3, monotonicity preserved up to 1e-3
+             raw-distance ties (quantified in tests/test_score_parity.py)
+      cosine:  1 - trunc(1000*(1-cos))/1e6          (~[0.998, 1])
+      dot:     clamp((1000 - trunc(1000-clamp(dot))/1000)/1000, 0, 1)
+
+    Our default mode returns un-quantized, un-compressed scores
+    (documented deviation, README "HNSW score scale"); this mode exists
+    for drop-in numeric compatibility during migrations.
+    """
+    q = float(int(distance * 1000.0)) / 1000.0  # u64 trunc + /1000
+    if metric is SimilarityMetric.EUCLIDEAN:
+        return 1.0 / (1.0 + q)
+    if metric is SimilarityMetric.COSINE:
+        return 1.0 - q / 1000.0
+    if metric is SimilarityMetric.MANHATTAN:
+        return 1.0 / (1.0 + q)
+    return min(max((1000.0 - q) / 1000.0, 0.0), 1.0)
 
 
 def _threads_from_env(var: str) -> int:
