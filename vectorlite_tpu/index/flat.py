@@ -1028,7 +1028,6 @@ class FlatIndex:
                 )
             if pallas_ok:
                 from ..kernels.pallas_scan import (
-                    pallas_search_block_topk,
                     pallas_search_block_topk_rescored,
                     pallas_search_topk,
                 )
@@ -1099,13 +1098,23 @@ class FlatIndex:
                         winners=_BLOCK_WINNERS,
                     )
                 if approx:
-                    return pallas_search_block_topk(
+                    # legacy f32 block path without a scan copy: select
+                    # and re-score from the same buffer so exact scores
+                    # + slot-order ties hold here too (the raw block
+                    # kernel's candidate order is no longer row-sorted
+                    # since the lane-group fold landed)
+                    k_sel = next_pow2(2 * k_pad)
+                    if k_sel * (128 // _BLOCK_WINNERS) > self._capacity:
+                        k_sel = k_pad
+                    return pallas_search_block_topk_rescored(
+                        self._dev_values,
                         self._dev_values,
                         self._dev_sqnorms,
                         self._dev_valid,
                         queries,
                         metric=metric,
                         k=k_pad,
+                        k_sel=k_sel,
                         tile_n=_PALLAS_TILE_BLOCK,
                         winners=_BLOCK_WINNERS,
                     )
