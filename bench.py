@@ -62,7 +62,47 @@ def cpu_baseline_qps(values64: np.ndarray, queries64: np.ndarray) -> float:
     return len(q) / elapsed
 
 
+def _chip_healthy(timeout_s: int = 180) -> bool:
+    """Probe the relay in a subprocess: the shared chip has multi-minute
+    congestion episodes where even a tiny compute+fetch hangs, and a
+    hung benchmark would cost the whole record. A subprocess is the only
+    reliable timeout for a wedged device call."""
+    import subprocess
+
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp;"
+        "x = jnp.ones((512, 384), jnp.float32);"
+        "np.asarray(x @ x.T).ravel()[:1];"
+        "print('ok')"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return b"ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _chip_healthy():
+        log("TPU relay unresponsive (congestion episode); recording a")
+        log("zero instead of hanging — rerun in a healthy window.")
+        print(
+            json.dumps(
+                {
+                    "metric": "cosine_top10_qps_1m_x384_b256",
+                    "value": 0,
+                    "unit": "queries/s",
+                    "vs_baseline": 0,
+                    "note": "tpu relay unresponsive at run time",
+                }
+            )
+        )
+        return
+
     import jax
     import jax.numpy as jnp
 
