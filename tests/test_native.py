@@ -144,3 +144,52 @@ class TestTsanHarness:
         assert run.returncode == 0, run.stderr[-2000:]
         assert "ThreadSanitizer" not in run.stderr, run.stderr[-2000:]
         assert "tsan harness OK" in run.stdout
+
+
+@needs_native
+def test_search_pool_fanout(monkeypatch, rng):
+    """Force VECTORLITE_SEARCH_THREADS>1 so the persistent pool engages
+    (this box defaults to 1 thread); results must match the sequential
+    path exactly, including under concurrent batched calls."""
+    import threading
+
+    from vectorlite_tpu import HNSWIndex, SimilarityMetric, Vector
+
+    d, n = 16, 800
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    idx = HNSWIndex(d, SimilarityMetric.COSINE, seed=4)
+    idx.add_batch(
+        [Vector(id=i, values=[float(x) for x in data[i]], text="") for i in range(n)]
+    )
+    queries = [list(map(float, data[i] + 1e-3)) for i in range(64)]
+
+    monkeypatch.setenv("VECTORLITE_SEARCH_THREADS", "1")
+    seq = idx.search_batch(queries, 5, SimilarityMetric.COSINE, ef=32,
+                           use_device=False)
+    monkeypatch.setenv("VECTORLITE_SEARCH_THREADS", "3")
+    pooled = idx.search_batch(queries, 5, SimilarityMetric.COSINE, ef=32,
+                              use_device=False)
+    for a, b in zip(seq, pooled):
+        assert [r.id for r in a] == [r.id for r in b]
+
+    # concurrent batched calls share the pool without interference
+    errs = []
+
+    def hammer():
+        try:
+            for _ in range(5):
+                out = idx.search_batch(
+                    queries, 5, SimilarityMetric.COSINE, ef=32,
+                    use_device=False,
+                )
+                assert [r.id for r in out[0]] == [r.id for r in seq[0]]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs

@@ -40,8 +40,10 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <memory>
 #include <mutex>
 #include <queue>
@@ -916,34 +918,118 @@ int32_t hnsw_search(Builder* b, const float* q, int32_t ef,
   return n;
 }
 
-// Batched host search: one FFI crossing for the whole query block, with
-// optional thread fan-out. out_ids/out_dists are [count, ef]; out_counts
-// is [count]. Unused tail slots are left untouched.
-// Concurrent HTTP streams each fan a batch out; without coordination N
-// streams spawn N x cpu_count workers and oversubscribe the host. The
-// active-call counter divides each call's fan-out by the number of
-// batches in flight, keeping total workers ~= cpu_count.
-static std::atomic<int32_t> g_active_search_batches{0};
+// Batched host search: one FFI crossing for the whole query block.
+// out_ids/out_dists are [count, ef]; out_counts is [count]; unused tail
+// slots are left untouched.
+//
+// Fan-out runs on a PERSISTENT process-wide worker pool (ADVICE round
+// 2): per-call std::thread spawn/join paid creation latency on every
+// batch, and N concurrent server streams each spawning cpu_count
+// workers oversubscribed the host N-fold. The pool holds a fixed
+// (threads-1) workers created once; callers always participate in their
+// own job, so pool size 0 degrades to the old sequential path and total
+// runnable threads stay bounded by workers + active callers.
+namespace {
 
-struct ActiveBatchGuard {
-  int32_t active;
-  ActiveBatchGuard()
-      : active(g_active_search_batches.fetch_add(
-                   1, std::memory_order_relaxed) +
-               1) {}
-  ~ActiveBatchGuard() {
-    g_active_search_batches.fetch_sub(1, std::memory_order_relaxed);
+struct SearchJob {
+  Builder* b;
+  const float* qs;
+  int64_t count;
+  int32_t ef;
+  int32_t* out_ids;
+  float* out_dists;
+  int32_t* out_counts;
+  std::atomic<int64_t> cursor{0};
+  std::atomic<int64_t> done{0};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  // claim-and-run one query; returns false when the job is exhausted
+  bool run_one(Scratch& scr) {
+    int64_t i = cursor.fetch_add(1, std::memory_order_relaxed);
+    if (i >= count) return false;
+    out_counts[i] = b->search(qs + i * b->dim, ef, out_ids + i * ef,
+                              out_dists + i * ef, scr);
+    if (done.fetch_add(1, std::memory_order_acq_rel) + 1 == count) {
+      std::lock_guard<std::mutex> g(done_mu);
+      done_cv.notify_all();
+    }
+    return true;
   }
 };
+
+struct SearchPool {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<std::shared_ptr<SearchJob>> jobs;
+  std::vector<std::thread> workers;
+  bool shutdown = false;
+
+  void start(int n) {
+    for (int t = 0; t < n; ++t) {
+      workers.emplace_back([this]() { worker_loop(); });
+    }
+  }
+
+  void worker_loop() {
+    for (;;) {
+      std::shared_ptr<SearchJob> job;
+      {
+        std::unique_lock<std::mutex> g(mu);
+        cv.wait(g, [&] { return shutdown || !jobs.empty(); });
+        if (shutdown) return;
+        job = jobs.front();  // shared: many workers drain one job
+      }
+      Scratch* scr = job->b->acquire_scratch();
+      while (job->run_one(*scr)) {
+      }
+      job->b->release_scratch(scr);
+      {
+        std::lock_guard<std::mutex> g(mu);
+        if (!jobs.empty() && jobs.front() == job) jobs.pop_front();
+      }
+    }
+  }
+
+  void submit(const std::shared_ptr<SearchJob>& job) {
+    {
+      std::lock_guard<std::mutex> g(mu);
+      jobs.push_back(job);
+    }
+    cv.notify_all();
+  }
+
+  ~SearchPool() {
+    {
+      std::lock_guard<std::mutex> g(mu);
+      shutdown = true;
+    }
+    cv.notify_all();
+    for (auto& w : workers) w.join();
+  }
+};
+
+SearchPool* search_pool(int32_t requested_threads) {
+  // sized once from the first caller's request; nullptr when fan-out
+  // is pointless (single-threaded request or single-core host)
+  static SearchPool* pool = [&]() -> SearchPool* {
+    int n = requested_threads - 1;
+    if (n <= 0) return nullptr;
+    auto* p = new SearchPool();
+    p->start(n);
+    return p;
+  }();
+  return pool;
+}
+
+}  // namespace
 
 void hnsw_search_batch(Builder* b, const float* qs, int64_t count,
                        int32_t ef, int32_t* out_ids, float* out_dists,
                        int32_t* out_counts, int32_t threads) {
-  ActiveBatchGuard guard;
-  threads = std::max(1, threads / guard.active);
-  threads = static_cast<int32_t>(
-      std::max<int64_t>(1, std::min<int64_t>(threads, count)));
-  if (threads <= 1) {
+  SearchPool* pool =
+      (threads > 1 && count > 1) ? search_pool(threads) : nullptr;
+  if (pool == nullptr) {
     Scratch* scr = b->acquire_scratch();
     for (int64_t i = 0; i < count; ++i) {
       out_counts[i] = b->search(qs + i * b->dim, ef, out_ids + i * ef,
@@ -952,21 +1038,25 @@ void hnsw_search_batch(Builder* b, const float* qs, int64_t count,
     b->release_scratch(scr);
     return;
   }
-  std::atomic<int64_t> cursor{0};
-  auto worker = [&]() {
-    Scratch* scr = b->acquire_scratch();
-    for (;;) {
-      int64_t i = cursor.fetch_add(1, std::memory_order_relaxed);
-      if (i >= count) break;
-      out_counts[i] = b->search(qs + i * b->dim, ef, out_ids + i * ef,
-                                out_dists + i * ef, *scr);
-    }
-    b->release_scratch(scr);
-  };
-  std::vector<std::thread> pool;
-  pool.reserve(threads);
-  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
-  for (auto& th : pool) th.join();
+  auto job = std::make_shared<SearchJob>();
+  job->b = b;
+  job->qs = qs;
+  job->count = count;
+  job->ef = ef;
+  job->out_ids = out_ids;
+  job->out_dists = out_dists;
+  job->out_counts = out_counts;
+  pool->submit(job);
+  // the caller works its own job too (no idle wait, no deadlock at
+  // pool size 0, bounded total threads under concurrent streams)
+  Scratch* scr = b->acquire_scratch();
+  while (job->run_one(*scr)) {
+  }
+  b->release_scratch(scr);
+  std::unique_lock<std::mutex> g(job->done_mu);
+  job->done_cv.wait(g, [&] {
+    return job->done.load(std::memory_order_acquire) == job->count;
+  });
 }
 
 // Restore a previously exported graph (the .vlc "graph" extension —
