@@ -63,6 +63,10 @@ SCENARIO = [
      "/collections/c/search/texts", {"queries": ["a"], "k": 9999}, 400),
     ("POST", "/collections/{name}/search/texts",
      "/collections/nope/search/texts", {"queries": ["a"]}, 404),
+    # observability extensions
+    ("GET", "/stats", "/stats", None, 200),
+    ("POST", "/debug/trace", "/debug/trace", None, 400),  # env unset
+    ("GET", "/openapi.yaml", "/openapi.yaml", None, 200),
     # compact extension
     ("POST", "/collections/{name}/compact", "/collections/c/compact",
      None, 200),
