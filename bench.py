@@ -87,7 +87,13 @@ def _chip_healthy(timeout_s: int = 180) -> bool:
 
 
 def main() -> None:
-    if not _chip_healthy():
+    healthy = False
+    for attempt in range(8):  # up to ~25 min of patience
+        if _chip_healthy():
+            healthy = True
+            break
+        log(f"TPU relay unresponsive (probe {attempt + 1}/8); waiting...")
+    if not healthy:
         log("TPU relay unresponsive (congestion episode); recording a")
         log("zero instead of hanging — rerun in a healthy window.")
         print(
