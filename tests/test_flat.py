@@ -364,6 +364,94 @@ class TestHostScanFastPath:
         assert idx._prospective_dtype() == jnp.float32
 
 
+class TestHostPrefilter:
+    """Above _HOST_PREFILTER_ROWS the host scan selects candidates on a
+    cached f32 copy with a provable error margin and rescores only the
+    pool in exact f64 (index/flat.py:_host_scan_prefiltered). Results
+    must be identical to the pure f64 scan — this is a latency path,
+    not an approximation."""
+
+    N, D = 4500, 24  # above the 4096 prefilter threshold, cheap dims
+
+    def _corpus(self):
+        rng = np.random.default_rng(11)
+        data = rng.normal(size=(self.N, self.D))
+        # adversarial: a cluster of near-duplicates whose f32 selection
+        # scores are indistinguishable — the margin must keep them all
+        data[100:140] = data[0] + rng.normal(size=(40, self.D)) * 1e-5
+        data[200] = 0.0  # zero-norm row (cosine score contract: 0.0)
+        return data
+
+    def _build(self, data):
+        idx = FlatIndex(self.D)
+        idx.add_batch_arrays(
+            np.arange(self.N, dtype=np.uint64), data
+        )
+        for i in range(300, 360):
+            idx.delete(i)
+        return idx
+
+    @pytest.mark.parametrize(
+        "metric",
+        [
+            SimilarityMetric.COSINE,
+            SimilarityMetric.EUCLIDEAN,
+            SimilarityMetric.MANHATTAN,
+            SimilarityMetric.DOT_PRODUCT,
+        ],
+    )
+    def test_identical_to_pure_f64_scan(self, metric, monkeypatch):
+        data = self._corpus()
+        idx = self._build(data)
+        rng = np.random.default_rng(12)
+        q = np.stack(
+            [data[0] + 1e-3, rng.normal(size=self.D), np.zeros(self.D)]
+        )
+        for k in (1, 10, 64):
+            monkeypatch.setenv("VECTORLITE_HOST_PREFILTER", "1")
+            ids_a, s_a = idx.search_batch_arrays(q, k, metric)
+            monkeypatch.setenv("VECTORLITE_HOST_PREFILTER", "0")
+            ids_b, s_b = idx.search_batch_arrays(q, k, metric)
+            assert np.array_equal(ids_a, ids_b), (metric, k)
+            finite = np.isfinite(s_b)
+            assert np.array_equal(finite, np.isfinite(s_a))
+            np.testing.assert_allclose(
+                s_a[finite], s_b[finite], rtol=1e-12, atol=1e-13
+            )
+
+    def test_tie_break_lowest_slot_through_prefilter(self):
+        data = self._corpus()
+        data[1000:1010] = data[999]  # exact duplicates
+        idx = self._build(data)
+        res = idx.search_batch(
+            [data[999]], 11, SimilarityMetric.COSINE
+        )[0]
+        assert [r.id for r in res] == list(range(999, 1010))
+
+    def test_nonfinite_corpus_falls_back_exact(self):
+        data = self._corpus()
+        data[:, 0] = 1e308  # overflows the f32 cache
+        data[17] = np.arange(self.D, dtype=np.float64)
+        idx = self._build(data)
+        assert not idx._host_f32()[2]  # finite flag tripped
+        res = idx.search_batch(
+            [np.arange(self.D, dtype=np.float64)],
+            1,
+            SimilarityMetric.EUCLIDEAN,
+        )[0]
+        assert res[0].id == 17 and res[0].score == 1.0
+
+    def test_compaction_invalidates_f32_cache(self):
+        data = self._corpus()
+        idx = self._build(data)
+        idx.search_batch([data[0]], 1, SimilarityMetric.COSINE)
+        assert idx._host_f32_n > 0
+        idx.compact()
+        assert idx._host_f32_n == 0
+        res = idx.search_batch([data[5]], 1, SimilarityMetric.COSINE)[0]
+        assert res[0].id == 5
+
+
 class TestBatchValidation:
     def test_row_count_mismatch_is_not_dimension_mismatch(self):
         idx = FlatIndex(12)

