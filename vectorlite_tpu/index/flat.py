@@ -639,61 +639,77 @@ class FlatIndex:
         approx: Optional[bool] = None,
     ):
         """Pipelined batched search (VERDICT round-2 item 2): keeps up to
-        ``depth`` device dispatches in flight, so batch i+1's device scan
-        overlaps batch i's relay fetch + host assembly. Yields
+        ``depth`` device dispatches in flight, and fetch + host assembly
+        for in-flight batches run on a ``depth``-wide worker pool, so
+        batch i+1's device scan AND its ~25 ms relay fetch overlap batch
+        i's — sequential fetches alone would cap throughput at
+        1/RPC-latency regardless of kernel speed. Yields
         ``(ids [B,k] int64, scores [B,k] f64)`` per input batch, in
         order — the sustained-serving analogue of
         ``search_batch_arrays`` (identical per-batch semantics).
         """
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         k = int(k)
         depth = max(1, int(depth))
         pending: deque = deque()
 
-        def finish(item):
-            kind, payload = item
-            if kind == "ready":
-                return payload
-            q64, dev, k_eff, b = payload
+        def finish_device(q64, dev, k_eff, b):
             scores, slots = jax.device_get(dev)
             scores, slots = self._finalize_device(
                 q64, scores[:b], slots[:b], k_eff, metric
             )
             return self._pack_arrays(scores, slots, k, k_eff)
 
-        for queries in batches:
-            q64 = np.asarray(queries, dtype=np.float64)
-            q = q64.astype(np.float32)
-            b = q.shape[0]
-            if self._count == 0 or k <= 0:
-                k_out = max(0, k)
-                item = (
-                    "ready",
-                    (
-                        np.full((b, k_out), -1, np.int64),
-                        np.full((b, k_out), -np.inf, np.float64),
-                    ),
-                )
-            else:
-                if q.shape[1] != self.dim:
-                    raise DimensionMismatch(self.dim, q.shape[1])
-                k_eff = min(k, self._count)
-                if self._host_scan_eligible(b):
-                    scores, slots = self._host_scan(q64, k_eff, metric)
+        def resolve(item):
+            kind, payload = item
+            return payload if kind == "ready" else payload.result()
+
+        pool = ThreadPoolExecutor(
+            max_workers=depth, thread_name_prefix="vl-stream-fetch"
+        )
+        try:
+            for queries in batches:
+                q64 = np.asarray(queries, dtype=np.float64)
+                q = q64.astype(np.float32)
+                b = q.shape[0]
+                if self._count == 0 or k <= 0:
+                    k_out = max(0, k)
                     item = (
-                        "ready", self._pack_arrays(scores, slots, k, k_eff)
+                        "ready",
+                        (
+                            np.full((b, k_out), -1, np.int64),
+                            np.full((b, k_out), -np.inf, np.float64),
+                        ),
                     )
                 else:
-                    dev, _ = self._dispatch_arrays(
-                        q64, q, k_eff, metric, approx
-                    )
-                    item = ("device", (q64, dev, k_eff, b))
-            pending.append(item)
-            if len(pending) > depth:
-                yield finish(pending.popleft())
-        while pending:
-            yield finish(pending.popleft())
+                    if q.shape[1] != self.dim:
+                        raise DimensionMismatch(self.dim, q.shape[1])
+                    k_eff = min(k, self._count)
+                    if self._host_scan_eligible(b):
+                        scores, slots = self._host_scan(q64, k_eff, metric)
+                        item = (
+                            "ready",
+                            self._pack_arrays(scores, slots, k, k_eff),
+                        )
+                    else:
+                        dev, _ = self._dispatch_arrays(
+                            q64, q, k_eff, metric, approx
+                        )
+                        item = (
+                            "fut",
+                            pool.submit(
+                                finish_device, q64, dev, k_eff, b
+                            ),
+                        )
+                pending.append(item)
+                if len(pending) > depth:
+                    yield resolve(pending.popleft())
+            while pending:
+                yield resolve(pending.popleft())
+        finally:
+            pool.shutdown(wait=False)
 
     def __len__(self) -> int:
         return self._count
