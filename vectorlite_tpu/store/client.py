@@ -116,8 +116,10 @@ class VectorLiteClient:
         return list(self._collections.keys())
 
     def delete_collection(self, name: str) -> None:
-        if self._collections.pop(name, None) is None:
+        collection = self._collections.pop(name, None)
+        if collection is None:
             raise CollectionNotFound(name)
+        collection.close()
 
     def has_collection(self, name: str) -> bool:
         return name in self._collections

@@ -16,6 +16,7 @@ reader holding the lock never observes a partially-written device buffer.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -24,7 +25,7 @@ from ..core.types import SearchResult, Vector
 from ..embed.base import EmbeddingFunction
 from ..errors import EmbeddingError, VectorLiteError
 from ..observability import profile_span
-from ..utils import AtomicCounter, RWLock
+from ..utils import AtomicCounter, RWLock, env_number
 
 
 @dataclass
@@ -52,6 +53,8 @@ class Collection:
         self._lock = RWLock()
         max_id = index.max_id()
         self._next_id = AtomicCounter(0 if max_id is None else max_id + 1)
+        self._coalescer = None
+        self._coalescer_lock = threading.Lock()
 
     @property
     def name(self) -> str:
@@ -134,10 +137,38 @@ class Collection:
         metric: SimilarityMetric,
         embedding_function: EmbeddingFunction,
     ) -> list[SearchResult]:
+        if env_number("VECTORLITE_COALESCE", 1):
+            # Concurrent single-text searches merge into one embedder
+            # forward + one batched dispatch (see store/coalesce.py);
+            # both indexes define search(q) == search_batch([q])[0], so
+            # results are identical to the direct path below.
+            return self._get_coalescer().submit(
+                query_text, k, metric, embedding_function
+            )
         # embed outside the lock (reference: src/client.rs:393-401)
         query = _run_embed(embedding_function, query_text)
         with self._lock.read(), profile_span("vectorlite.index.search"):
             return self._index.search(query, k, metric)
+
+    def _get_coalescer(self):
+        co = self._coalescer
+        if co is None:
+            from .coalesce import SearchCoalescer
+
+            with self._coalescer_lock:
+                co = self._coalescer
+                if co is None:
+                    co = self._coalescer = SearchCoalescer(self)
+        return co
+
+    def close(self) -> None:
+        """Release background resources (the search coalescer thread).
+        Safe to call more than once; the collection's direct index
+        methods keep working afterwards."""
+        with self._coalescer_lock:
+            co, self._coalescer = self._coalescer, None
+        if co is not None:
+            co.close()
 
     def search_texts(
         self,
