@@ -192,6 +192,19 @@ class TestLifecycle:
         assert client.get_collection("c")._coalescer is None
 
 
+class TestStats:
+    def test_coalesce_counters_advance(self, client):
+        from vectorlite_tpu.observability import coalesce_stats
+
+        before = coalesce_stats.snapshot().get("batches", 0)
+        _fill(client, "c", n=8)
+        client.search_text_in_collection("c", "document 0", 2)
+        after = coalesce_stats.snapshot()
+        assert after["batches"] > before
+        assert after["requests"] >= after["batches"]
+        assert after["max_batch"] >= 1
+
+
 class TestBatching:
     def test_backlog_forms_batches(self, client):
         """Entries queued while a batch is in flight coalesce: with the

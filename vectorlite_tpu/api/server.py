@@ -406,7 +406,11 @@ async def load_collection(request: web.Request) -> web.Response:
 
 async def get_stats(request: web.Request) -> web.Response:
     """Per-route latency percentiles (extension; SURVEY §5 observability)."""
-    return web.json_response(request.app[_STATS_KEY].snapshot())
+    from ..observability import coalesce_stats
+
+    body = request.app[_STATS_KEY].snapshot()
+    body["coalesce"] = coalesce_stats.snapshot()
+    return web.json_response(body)
 
 
 async def debug_trace(request: web.Request) -> web.Response:

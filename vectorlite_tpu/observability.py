@@ -77,6 +77,55 @@ class LatencyRecorder:
             return out
 
 
+class CoalesceRecorder:
+    """Counters for the search coalescer (store/coalesce.py): how many
+    dispatches ran and how large the merged batches were. Exposed under
+    ``coalesce`` at ``GET /stats`` so operators can see whether
+    concurrent traffic is actually merging (avg_batch ~1 under serial
+    load, rising with concurrency)."""
+
+    _BUCKETS = (1, 4, 16, 64, 256)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._batches = 0
+        self._entries = 0
+        self._max = 0
+        self._hist = [0] * len(self._BUCKETS)
+
+    def record(self, batch_size: int) -> None:
+        with self._lock:
+            self._batches += 1
+            self._entries += batch_size
+            if batch_size > self._max:
+                self._max = batch_size
+            for i, hi in enumerate(self._BUCKETS):
+                if batch_size <= hi:
+                    self._hist[i] += 1
+                    break
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            if not self._batches:
+                return {"batches": 0}
+            return {
+                "batches": self._batches,
+                "requests": self._entries,
+                "avg_batch": round(self._entries / self._batches, 2),
+                "max_batch": self._max,
+                "hist": {
+                    f"<={hi}": n
+                    for hi, n in zip(self._BUCKETS, self._hist)
+                    if n
+                },
+            }
+
+
+#: Process-wide coalesce counters (all collections share one recorder;
+#: per-collection split hasn't earned its keep yet).
+coalesce_stats = CoalesceRecorder()
+
+
 @contextlib.contextmanager
 def profile_span(name: str):
     """jax.profiler trace annotation around a serving step; also starts a

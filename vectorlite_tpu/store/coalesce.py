@@ -33,7 +33,7 @@ from typing import Optional
 import numpy as np
 
 from ..errors import EmbeddingError, VectorLiteError
-from ..observability import profile_span
+from ..observability import coalesce_stats, profile_span
 
 #: Largest single drain; bigger backlogs split across dispatches (stays
 #: inside the device kernels' measured-optimal batch bucket).
@@ -101,6 +101,7 @@ class SearchCoalescer:
                     return
                 batch = self._queue[:MAX_BATCH]
                 del self._queue[:MAX_BATCH]
+            coalesce_stats.record(len(batch))
             try:
                 self._process(batch)
             except BaseException as e:  # noqa: BLE001 - deliver, don't die
