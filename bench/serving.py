@@ -9,6 +9,11 @@ Measures steady-state index-level QPS on a 1M x 384 FlatIndex under:
 * ``pipelined`` mode — one stream keeping D dispatches in flight
   (dispatch i+D issued before fetching i), the double-buffered dispatch
   VERDICT round-2 item 2 asks for, via FlatIndex.search_batch_stream.
+* ``coalesced`` mode — S streams of SINGLE-query Collection.search_text
+  calls (the exact shape of concurrent HTTP traffic), merged by the
+  store/coalesce.py group-commit dispatcher into batched device work.
+  The uncoalesced comparison point (VECTORLITE_COALESCE=0) pays one
+  B=1 device dispatch per request.
 
 Run: python -m bench.serving [--n 1048576] [--streams 1,2,4,6,8]
 Writes bench/report_serving.json.
@@ -113,11 +118,82 @@ def _repeat_until(queries, deadline):
         yield queries
 
 
+class _TableEmbedder:
+    """Precomputed text->vector lookup: removes embed cost from the
+    measurement so `coalesced` mode times the serving machinery only."""
+
+    def __init__(self, table):
+        self._table = table
+
+    def generate_embedding(self, text):
+        return self._table[text]
+
+    def embed_batch(self, texts):
+        return [self._table[t] for t in texts]
+
+    def embed_batch_arrays(self, texts):
+        return np.stack([self._table[t] for t in texts])
+
+    @property
+    def dimension(self):
+        return D
+
+
+def bench_coalesced(collection, embedder, n_streams, seconds=12.0):
+    """S streams of single-query search_text against one collection."""
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+    from vectorlite_tpu.observability import coalesce_stats
+
+    texts = list(embedder._table.keys())
+    stop = time.perf_counter() + seconds
+    counts = [0] * n_streams
+    errs = []
+    before = coalesce_stats.snapshot()
+
+    def worker(s):
+        try:
+            i = s
+            while time.perf_counter() < stop:
+                rows = collection.search_text(
+                    texts[i % len(texts)], K, SimilarityMetric.COSINE,
+                    embedder,
+                )
+                assert len(rows) == K
+                counts[s] += 1
+                i += n_streams
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t0 = time.perf_counter()
+    ts = [
+        threading.Thread(target=worker, args=(s,)) for s in range(n_streams)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+    wall = time.perf_counter() - t0
+    after = coalesce_stats.snapshot()
+    batches = after.get("batches", 0) - before.get("batches", 0)
+    reqs = after.get("requests", 0) - before.get("requests", 0)
+    avg_batch = round(reqs / batches, 2) if batches else None
+    return sum(counts) / wall, avg_batch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--streams", default="1,2,4,6,8")
     ap.add_argument("--depths", default="1,2,4")
+    ap.add_argument("--coalesce-streams", default="8,32,64")
+    ap.add_argument(
+        "--uncoalesced-probe",
+        action="store_true",
+        help="also measure the B=1-per-request comparison point "
+        "(slow: one device dispatch per query)",
+    )
     ap.add_argument("--seconds", type=float, default=12.0)
     ap.add_argument("--out", default="bench/report_serving.json")
     args = ap.parse_args()
@@ -149,6 +225,46 @@ def main():
             results.append(
                 {"mode": "pipelined", "depth": d, "qps": round(qps)}
             )
+    if args.coalesce_streams:
+        from vectorlite_tpu.store.collection import Collection
+
+        table = {f"q{i}": queries[i] for i in range(len(queries))}
+        embedder = _TableEmbedder(table)
+        collection = Collection("serving", idx)
+        # warm the coalesced path (and its B-bucket jits)
+        collection.search_text(
+            "q0", K, SimilarityMetric.COSINE, embedder
+        )
+        for s in [int(x) for x in args.coalesce_streams.split(",")]:
+            qps, avg_batch = bench_coalesced(
+                collection, embedder, s, args.seconds
+            )
+            log(
+                f"coalesced streams={s}: {qps:,.0f} QPS sustained "
+                f"(avg device batch {avg_batch})"
+            )
+            results.append(
+                {
+                    "mode": "coalesced",
+                    "streams": s,
+                    "qps": round(qps),
+                    "avg_batch": avg_batch,
+                }
+            )
+        if args.uncoalesced_probe:
+            os.environ["VECTORLITE_COALESCE"] = "0"
+            try:
+                s = 8
+                qps, _ = bench_coalesced(
+                    collection, embedder, s, min(args.seconds, 6.0)
+                )
+                log(f"UNcoalesced streams={s}: {qps:,.0f} QPS sustained")
+                results.append(
+                    {"mode": "uncoalesced", "streams": s, "qps": round(qps)}
+                )
+            finally:
+                os.environ.pop("VECTORLITE_COALESCE", None)
+        collection.close()
     report["results"] = results
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report))

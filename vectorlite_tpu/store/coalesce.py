@@ -87,10 +87,17 @@ class SearchCoalescer:
         return entry.result
 
     def close(self) -> None:
-        """Stop the dispatcher after draining; pending entries complete."""
+        """Stop the dispatcher after draining; pending entries complete.
+
+        Joins the dispatcher thread so no daemon thread is left inside
+        XLA when the interpreter tears down (abrupt daemon kills there
+        abort the process with a C++ terminate)."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
+            thread = self._thread
+        if thread is not None and thread is not threading.current_thread():
+            thread.join(timeout=30.0)
 
     def _loop(self) -> None:
         while True:
