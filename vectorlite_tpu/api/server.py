@@ -41,6 +41,7 @@ logger = logging.getLogger("vectorlite_tpu.server")
 _CLIENT_KEY = web.AppKey("vectorlite_client", VectorLiteClient)
 _LOCK_KEY = web.AppKey("vectorlite_lock", RWLock)
 _STATS_KEY = web.AppKey("vectorlite_stats", LatencyRecorder)
+_AUTOSAVE_KEY = web.AppKey("vectorlite_autosave", object)
 
 
 def _error_response(err: VectorLiteError) -> web.Response:
@@ -410,6 +411,9 @@ async def get_stats(request: web.Request) -> web.Response:
 
     body = request.app[_STATS_KEY].snapshot()
     body["coalesce"] = coalesce_stats.snapshot()
+    autosave = request.app.get(_AUTOSAVE_KEY)
+    if autosave is not None:
+        body["autosave"] = autosave.stats()
     return web.json_response(body)
 
 
@@ -463,13 +467,22 @@ def _openapi_spec_text():
     return None
 
 
-def create_app(client: VectorLiteClient) -> web.Application:
+def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     """Router mirror of reference: src/server.rs:361-377, plus the
-    /stats, /debug/trace, and /openapi.yaml extensions."""
+    /stats, /debug/trace, and /openapi.yaml extensions. ``autosave`` is
+    an optional started ``store.autosave.AutosaveDaemon``; the app owns
+    its shutdown (final flush) and surfaces its counters at /stats."""
     app = web.Application(middlewares=[error_middleware])
     app[_CLIENT_KEY] = client
     app[_LOCK_KEY] = RWLock()
     app[_STATS_KEY] = LatencyRecorder()
+    if autosave is not None:
+        app[_AUTOSAVE_KEY] = autosave
+
+        async def _stop_autosave(app_):
+            autosave.stop(flush=True)
+
+        app.on_cleanup.append(_stop_autosave)
     app.router.add_get("/openapi.yaml", openapi_spec)
     app.router.add_get("/stats", get_stats)
     app.router.add_post("/debug/trace", debug_trace)
@@ -492,9 +505,13 @@ def create_app(client: VectorLiteClient) -> web.Application:
 
 
 def start_server(
-    client: VectorLiteClient, host: str = "127.0.0.1", port: int = 3001
+    client: VectorLiteClient,
+    host: str = "127.0.0.1",
+    port: int = 3001,
+    *,
+    autosave=None,
 ) -> None:
     """Blocking serve loop (reference: src/server.rs:379-392)."""
-    app = create_app(client)
+    app = create_app(client, autosave=autosave)
     logger.info("VectorLite server starting on %s:%s", host, port)
     web.run_app(app, host=host, port=port, print=None)

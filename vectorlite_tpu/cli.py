@@ -60,6 +60,20 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="Use the deterministic mock embedder (no model files needed)",
     )
+    parser.add_argument(
+        "--autosave-dir",
+        default=os.environ.get("VECTORLITE_AUTOSAVE_DIR"),
+        help="Directory for periodic crash-resume snapshots; collections "
+        "found there are restored at startup and dirty ones re-saved "
+        "every --autosave-interval seconds (extension; the reference "
+        "only saves on explicit POST .../save)",
+    )
+    parser.add_argument(
+        "--autosave-interval",
+        type=float,
+        default=float(os.environ.get("VECTORLITE_AUTOSAVE_INTERVAL", 30.0)),
+        help="Seconds between autosave ticks (default 30)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -92,9 +106,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         logger.info("Starting with empty server - no collections loaded")
 
+    autosave = None
+    if args.autosave_dir:
+        from .store.autosave import AutosaveDaemon, restore_into
+
+        restored = restore_into(
+            client, args.autosave_dir, **client.flat_index_kwargs()
+        )
+        if restored:
+            logger.info("Restored collections: %s", restored)
+        autosave = AutosaveDaemon(
+            client, args.autosave_dir, interval_s=args.autosave_interval
+        ).start()
+
     from .api.server import start_server
 
-    start_server(client, args.host, args.port)
+    start_server(client, args.host, args.port, autosave=autosave)
     return 0
 
 

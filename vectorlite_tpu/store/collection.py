@@ -55,6 +55,13 @@ class Collection:
         self._next_id = AtomicCounter(0 if max_id is None else max_id + 1)
         self._coalescer = None
         self._coalescer_lock = threading.Lock()
+        # Monotone write-version: bumped on every successful mutation so
+        # the autosave daemon (store/autosave.py) can skip clean
+        # collections without taking the index lock.
+        self._mutations = AtomicCounter(0)
+
+    def mutation_count(self) -> int:
+        return self._mutations.load()
 
     @property
     def name(self) -> str:
@@ -76,6 +83,7 @@ class Collection:
         vector = Vector(id=vid, values=embedding, text=text, metadata=metadata)
         with self._lock.write(), profile_span("vectorlite.index.add"):
             self._index.add(vector)
+        self._mutations.fetch_add(1)
         return vid
 
     # Alias mirroring the reference's two-method surface
@@ -128,6 +136,8 @@ class Collection:
                     self._index.add(
                         Vector(id=vid, values=emb, text=text, metadata=meta)
                     )
+        if ids:
+            self._mutations.fetch_add(1)
         return ids
 
     def search_text(
@@ -186,6 +196,7 @@ class Collection:
     def delete(self, id: int) -> None:
         with self._lock.write():
             self._index.delete(id)
+        self._mutations.fetch_add(1)
 
     def get_vector(self, id: int) -> Optional[Vector]:
         with self._lock.read():
@@ -219,7 +230,10 @@ class Collection:
         index type has no compaction)."""
         with self._lock.write():
             fn = getattr(self._index, "compact", None)
-            return int(fn()) if fn is not None else 0
+            reclaimed = int(fn()) if fn is not None else 0
+        if reclaimed:
+            self._mutations.fetch_add(1)
+        return reclaimed
 
     def save_to_file(self, path) -> None:
         from ..persist.vlc import save_collection_to_file
