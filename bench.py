@@ -88,11 +88,15 @@ def _chip_healthy(timeout_s: int = 180) -> bool:
 
 def main() -> None:
     healthy = False
-    for attempt in range(8):  # up to ~25 min of patience
+    for attempt in range(10):  # up to ~30 min of patience
+        t0 = time.perf_counter()
         if _chip_healthy():
             healthy = True
             break
-        log(f"TPU relay unresponsive (probe {attempt + 1}/8); waiting...")
+        log(f"TPU relay unresponsive (probe {attempt + 1}/10); waiting...")
+        # pace probes to one 180 s window each: a fast failure (relay
+        # refusing connections) must not burn all attempts in seconds
+        time.sleep(max(0.0, 180.0 - (time.perf_counter() - t0)))
     if not healthy:
         log("TPU relay unresponsive (congestion episode); recording a")
         log("zero instead of hanging — rerun in a healthy window.")
