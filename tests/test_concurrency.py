@@ -295,3 +295,40 @@ class TestStreamAndCompactUnderChurn:
                 t.join()
         assert not errs
         assert col.get_info().count == 140
+
+
+def test_autosave_flush_races_mutations(tmp_path):
+    """Autosave ticks hammering alongside adds/deletes: no exceptions,
+    and the post-quiesce flush captures the final state exactly."""
+    from vectorlite_tpu.store.autosave import AutosaveDaemon, restore_into
+
+    client = VectorLiteClient(MockEmbeddingFunction(dimension=16))
+    client.create_collection("c", IndexType.FLAT)
+    daemon = AutosaveDaemon(client, tmp_path, interval_s=0.01).start()
+    errors: list[Exception] = []
+
+    def writer(wid):
+        try:
+            for i in range(40):
+                vid = client.add_text_to_collection("c", f"w{wid} {i}")
+                if i % 5 == 0:
+                    client.delete_from_collection("c", vid)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    daemon.stop(flush=True)  # final flush after quiesce
+    assert not errors
+    assert daemon.stats()["failures"] == 0
+
+    fresh = VectorLiteClient(MockEmbeddingFunction(dimension=16))
+    assert restore_into(fresh, tmp_path) == ["c"]
+    want = client.get_collection_info("c").count
+    assert want == 4 * 40 - 4 * 8
+    assert fresh.get_collection_info("c").count == want
