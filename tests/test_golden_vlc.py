@@ -13,11 +13,18 @@ from pathlib import Path
 from vectorlite_tpu.core.metrics import SimilarityMetric
 from vectorlite_tpu.persist.vlc import (
     collection_to_json,
+    dumps_pretty,
     load_collection_from_file,
     save_collection_to_file,
 )
 
 GOLDEN = Path(__file__).parent / "golden"
+
+
+def rendered(payload):
+    """Normalize a payload (which may hold ndarrays for the native
+    emitter) through the engine's own renderer, as a save would."""
+    return json.loads(dumps_pretty(payload))
 
 
 class TestFlatGolden:
@@ -53,7 +60,7 @@ class TestFlatGolden:
         golden = json.loads((GOLDEN / "flat_reference.vlc").read_text())
         col = load_collection_from_file(GOLDEN / "flat_reference.vlc")
         payload = collection_to_json(col)
-        assert payload["index"] == golden["index"]
+        assert rendered(payload["index"]) == golden["index"]
         for key in ("name", "vector_count", "dimension", "index_type"):
             assert payload["metadata"][key] == golden["metadata"][key]
         assert payload["header"]["version"] == "1.0.0"
@@ -86,7 +93,7 @@ class TestHnswGolden:
         ref = golden["index"]["HNSW"]
         assert ours["dim"] == ref["dim"]
         assert ours["metric"] == ref["metric"]
-        assert ours["vector_values"] == ref["vector_values"]
+        assert rendered(ours["vector_values"]) == ref["vector_values"]
         assert ours["metadata"] == ref["metadata"]
         # id<->index maps must be mutually consistent bijections over the
         # same ids (the rebuild may renumber internal indexes)
@@ -182,5 +189,5 @@ class TestEdgeCaseGoldens:
             ours = payload["index"]["HNSW"]
             ref = golden["index"]["HNSW"]
             assert ours["metric"] == ref["metric"]
-            assert ours["vector_values"] == ref["vector_values"]
+            assert rendered(ours["vector_values"]) == ref["vector_values"]
             assert ours["metadata"] == ref["metadata"]

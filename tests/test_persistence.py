@@ -44,12 +44,14 @@ class TestCollectionData:
         assert meta["index_type"] == "Flat"
         flat = payload["index"]["Flat"]
         assert flat["dim"] == 3
-        assert flat["data"][0] == {
-            "id": 0,
-            "values": [1.0, 2.0, 3.0],
-            "text": "test",
-            "metadata": None,
-        }
+        row = flat["data"][0]
+        # values is an f64 ndarray (streamed by the native emitter);
+        # field order must match reference serde (src/lib.rs:163-174)
+        assert list(row) == ["id", "values", "text", "metadata"]
+        assert row["id"] == 0
+        assert list(row["values"]) == [1.0, 2.0, 3.0]
+        assert row["text"] == "test"
+        assert row["metadata"] is None
 
     def test_save_load_roundtrip(self, tmp_path):
         path = tmp_path / "test_collection.vlc"
@@ -112,7 +114,9 @@ class TestCollectionData:
         path = tmp_path / "v2.vlc"
         payload = collection_to_json(make_flat_collection())
         payload["header"]["version"] = "2.0.0"
-        path.write_text(json.dumps(payload))
+        from vectorlite_tpu.persist.vlc import dumps_pretty
+
+        path.write_text(dumps_pretty(payload))
         with pytest.raises(VersionMismatch):
             load_collection_from_file(path)
 
@@ -122,7 +126,9 @@ class TestCollectionData:
         path = tmp_path / "fmt.vlc"
         payload = collection_to_json(make_flat_collection())
         payload["header"]["format"] = "something-else"
-        path.write_text(json.dumps(payload))
+        from vectorlite_tpu.persist.vlc import dumps_pretty
+
+        path.write_text(dumps_pretty(payload))
         with pytest.raises(InvalidFormat):
             load_collection_from_file(path)
 
@@ -245,7 +251,11 @@ class TestReferenceFormatCompat:
             "vector_values",
         }
         assert payload["metric"] == "DotProduct"
-        assert payload["vector_values"] == {"4": [1.0, 2.0]}
+        from vectorlite_tpu.persist.vlc import dumps_pretty
+
+        assert json.loads(dumps_pretty(payload["vector_values"])) == {
+            "4": [1.0, 2.0]
+        }
 
 
 class TestGraphDumpExtension:

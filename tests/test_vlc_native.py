@@ -1,0 +1,205 @@
+"""Native .vlc emitter parity (native/vlc_emit.cpp vs persist/vlc.py).
+
+The native array emitter exists purely for speed (the pure-Python ryu
+formatter costs ~3.6 us/value); its output must be BYTE-IDENTICAL to
+the Python serde_json/ryu formatter that the golden fixtures pin
+(reference: src/persistence.rs:137). Covered here:
+
+- single-value f64 formatting over the ryu edge corpus and random
+  bit-cast doubles (incl. nan/inf -> null),
+- i64 formatting incl. INT64_MIN,
+- array element streaming across chunk boundaries,
+- whole-snapshot byte equality with the fast path on vs off, for both
+  Flat and HNSW (ndarray vector rows, CSR graph int arrays).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import math
+
+import numpy as np
+import pytest
+
+from vectorlite_tpu.core.types import Vector
+from vectorlite_tpu.index.flat import FlatIndex
+from vectorlite_tpu.index.hnsw import HNSWIndex
+from vectorlite_tpu.core.metrics import SimilarityMetric
+from vectorlite_tpu.native import load_vlc
+from vectorlite_tpu.persist import vlc
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = load_vlc()
+    if lib is None:
+        pytest.skip("native vlc emitter unavailable")
+    return lib
+
+
+def _native_fmt(lib, x: float) -> str:
+    buf = ctypes.create_string_buffer(64)
+    n = lib.vlc_fmt_f64(ctypes.c_double(x), buf)
+    return buf.raw[:n].decode("ascii")
+
+
+EDGE_VALUES = [
+    0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 1.5, 100.0, 0.1, 2.0 / 3.0,
+    math.pi, -math.e,
+    # decimal<->scientific boundaries: kk in (-5, 16]
+    1e15, 1e16, 1e17, -1e16, 9999999999999998.0, 12345678901234567.0,
+    1e-4, 1e-5, -1e-5, 1.2345e-5, 0.0001234,
+    # extremes and denormals
+    5e-324, -5e-324, 2.2250738585072014e-308, 1.7976931348623157e308,
+    1e308, -1e308, 4.9e-324,
+    # integral values needing zero-padding
+    1234567890123456.0, 2e15, -3e10,
+    # non-finite -> null
+    float("inf"), float("-inf"), float("nan"),
+]
+
+
+class TestScalarParity:
+
+    def test_edge_values(self, lib):
+        for x in EDGE_VALUES:
+            assert _native_fmt(lib, x) == vlc._emit_f64(x), repr(x)
+
+    def test_random_bitcast_doubles(self, lib):
+        rng = np.random.default_rng(7)
+        bits = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+        vals = bits.view(np.float64)
+        for x in vals:
+            x = float(x)
+            assert _native_fmt(lib, x) == vlc._emit_f64(x), (
+                repr(x), np.float64(x).view(np.uint64)
+            )
+
+    def test_random_uniform_and_scaled(self, lib):
+        rng = np.random.default_rng(11)
+        for scale in (1.0, 1e-9, 1e9, 1e300, 1e-300):
+            for x in rng.standard_normal(2000) * scale:
+                x = float(x)
+                assert _native_fmt(lib, x) == vlc._emit_f64(x), repr(x)
+
+
+def _render(payload) -> str:
+    return vlc.dumps_pretty(payload)
+
+
+def _render_pure(payload, monkeypatch) -> str:
+    # force the per-element Python path
+    monkeypatch.setattr(vlc, "_emit_ndarray", lambda *a: False)
+    try:
+        return vlc.dumps_pretty(payload)
+    finally:
+        monkeypatch.undo()
+
+
+class TestArrayParity:
+
+    def test_float_arrays(self, lib, monkeypatch):
+        rng = np.random.default_rng(3)
+        for n in (0, 1, 2, 7, 128, 1000):
+            arr = rng.standard_normal(n) * 10.0 ** rng.integers(
+                -12, 12, size=n
+            )
+            payload = {"a": arr, "nested": [[arr], {"b": arr}]}
+            assert _render(payload) == _render_pure(payload, monkeypatch)
+
+    def test_int_arrays(self, lib, monkeypatch):
+        rng = np.random.default_rng(5)
+        arr = rng.integers(-(2**62), 2**62, size=777, dtype=np.int64)
+        arr[0] = np.iinfo(np.int64).min
+        arr[1] = np.iinfo(np.int64).max
+        arr[2] = 0
+        payload = {"adj": arr, "levels": np.array([], dtype=np.int64)}
+        assert _render(payload) == _render_pure(payload, monkeypatch)
+
+    def test_edge_value_array(self, lib, monkeypatch):
+        arr = np.array([x for x in EDGE_VALUES], dtype=np.float64)
+        payload = [arr]
+        s = _render(payload)
+        assert s == _render_pure(payload, monkeypatch)
+        # nan/inf render as null -> the output must stay parseable JSON
+        parsed = json.loads(s)
+        assert parsed[0][-1] is None  # nan
+        assert parsed[0][0] == 0.0
+
+    def test_chunk_boundaries(self, lib, monkeypatch):
+        rng = np.random.default_rng(9)
+        arr = rng.standard_normal(23)
+        expect = _render_pure([arr], monkeypatch)
+        for chunk in (1, 2, 7, 22, 23, 24):
+            monkeypatch.setattr(vlc, "_EMIT_CHUNK", chunk)
+            try:
+                assert vlc.dumps_pretty([arr]) == expect, chunk
+            finally:
+                monkeypatch.undo()
+
+    def test_2d_and_odd_dtypes_fall_back(self, lib, monkeypatch):
+        payload = {
+            "m": np.arange(6, dtype=np.float64).reshape(2, 3),
+            "b": np.array([True, False]),
+            "f32": np.array([0.1, 0.5], dtype=np.float32),
+        }
+        s = _render(payload)
+        assert s == _render_pure(payload, monkeypatch)
+        assert json.loads(s)["b"] == [True, False]
+
+
+class TestSnapshotParity:
+
+    def _flat_payload(self):
+        rng = np.random.default_rng(13)
+        vals = rng.standard_normal((40, 8))
+        vals[0, 0] = 5e-324
+        vals[1, 1] = 1e308
+        vals[2, 2] = -0.0
+        vals[3, 3] = 1e16
+        vecs = [
+            Vector(id=i, values=[float(x) for x in vals[i]],
+                   text=f"t{i}", metadata={"i": i} if i % 3 else None)
+            for i in range(40)
+        ]
+        idx = FlatIndex(8, vecs)
+        return {"Flat": idx.index_to_json()}
+
+    def test_flat_snapshot_bytes(self, lib, monkeypatch):
+        payload = self._flat_payload()
+        s = _render(payload)
+        assert s == _render_pure(payload, monkeypatch)
+        obj = json.loads(s)
+        assert len(obj["Flat"]["data"]) == 40
+
+    def test_flat_roundtrip_through_text(self, lib):
+        payload = self._flat_payload()
+        obj = json.loads(_render(payload))
+        restored = FlatIndex.index_from_json(obj["Flat"])
+        assert len(restored) == 40
+        got = restored.index_to_json()["data"][0]["values"]
+        want = payload["Flat"]["data"][0]["values"]
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    def test_hnsw_snapshot_bytes(self, lib, monkeypatch):
+        rng = np.random.default_rng(17)
+        data = rng.standard_normal((60, 6))
+        idx = HNSWIndex(6, SimilarityMetric.EUCLIDEAN)
+        idx.add_batch(
+            [
+                Vector(id=i, values=[float(x) for x in data[i]],
+                       text=f"v{i}")
+                for i in range(60)
+            ]
+        )
+        payload = {"HNSW": idx.index_to_json()}
+        assert "graph" in payload["HNSW"]
+        s = _render(payload)
+        assert s == _render_pure(payload, monkeypatch)
+        restored = HNSWIndex.index_from_json(json.loads(s)["HNSW"])
+        assert len(restored) == 60
+        res = restored.search(
+            list(data[7]), 1, SimilarityMetric.EUCLIDEAN, use_device=False
+        )
+        assert res[0].id == 7

@@ -1572,13 +1572,18 @@ class FlatIndex:
         for slot in range(self._size):
             if not self._valid[slot]:
                 continue
+            # Field order matches Vector.to_json / the reference serde
+            # output (reference: src/lib.rs:163-174). values is a COPIED
+            # f64 row (not a view): the payload is built under the index
+            # read-lock but rendered after it is released, and the native
+            # emitter (persist/vlc.py) streams ndarrays directly.
             data.append(
-                Vector(
-                    id=int(self._ids[slot]),
-                    values=[float(x) for x in self._values64[slot]],
-                    text=self._texts[slot] or "",
-                    metadata=self._metas[slot],
-                ).to_json()
+                {
+                    "id": int(self._ids[slot]),
+                    "values": np.array(self._values64[slot]),
+                    "text": self._texts[slot] or "",
+                    "metadata": self._metas[slot],
+                }
             )
         return {"dim": self.dim, "data": data}
 

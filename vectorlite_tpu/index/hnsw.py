@@ -977,9 +977,13 @@ class HNSWIndex:
                 "top_level": int(self._top_level),
                 "m": self.m,
                 "m0": self.m0,
-                "levels": [int(x) for x in levels],
-                "adj0": [int(x) for x in adj0.ravel()],
-                "upper": [[int(x) for x in a.ravel()] for a in upper],
+                # int64 ndarrays stream through the native emitter
+                # (persist/vlc.py); byte-identical to int lists
+                "levels": np.array(levels, dtype=np.int64),
+                "adj0": np.array(adj0.ravel(), dtype=np.int64),
+                "upper": [
+                    np.array(a.ravel(), dtype=np.int64) for a in upper
+                ],
             }
         return payload
 
@@ -987,7 +991,9 @@ class HNSWIndex:
         vector_values = {}
         for vid, node in self._id_to_index.items():
             src = self._vecs64 if self._vecs64 is not None else self._vecs
-            vector_values[str(vid)] = [float(x) for x in src[node]]
+            # COPIED f64 row (np.array, not a view): rendered after the
+            # collection lock drops; streamed by the native emitter
+            vector_values[str(vid)] = np.array(src[node], dtype=np.float64)
         return {
             "dim": self.dim,
             "metric": self._metric.variant_name(),

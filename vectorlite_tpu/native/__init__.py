@@ -23,9 +23,14 @@ _LIB_PATH = _BUILD_DIR / "libhnsw_builder.so"
 
 _STAMP_PATH = _BUILD_DIR / "isa.stamp"
 
+_VLC_SRC = _HERE / "vlc_emit.cpp"
+_VLC_LIB_PATH = _BUILD_DIR / "libvlc_emit.so"
+
 _lock = threading.Lock()
 _lib = None
 _load_failed = False
+_vlc_lib = None
+_vlc_load_failed = False
 
 
 def _isa_fingerprint() -> str:
@@ -165,6 +170,75 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hnsw_dirty_count.restype = c.c_int64
     lib.hnsw_dirty_count.argtypes = [c.c_void_p]
     return lib
+
+
+def _bind_vlc(lib: ctypes.CDLL) -> ctypes.CDLL:
+    c = ctypes
+    p = c.POINTER
+    lib.vlc_fmt_f64.restype = c.c_int32
+    lib.vlc_fmt_f64.argtypes = [c.c_double, c.c_char_p]
+    lib.vlc_emit_f64_elems.restype = c.c_int64
+    lib.vlc_emit_f64_elems.argtypes = [
+        p(c.c_double),
+        c.c_int64,
+        c.c_int32,
+        c.c_int32,
+        c.c_char_p,
+        c.c_int64,
+    ]
+    lib.vlc_emit_i64_elems.restype = c.c_int64
+    lib.vlc_emit_i64_elems.argtypes = [
+        p(c.c_int64),
+        c.c_int64,
+        c.c_int32,
+        c.c_int32,
+        c.c_char_p,
+        c.c_int64,
+    ]
+    return lib
+
+
+def load_vlc():
+    """Return the bound .vlc emitter CDLL, or None when unavailable.
+
+    The emitter is ISA-independent (no -march=native), so there is no
+    fingerprint stamp — mtime staleness only.
+    """
+    global _vlc_lib, _vlc_load_failed
+    if _vlc_lib is not None:
+        return _vlc_lib
+    if _vlc_load_failed or os.environ.get("VECTORLITE_NO_NATIVE") == "1":
+        return None
+    with _lock:
+        if _vlc_lib is not None:
+            return _vlc_lib
+        try:
+            if not _VLC_LIB_PATH.exists() or (
+                _VLC_SRC.stat().st_mtime > _VLC_LIB_PATH.stat().st_mtime
+            ):
+                _BUILD_DIR.mkdir(exist_ok=True)
+                cmd = [
+                    "g++",
+                    "-O2",
+                    "-std=c++17",
+                    "-shared",
+                    "-fPIC",
+                    str(_VLC_SRC),
+                    "-o",
+                    str(_VLC_LIB_PATH),
+                ]
+                logger.info("compiling native vlc emitter: %s", " ".join(cmd))
+                subprocess.run(cmd, check=True, capture_output=True)
+            _vlc_lib = _bind_vlc(ctypes.CDLL(str(_VLC_LIB_PATH)))
+        except Exception as e:  # noqa: BLE001
+            logger.warning(
+                "native vlc emitter unavailable (%s); "
+                "falling back to pure Python",
+                e,
+            )
+            _vlc_load_failed = True
+            return None
+    return _vlc_lib
 
 
 def load():

@@ -21,6 +21,8 @@ import os
 from datetime import datetime, timezone
 from pathlib import Path
 
+import numpy as _np
+
 from ..errors import (
     FileNotFound,
     InvalidFormat,
@@ -110,6 +112,67 @@ def _emit_f64(x: float) -> str:
     return sign + f"{mant_s}e{kk - 1}"
 
 
+_EMIT_CHUNK = 262_144
+
+
+def _emit_ndarray(arr, indent: int, out: list) -> bool:
+    """Fast path: render a 1-D numeric ndarray through the native
+    emitter (native/vlc_emit.cpp). Byte-identical to the per-element
+    Python path (tests/test_vlc_native.py pins equality); returns False
+    when unavailable so the caller falls back to ``.tolist()``. The
+    pure-Python float formatter costs ~3.6 us/value — a 100Kx384
+    snapshot spent 137 s there; this path renders it in seconds."""
+    import ctypes
+
+    import numpy as np
+
+    from ..native import load_vlc
+
+    if arr.ndim != 1:
+        return False
+    if np.issubdtype(arr.dtype, np.floating):
+        kind = "f"
+    elif np.issubdtype(arr.dtype, np.integer):
+        kind = "i"
+    else:
+        return False
+    lib = load_vlc()
+    if lib is None:
+        return False
+    n = arr.shape[0]
+    if n == 0:
+        out.append("[]")
+        return True
+    if kind == "f":
+        data = np.ascontiguousarray(arr, dtype=np.float64)
+        fn = lib.vlc_emit_f64_elems
+        ptr_t = ctypes.c_double
+    else:
+        data = np.ascontiguousarray(arr, dtype=np.int64)
+        fn = lib.vlc_emit_i64_elems
+        ptr_t = ctypes.c_int64
+    out.append("[\n")
+    elem_indent = indent + 1
+    cap = (2 * elem_indent + 27) * min(n, _EMIT_CHUNK) + 16
+    buf = ctypes.create_string_buffer(cap)
+    for start in range(0, n, _EMIT_CHUNK):
+        chunk = data[start : start + _EMIT_CHUNK]
+        last = start + _EMIT_CHUNK >= n
+        ln = fn(
+            chunk.ctypes.data_as(ctypes.POINTER(ptr_t)),
+            len(chunk),
+            elem_indent,
+            1 if last else 0,
+            buf,
+            cap,
+        )
+        if ln < 0:  # cannot happen with the cap above; guard anyway
+            raise SerializationError("native vlc emitter buffer overflow")
+        out.append(buf.raw[:ln].decode("ascii"))
+    out.append("  " * indent + "]")
+    return True
+
+
 def _emit(obj, indent: int, out: list) -> None:
     pad = "  " * indent
     pad_in = "  " * (indent + 1)
@@ -137,6 +200,9 @@ def _emit(obj, indent: int, out: list) -> None:
             _emit(v, indent + 1, out)
             out.append(",\n" if i + 1 < len(obj) else "\n")
         out.append(pad + "}")
+    elif isinstance(obj, _np.ndarray):
+        if not _emit_ndarray(obj, indent, out):
+            _emit(obj.tolist(), indent, out)
     elif isinstance(obj, (list, tuple)):
         if not obj:
             out.append("[]")
