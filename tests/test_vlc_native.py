@@ -88,6 +88,9 @@ def _render(payload) -> str:
     return vlc.dumps_pretty(payload)
 
 
+_SINK_CLS = vlc._FileSink
+
+
 def _render_pure(payload, monkeypatch) -> str:
     # force the per-element Python path
     monkeypatch.setattr(vlc, "_emit_ndarray", lambda *a: False)
@@ -181,6 +184,40 @@ class TestSnapshotParity:
         got = restored.index_to_json()["data"][0]["values"]
         want = payload["Flat"]["data"][0]["values"]
         assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    def test_streamed_file_equals_dumps_pretty(self, lib, tmp_path,
+                                               monkeypatch):
+        # save_collection_to_file streams through _FileSink (bounded
+        # memory); bytes on disk must equal the one-shot renderer, for
+        # every flush-boundary placement
+        from vectorlite_tpu.persist.vlc import save_collection_to_file
+        from vectorlite_tpu.store.collection import Collection
+
+        rng = np.random.default_rng(23)
+        vals = rng.standard_normal((30, 16))
+        idx = FlatIndex(
+            16,
+            [
+                Vector(id=i, values=[float(x) for x in vals[i]],
+                       text=f"zwölf 🌍 {i}", metadata={"x": [i, None]})
+                for i in range(30)
+            ],
+        )
+        col = Collection("stream", idx)
+        monkeypatch.setattr(
+            vlc, "_now_rfc3339", lambda: "2026-01-01T00:00:00.000000Z"
+        )
+        expect = vlc.dumps_pretty(vlc.collection_to_json(col))
+        import functools
+
+        for limit in (1, 37, 8 << 20):
+            monkeypatch.setattr(
+                vlc, "_FileSink",
+                functools.partial(_SINK_CLS, limit=limit),
+            )
+            p = tmp_path / f"s{limit}.vlc"
+            save_collection_to_file(col, p)
+            assert p.read_text(encoding="utf-8") == expect, limit
 
     def test_hnsw_snapshot_bytes(self, lib, monkeypatch):
         rng = np.random.default_rng(17)

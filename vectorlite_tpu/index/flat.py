@@ -1589,5 +1589,15 @@ class FlatIndex:
 
     @classmethod
     def index_from_json(cls, obj: dict, **kwargs) -> "FlatIndex":
-        vectors = [Vector.from_json(v) for v in obj.get("data", [])]
+        # np.asarray converts each values list at C speed; Vector accepts
+        # array values everywhere (add() re-asarrays into the f64 store)
+        vectors = [
+            Vector(
+                id=int(v["id"]),
+                values=np.asarray(v["values"], dtype=np.float64),
+                text=v["text"],
+                metadata=v.get("metadata"),
+            )
+            for v in obj.get("data", [])
+        ]
         return cls(int(obj["dim"]), vectors, **kwargs)

@@ -1058,7 +1058,9 @@ class HNSWIndex:
             vectors.append(
                 Vector(
                     id=int(vid_str),
-                    values=[float(v) for v in vector_values[vid_str]],
+                    values=np.asarray(
+                        vector_values[vid_str], dtype=np.float64
+                    ),
                     text=meta.get("text", ""),
                     metadata=meta.get("metadata"),
                 )

@@ -226,6 +226,34 @@ def dumps_pretty(payload) -> str:
     return "".join(out)
 
 
+class _FileSink:
+    """List-shaped adapter that streams emitter fragments to a file.
+
+    ``_emit`` only ever calls ``out.append(str)``; buffering fragments
+    and flushing at ~8 MB keeps a large snapshot's save memory bounded
+    by one buffer instead of the whole rendered document (a 1Mx384
+    corpus renders to ~12 GB of JSON — materializing that as a single
+    string, as ``dumps_pretty`` would, is an OOM)."""
+
+    def __init__(self, f, limit: int = 8 << 20):
+        self._f = f
+        self._buf: list = []
+        self._n = 0
+        self._limit = limit
+
+    def append(self, s: str) -> None:
+        self._buf.append(s)
+        self._n += len(s)
+        if self._n >= self._limit:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            self._f.write("".join(self._buf))
+            self._buf.clear()
+            self._n = 0
+
+
 def _now_rfc3339() -> str:
     """chrono-style UTC timestamp, e.g. 2026-08-16T04:45:47.810123Z."""
     dt = datetime.now(timezone.utc)
@@ -289,7 +317,9 @@ def save_collection_to_file(collection: Collection, path) -> None:
     )
     try:
         with open(tmp_path, "w", encoding="utf-8") as f:
-            f.write(dumps_pretty(payload))
+            sink = _FileSink(f)
+            _emit(payload, 0, sink)
+            sink.flush()
         os.replace(tmp_path, path)
     finally:
         if tmp_path.exists():
