@@ -152,6 +152,146 @@ class TestArrayParity:
         assert json.loads(s)["b"] == [True, False]
 
 
+def _to_plain(node):
+    if isinstance(node, np.ndarray):
+        return [
+            None if (isinstance(x, float) and x != x) else x
+            for x in node.tolist()
+        ]
+    if isinstance(node, dict):
+        return {k: _to_plain(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_to_plain(v) for v in node]
+    return node
+
+
+class TestNativeParse:
+    """vlc_parse_doc: bulk arrays -> ndarrays, everything else byte-
+    preserved for json.loads; output structurally equal to json.loads."""
+
+    def _save(self, tmp_path, col, name="c.vlc"):
+        from vectorlite_tpu.persist.vlc import save_collection_to_file
+
+        p = tmp_path / name
+        save_collection_to_file(col, p)
+        return p
+
+    def test_flat_tricky_doc(self, lib, tmp_path):
+        from vectorlite_tpu.store.collection import Collection
+
+        idx = FlatIndex(
+            3,
+            [
+                Vector(
+                    id=0,
+                    values=[1.0, -0.0, 5e-324],
+                    text='embedded "values": [1,2] trap',
+                    metadata={
+                        "values": [1, 2],
+                        "s": "zwölf 🌍",
+                        "null_arr": [None, 1.5],
+                        "nested": {"values": [[3.0]]},
+                    },
+                ),
+                Vector(id=1, values=[1e308, 0.5, 2.0 / 3.0], text="b"),
+            ],
+        )
+        p = self._save(tmp_path, Collection("t", idx))
+        raw = p.read_bytes()
+        obj = vlc._native_parse(raw)
+        assert obj is not None
+        d = obj["index"]["Flat"]["data"]
+        # eligible arrays became ndarrays...
+        assert isinstance(d[0]["values"], np.ndarray)
+        assert d[0]["values"].tolist() == [1.0, -0.0, 5e-324]
+        assert math.copysign(1.0, d[0]["values"][1]) == -1.0
+        assert d[1]["values"].tolist() == [1e308, 0.5, 2.0 / 3.0]
+        # ...metadata subtrees did not (path-precise eligibility)
+        assert d[0]["metadata"]["values"] == [1, 2]
+        assert d[0]["metadata"]["null_arr"] == [None, 1.5]
+        assert d[0]["metadata"]["nested"] == {"values": [[3.0]]}
+        assert d[0]["text"] == 'embedded "values": [1,2] trap'
+        # full structural equality with json.loads
+        assert _to_plain(obj) == json.loads(raw.decode("utf-8"))
+
+    def test_hnsw_graph_arrays(self, lib, tmp_path):
+        from vectorlite_tpu.persist.vlc import load_collection_from_file
+        from vectorlite_tpu.store.collection import Collection
+
+        rng = np.random.default_rng(29)
+        data = rng.standard_normal((80, 6))
+        idx = HNSWIndex(6, SimilarityMetric.COSINE)
+        idx.add_batch(
+            [Vector(id=i, values=data[i], text=f"v{i}") for i in range(80)]
+        )
+        p = self._save(tmp_path, Collection("h", idx))
+        obj = vlc._native_parse(p.read_bytes())
+        g = obj["index"]["HNSW"]["graph"]
+        assert isinstance(g["adj0"], np.ndarray)
+        assert g["adj0"].dtype == np.int64
+        assert isinstance(g["levels"], np.ndarray)
+        vv = obj["index"]["HNSW"]["vector_values"]
+        assert all(isinstance(a, np.ndarray) for a in vv.values())
+        assert _to_plain(obj) == json.loads(p.read_text(encoding="utf-8"))
+        # loaded collection restores the graph and searches correctly
+        col = load_collection_from_file(p)
+        with col.index_read() as i2:
+            assert i2._entry == idx._entry
+            res = i2.search(
+                list(data[9]), 1, SimilarityMetric.COSINE, use_device=False
+            )
+            assert res[0].id == 9
+
+    def test_null_in_values_falls_back_to_list(self, lib):
+        # serde writes null for non-finite f64; such an array must stay
+        # exactly what json.loads would produce (a list with None)
+        doc = (
+            '{"index": {"Flat": {"dim": 2, "data": [{"id": 0, '
+            '"values": [1.0, null], "text": "", "metadata": null}]}}}'
+        ).encode()
+        obj = vlc._native_parse(doc)
+        assert obj is not None
+        assert obj["index"]["Flat"]["data"][0]["values"] == [1.0, None]
+
+    def test_malformed_error_unchanged(self, lib, tmp_path):
+        from vectorlite_tpu.errors import SerializationError
+        from vectorlite_tpu.persist.vlc import load_collection_from_file
+
+        p = tmp_path / "bad.vlc"
+        p.write_text('{"header": [broken')
+        with pytest.raises(SerializationError):
+            load_collection_from_file(p)
+
+    def test_load_parity_native_vs_python(self, lib, tmp_path,
+                                          monkeypatch):
+        from vectorlite_tpu.persist.vlc import load_collection_from_file
+        from vectorlite_tpu.store.collection import Collection
+
+        rng = np.random.default_rng(31)
+        vals = rng.standard_normal((25, 9))
+        idx = FlatIndex(
+            9,
+            [
+                Vector(id=i, values=vals[i], text=f"t{i}",
+                       metadata={"a": [i, None, "x"]})
+                for i in range(25)
+            ],
+        )
+        p = self._save(tmp_path, Collection("par", idx))
+        col_n = load_collection_from_file(p)
+        monkeypatch.setenv("VECTORLITE_NO_NATIVE", "1")
+        col_p = load_collection_from_file(p)
+        with col_n.index_read() as a, col_p.index_read() as b:
+            assert len(a) == len(b) == 25
+            for i in range(25):
+                va, vb = a.get_vector(i), b.get_vector(i)
+                assert np.array_equal(
+                    np.asarray(va.values, dtype=np.float64),
+                    np.asarray(vb.values, dtype=np.float64),
+                )
+                assert va.text == vb.text and va.metadata == vb.metadata
+
+
 class TestSnapshotParity:
 
     def _flat_payload(self):

@@ -195,6 +195,21 @@ def _bind_vlc(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_char_p,
         c.c_int64,
     ]
+    lib.vlc_parse_doc.restype = c.c_int32
+    lib.vlc_parse_doc.argtypes = [
+        c.c_char_p,  # doc
+        c.c_int64,  # len
+        c.c_char_p,  # nonce
+        c.c_void_p,  # skel buffer
+        c.c_int64,  # skel cap
+        p(c.c_double),  # dvals
+        c.c_int64,  # dcap
+        p(c.c_int64),  # ivals
+        c.c_int64,  # icap
+        p(c.c_int64),  # lens
+        c.c_int64,  # lens cap
+        p(c.c_int64),  # out_counts[4]
+    ]
     return lib
 
 
@@ -219,7 +234,7 @@ def load_vlc():
                 _BUILD_DIR.mkdir(exist_ok=True)
                 cmd = [
                     "g++",
-                    "-O2",
+                    "-O3",
                     "-std=c++17",
                     "-shared",
                     "-fPIC",

@@ -1,4 +1,5 @@
-// Native .vlc JSON array emitter — serde_json::to_string_pretty parity.
+// Native .vlc JSON codec: array emitter (serde_json::to_string_pretty
+// parity) + bulk-array parser (vlc_parse_doc, at the bottom).
 //
 // The Python emitter in persist/vlc.py renders every float through a
 // pure-Python ryu-style formatter (~3.6 us/value); a 100Kx384 snapshot
@@ -27,6 +28,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <initializer_list>
 
 namespace {
 
@@ -180,6 +182,364 @@ int64_t vlc_emit_i64_elems(const int64_t* vals, int64_t n, int32_t indent,
     *p++ = '\n';
   }
   return p - out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- parser
+//
+// json.loads on a numeric-heavy snapshot is the load bottleneck (2.8 s
+// of a 4.0 s load at 20Kx384; a 1Mx384 document is ~10 GB of text and
+// its Python object tree does not fit in RAM at all). vlc_parse_doc
+// walks the document once, parses the KNOWN bulk arrays straight into
+// f64/i64 buffers, and splices a `["<nonce>:<idx>"]` sentinel into a
+// skeleton copy that Python then json.loads (small) and re-inserts
+// ndarrays into. Only path-exact arrays are extracted, so arbitrary
+// user metadata is byte-preserved and parsed by Python:
+//
+//   $.index.Flat.data[*].values
+//   $.index.HNSW.vector_values.*
+//   $.index.HNSW.graph.{adj0,levels}
+//   $.index.HNSW.graph.upper[*]
+//
+// An eligible array containing anything but finite int/float tokens
+// (e.g. the `null` that serde writes for non-finite f64) is left
+// in place verbatim — Python sees exactly what json.loads would.
+
+namespace {
+
+// lookup table: bytes that can appear in a JSON number token
+struct NumChars {
+  bool t[256] = {};
+  constexpr NumChars() {
+    for (char c : {'+', '-', '.', 'e', 'E', '0', '1', '2', '3', '4',
+                   '5', '6', '7', '8', '9'})
+      t[(unsigned char)c] = true;
+  }
+};
+constexpr NumChars kNum;
+
+struct Parser {
+  const char* p;
+  const char* end;
+  const char* last_copied;  // doc tail not yet copied to skel
+  char* skel;
+  int64_t sn, scap;
+  double* dv;
+  int64_t dn, dcap;
+  int64_t* iv;
+  int64_t in_, icap;
+  int64_t* lens;  // per extracted array: +len = f64, -len = i64
+  int64_t an, acap;
+  const char* nonce;
+  int64_t nonce_len;
+  // path stack: object keys / "\x01" for array elements
+  const char* pk[64];
+  int64_t pkl[64];
+  int depth = 0;
+  int err = 0;  // 1 = overflow, 2 = malformed
+
+  void ws() {
+    while (p < end &&
+           (*p == ' ' || *p == '\n' || *p == '\t' || *p == '\r'))
+      ++p;
+  }
+
+  bool seg(int i, const char* s) const {
+    int64_t n = int64_t(std::strlen(s));
+    return pkl[i] == n && std::memcmp(pk[i], s, n) == 0;
+  }
+
+  bool eligible() const {
+    if (depth == 5 && seg(0, "index") && seg(1, "Flat") &&
+        seg(2, "data") && pkl[3] == 1 && pk[3][0] == '\x01' &&
+        seg(4, "values"))
+      return true;
+    if (depth == 4 && seg(0, "index") && seg(1, "HNSW") &&
+        seg(2, "vector_values"))
+      return true;
+    if (depth == 4 && seg(0, "index") && seg(1, "HNSW") &&
+        seg(2, "graph") && (seg(3, "adj0") || seg(3, "levels")))
+      return true;
+    if (depth == 5 && seg(0, "index") && seg(1, "HNSW") &&
+        seg(2, "graph") && seg(3, "upper") && pkl[4] == 1 &&
+        pk[4][0] == '\x01')
+      return true;
+    return false;
+  }
+
+  void skip_string() {
+    // at opening quote
+    ++p;
+    while (p < end) {
+      char c = *p++;
+      if (c == '\\') {
+        if (p < end) ++p;
+      } else if (c == '"') {
+        return;
+      }
+    }
+    err = 2;
+  }
+
+  void skip_number() {
+    while (p < end && kNum.t[(unsigned char)*p]) ++p;
+  }
+
+  // Try to parse a flat numeric array starting at '['. On success the
+  // values are committed to dv/iv, the lens entry recorded, the
+  // sentinel written, and true returned with p past the ']'.
+  bool try_numeric_array() {
+    const char* start = p;  // at '['
+    const char* q = p + 1;
+    int64_t sd = dn, si = in_;
+    bool is_float = false;
+    while (true) {
+      while (q < end &&
+             (*q == ' ' || *q == '\n' || *q == '\t' || *q == '\r' ||
+              *q == ','))
+        ++q;
+      if (q >= end) return false;
+      if (*q == ']') break;
+      const char* t0 = q;
+      while (q < end && kNum.t[(unsigned char)*q]) ++q;
+      if (q == t0) return false;  // null / string / nested -> bail
+      double d;
+      auto r = std::from_chars(t0, q, d);
+      if (r.ec != std::errc() || r.ptr != q) return false;
+      if (dn >= dcap) {
+        err = 1;
+        return false;
+      }
+      dv[dn++] = d;
+      if (!is_float) {
+        bool intish = true;
+        for (const char* c = t0; c < q; ++c)
+          if (*c == '.' || *c == 'e' || *c == 'E') {
+            intish = false;
+            break;
+          }
+        int64_t v = 0;
+        if (intish) {
+          auto ri = std::from_chars(t0, q, v);
+          intish = (ri.ec == std::errc() && ri.ptr == q);
+        }
+        if (intish) {
+          if (in_ >= icap) {
+            err = 1;
+            return false;
+          }
+          iv[in_++] = v;
+        } else {
+          is_float = true;
+          in_ = si;  // discard the int interpretation
+        }
+      }
+    }
+    ++q;  // past ']'
+    if (an >= acap) {
+      err = 1;
+      return false;
+    }
+    int64_t len = dn - sd;
+    if (is_float || len == 0) {
+      in_ = si;
+      lens[an] = len;
+    } else {
+      dn = sd;  // all-int: keep the i64 interpretation
+      lens[an] = -len;
+    }
+    // copy doc[last_copied..start) then the sentinel
+    int64_t pre = start - last_copied;
+    char idxbuf[24];
+    int ni = 0;
+    {
+      int64_t a = an;
+      char tmp[24];
+      int m = 0;
+      do {
+        tmp[m++] = char('0' + a % 10);
+        a /= 10;
+      } while (a);
+      while (m) idxbuf[ni++] = tmp[--m];
+    }
+    int64_t need = pre + 2 + nonce_len + 1 + ni + 2;
+    if (sn + need > scap) {
+      err = 1;
+      return false;
+    }
+    std::memcpy(skel + sn, last_copied, pre);
+    sn += pre;
+    skel[sn++] = '[';
+    skel[sn++] = '"';
+    std::memcpy(skel + sn, nonce, nonce_len);
+    sn += nonce_len;
+    skel[sn++] = ':';
+    std::memcpy(skel + sn, idxbuf, ni);
+    sn += ni;
+    skel[sn++] = '"';
+    skel[sn++] = ']';
+    last_copied = q;
+    ++an;
+    p = q;
+    return true;
+  }
+
+  void parse_array() {
+    ++p;  // '['
+    if (depth < 64) {
+      pk[depth] = "\x01";
+      pkl[depth] = 1;
+    }
+    ++depth;
+    ws();
+    if (p < end && *p == ']') {
+      ++p;
+      --depth;
+      return;
+    }
+    while (p < end && !err) {
+      parse_value();
+      ws();
+      if (p < end && *p == ',') {
+        ++p;
+        ws();
+        continue;
+      }
+      if (p < end && *p == ']') {
+        ++p;
+        --depth;
+        return;
+      }
+      break;
+    }
+    if (!err) err = 2;
+  }
+
+  void parse_object() {
+    ++p;  // '{'
+    ws();
+    if (p < end && *p == '}') {
+      ++p;
+      return;
+    }
+    while (p < end && !err) {
+      ws();
+      if (p >= end || *p != '"') {
+        err = 2;
+        return;
+      }
+      const char* k0 = p + 1;
+      skip_string();
+      if (err) return;
+      const char* k1 = p - 1;
+      ws();
+      if (p >= end || *p != ':') {
+        err = 2;
+        return;
+      }
+      ++p;
+      if (depth < 64) {
+        pk[depth] = k0;
+        pkl[depth] = k1 - k0;
+      }
+      ++depth;
+      parse_value();
+      --depth;
+      if (err) return;
+      ws();
+      if (p < end && *p == ',') {
+        ++p;
+        continue;
+      }
+      if (p < end && *p == '}') {
+        ++p;
+        return;
+      }
+      err = 2;
+      return;
+    }
+    if (!err) err = 2;
+  }
+
+  void parse_value() {
+    ws();
+    if (p >= end) {
+      err = 2;
+      return;
+    }
+    char c = *p;
+    if (c == '"') {
+      skip_string();
+    } else if (c == '{') {
+      parse_object();
+    } else if (c == '[') {
+      if (depth <= 64 && eligible()) {
+        int64_t sd = dn, si = in_;
+        if (try_numeric_array()) return;
+        if (err) return;
+        dn = sd;
+        in_ = si;  // roll back a failed attempt
+      }
+      parse_array();
+    } else if (c == 't') {
+      p += 4;
+    } else if (c == 'f') {
+      p += 5;
+    } else if (c == 'n') {
+      p += 4;
+    } else {
+      skip_number();
+    }
+    if (p > end) err = 2;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 on buffer overflow (retry with bigger
+// buffers), 2 on malformed input (caller falls back to json.loads).
+// out_counts[4] = {skeleton_len, num_arrays, num_f64, num_i64}.
+int32_t vlc_parse_doc(const char* doc, int64_t len, const char* nonce,
+                      char* skel, int64_t skel_cap, double* dvals,
+                      int64_t dcap, int64_t* ivals, int64_t icap,
+                      int64_t* lens, int64_t lens_cap,
+                      int64_t* out_counts) {
+  Parser ps;
+  ps.p = doc;
+  ps.end = doc + len;
+  ps.last_copied = doc;
+  ps.skel = skel;
+  ps.sn = 0;
+  ps.scap = skel_cap;
+  ps.dv = dvals;
+  ps.dn = 0;
+  ps.dcap = dcap;
+  ps.iv = ivals;
+  ps.in_ = 0;
+  ps.icap = icap;
+  ps.lens = lens;
+  ps.an = 0;
+  ps.acap = lens_cap;
+  ps.nonce = nonce;
+  ps.nonce_len = int64_t(std::strlen(nonce));
+  ps.parse_value();
+  if (!ps.err) {
+    ps.ws();
+    if (ps.p != ps.end) ps.err = 2;
+  }
+  if (ps.err) return ps.err;
+  int64_t tail = ps.end - ps.last_copied;
+  if (ps.sn + tail > ps.scap) return 1;
+  std::memcpy(ps.skel + ps.sn, ps.last_copied, tail);
+  ps.sn += tail;
+  out_counts[0] = ps.sn;
+  out_counts[1] = ps.an;
+  out_counts[2] = ps.dn;
+  out_counts[3] = ps.in_;
+  return 0;
 }
 
 }  // extern "C"

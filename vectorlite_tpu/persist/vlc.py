@@ -326,17 +326,109 @@ def save_collection_to_file(collection: Collection, path) -> None:
             tmp_path.unlink(missing_ok=True)
 
 
+def _native_parse(raw: bytes):
+    """Parse a snapshot via native/vlc_emit.cpp's vlc_parse_doc: the
+    bulk numeric arrays land directly in f64/i64 ndarrays and only a
+    small skeleton goes through json.loads. Returns None when the
+    native codec is unavailable or declines (buffers, malformed input —
+    the caller's json.loads then produces the canonical error)."""
+    import ctypes
+    import secrets
+
+    from ..native import load_vlc
+
+    lib = load_vlc()
+    if lib is None:
+        return None
+    n = len(raw)
+    # np.empty buffers stay virtual until touched, so generous caps are
+    # cheap; every extracted value is >= ~4 bytes of text (indent +
+    # digits + comma), and each extracted array >= ~16 bytes.
+    dcap = n // 4 + 1024
+    icap = n // 4 + 1024
+    acap = n // 16 + 1024
+    skel = _np.empty(n + 16, dtype=_np.uint8)
+    dvals = _np.empty(dcap, dtype=_np.float64)
+    ivals = _np.empty(icap, dtype=_np.int64)
+    lens = _np.empty(acap, dtype=_np.int64)
+    counts = _np.zeros(4, dtype=_np.int64)
+    nonce = "vlcarr" + secrets.token_hex(12)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.vlc_parse_doc(
+        raw,
+        n,
+        nonce.encode("ascii"),
+        skel.ctypes.data_as(ctypes.c_void_p),
+        len(skel),
+        dvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dcap,
+        ivals.ctypes.data_as(i64p),
+        icap,
+        lens.ctypes.data_as(i64p),
+        acap,
+        counts.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        return None
+    skel_len, narr, nd, ni = (int(x) for x in counts)
+    try:
+        obj = json.loads(skel[:skel_len].tobytes().decode("utf-8"))
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return None
+    # slice the value buffers back into per-array ndarrays
+    arrays = []
+    doff = ioff = 0
+    for k in range(narr):
+        ln = int(lens[k])
+        if ln >= 0:
+            arrays.append(dvals[doff : doff + ln].copy())
+            doff += ln
+        else:
+            arrays.append(ivals[ioff : ioff - ln].copy())
+            ioff += -ln
+    if doff != nd or ioff != ni:
+        return None
+    prefix = nonce + ":"
+
+    def reinsert(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                r = reinsert(v)
+                if r is not v:
+                    node[k] = r
+            return node
+        if isinstance(node, list):
+            if (
+                len(node) == 1
+                and isinstance(node[0], str)
+                and node[0].startswith(prefix)
+            ):
+                return arrays[int(node[0][len(prefix):])]
+            for j, v in enumerate(node):
+                r = reinsert(v)
+                if r is not v:
+                    node[j] = r
+            return node
+        return node
+
+    return reinsert(obj)
+
+
 def load_collection_from_file(path, **index_kwargs) -> Collection:
     """``index_kwargs`` (e.g. ``device_dtype``, ``mesh``) are forwarded to
     the Flat index constructor so loaded collections adopt the serving
     profile (sharded placement, dtype) of the loading client."""
     path = Path(path)
     try:
-        raw = path.read_text(encoding="utf-8")
+        raw = path.read_bytes()
     except FileNotFoundError:
         raise FileNotFound(str(path)) from None
-    try:
-        obj = json.loads(raw)
-    except json.JSONDecodeError as e:
-        raise SerializationError(str(e)) from None
+    obj = None
+    if os.environ.get("VECTORLITE_NO_NATIVE") != "1":
+        obj = _native_parse(raw)
+    if obj is None:
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            raise SerializationError(str(e)) from None
     return collection_from_json(obj, **index_kwargs)
