@@ -1081,14 +1081,22 @@ class HNSWIndex:
         vector_values = obj["vector_values"]
 
         self._ensure_capacity(n)
+        # Vectorized ingest: one [n, D] gather + fancy-indexed scatter
+        # instead of per-node numpy calls (~6 us/node — material at 1M).
+        # A ragged/mis-dimensioned row raises ValueError here, which the
+        # caller's except-fallback turns into a rebuild.
+        nodes = np.fromiter(id_to_index.values(), dtype=np.int64, count=n)
+        mat = np.empty((n, self.dim), dtype=np.float64)
+        for i, vid in enumerate(id_to_index):
+            mat[i] = vector_values[str(vid)]
+        mat32 = mat.astype(np.float32)
+        self._vecs[nodes] = mat32
+        if self._vecs64 is not None:
+            self._vecs64[nodes] = mat
+        sq = np.einsum("ij,ij->i", mat32, mat32)
+        self._sqnorms[nodes] = sq
+        self._norms[nodes] = np.sqrt(sq)
         for vid, node in id_to_index.items():
-            v64 = np.asarray(vector_values[str(vid)], dtype=np.float64)
-            self._vecs[node] = v64.astype(np.float32)
-            if self._vecs64 is not None:
-                self._vecs64[node] = v64
-            sq = float(np.dot(self._vecs[node], self._vecs[node]))
-            self._sqnorms[node] = sq
-            self._norms[node] = math.sqrt(sq)
             self._id_to_index[vid] = node
             self._index_to_id[node] = vid
             meta = metadata.get(str(vid)) or {}

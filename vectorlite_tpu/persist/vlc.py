@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -114,6 +115,24 @@ def _emit_f64(x: float) -> str:
 
 _EMIT_CHUNK = 262_144
 
+# Per-thread scratch for the native emitter: a Flat snapshot renders one
+# short array PER ROW (1M calls at 1M vectors), so per-call
+# create_string_buffer + .raw (which copies the whole capacity) would
+# dominate. Thread-local because the autosave daemon renders
+# concurrently with foreground saves.
+_emit_tls = threading.local()
+
+
+def _emit_scratch(cap: int):
+    import ctypes
+
+    buf = getattr(_emit_tls, "buf", None)
+    if buf is None or _emit_tls.cap < cap:
+        buf = ctypes.create_string_buffer(cap)
+        _emit_tls.buf = buf
+        _emit_tls.cap = cap
+    return buf
+
 
 def _emit_ndarray(arr, indent: int, out: list) -> bool:
     """Fast path: render a 1-D numeric ndarray through the native
@@ -124,15 +143,13 @@ def _emit_ndarray(arr, indent: int, out: list) -> bool:
     snapshot spent 137 s there; this path renders it in seconds."""
     import ctypes
 
-    import numpy as np
-
     from ..native import load_vlc
 
     if arr.ndim != 1:
         return False
-    if np.issubdtype(arr.dtype, np.floating):
+    if _np.issubdtype(arr.dtype, _np.floating):
         kind = "f"
-    elif np.issubdtype(arr.dtype, np.integer):
+    elif _np.issubdtype(arr.dtype, _np.integer):
         kind = "i"
     else:
         return False
@@ -144,17 +161,18 @@ def _emit_ndarray(arr, indent: int, out: list) -> bool:
         out.append("[]")
         return True
     if kind == "f":
-        data = np.ascontiguousarray(arr, dtype=np.float64)
+        data = _np.ascontiguousarray(arr, dtype=_np.float64)
         fn = lib.vlc_emit_f64_elems
         ptr_t = ctypes.c_double
     else:
-        data = np.ascontiguousarray(arr, dtype=np.int64)
+        data = _np.ascontiguousarray(arr, dtype=_np.int64)
         fn = lib.vlc_emit_i64_elems
         ptr_t = ctypes.c_int64
     out.append("[\n")
     elem_indent = indent + 1
     cap = (2 * elem_indent + 27) * min(n, _EMIT_CHUNK) + 16
-    buf = ctypes.create_string_buffer(cap)
+    buf = _emit_scratch(cap)
+    addr = ctypes.addressof(buf)
     for start in range(0, n, _EMIT_CHUNK):
         chunk = data[start : start + _EMIT_CHUNK]
         last = start + _EMIT_CHUNK >= n
@@ -168,7 +186,7 @@ def _emit_ndarray(arr, indent: int, out: list) -> bool:
         )
         if ln < 0:  # cannot happen with the cap above; guard anyway
             raise SerializationError("native vlc emitter buffer overflow")
-        out.append(buf.raw[:ln].decode("ascii"))
+        out.append(ctypes.string_at(addr, ln).decode("ascii"))
     out.append("  " * indent + "]")
     return True
 
@@ -310,8 +328,6 @@ def save_collection_to_file(collection: Collection, path) -> None:
     # tmp + atomic rename (reference: src/persistence.rs:137-143); the
     # tmp name is unique per process/thread so concurrent saves to the
     # same (or same-stem) paths never interleave writes
-    import threading
-
     tmp_path = path.with_name(
         f"{path.name}.{os.getpid()}.{threading.get_ident()}.tmp"
     )
