@@ -92,8 +92,10 @@ _SINK_CLS = vlc._FileSink
 
 
 def _render_pure(payload, monkeypatch) -> str:
-    # force the per-element Python path
+    # force the per-element Python path (scalar formatter included)
     monkeypatch.setattr(vlc, "_emit_ndarray", lambda *a: False)
+    monkeypatch.setattr(vlc, "_emit_vector_rows", lambda *a: False)
+    monkeypatch.setattr(vlc, "_emit_keyed_arrays", lambda *a: False)
     try:
         return vlc.dumps_pretty(payload)
     finally:
@@ -380,3 +382,107 @@ class TestSnapshotParity:
             list(data[7]), 1, SimilarityMetric.EUCLIDEAN, use_device=False
         )
         assert res[0].id == 7
+
+
+class TestBulkRowEmitters:
+    """The chunked row emitters (vlc_emit_rows / vlc_emit_keyed_arrays)
+    engage at >= 64 reference-shaped rows and must stay byte-identical
+    to the per-row Python renderer on arbitrary content."""
+
+    def _rows(self, n, d=5):
+        rng = np.random.default_rng(41)
+        rows = []
+        for i in range(n):
+            v = rng.standard_normal(d) * 10.0 ** rng.integers(-10, 10)
+            if i == 5:
+                v[0] = float("nan")
+            if i == 6:
+                v[1] = float("inf")
+            if i == 7:
+                v[:5] = [5e-324, 1e308, -0.0, 1e16, 1e-5][:d]
+            meta = None
+            if i % 7 == 0:
+                meta = {"tag": "naïve 日本語", "arr": [1.5, {"x": None}],
+                        "b": True, "n": i}
+            elif i % 11 == 0:
+                meta = {}
+            elif i % 13 == 0:
+                meta = [i, "s"]
+            rows.append({
+                "id": i * 37,
+                "values": np.asarray(v, dtype=np.float64),
+                "text": f'doc {i} ünïcode\t"q"\\b\x01ctl 日本 🌍',
+                "metadata": meta,
+            })
+        return rows
+
+    def test_flat_rows_byte_parity(self, lib, monkeypatch):
+        payload = {"dim": 5, "data": self._rows(300)}
+        s = _render(payload)
+        assert s == _render_pure(payload, monkeypatch)
+        obj = json.loads(s)
+        assert len(obj["data"]) == 300
+        assert obj["data"][5]["values"][0] is None  # NaN -> null
+
+    def test_u64_ids(self, lib, monkeypatch):
+        rows = [
+            {"id": (1 << 64) - 1 - i, "values": np.zeros(3),
+             "text": "", "metadata": None}
+            for i in range(70)
+        ]
+        payload = {"data": rows}
+        assert _render(payload) == _render_pure(payload, monkeypatch)
+        assert str((1 << 64) - 1) in _render(payload)
+
+    def test_chunk_boundary_rows(self, lib, monkeypatch):
+        # chunk_rows = max(64, _EMIT_CHUNK // d): force several chunks
+        monkeypatch.setattr(vlc, "_EMIT_CHUNK", 64 * 5)
+        payload = {"data": self._rows(300)}
+        s = vlc.dumps_pretty(payload)
+        monkeypatch.undo()
+        assert s == _render_pure(payload, monkeypatch)
+
+    def test_mixed_shapes_fall_back(self, lib, monkeypatch):
+        rows = self._rows(70)
+        rows[42] = {"id": 42, "values": np.zeros(4), "text": "short",
+                    "metadata": None}  # mismatched dim
+        payload = {"data": rows}
+        assert _render(payload) == _render_pure(payload, monkeypatch)
+        rows[42] = {"id": -1, "values": np.zeros(5), "text": "",
+                    "metadata": None}  # negative id
+        assert _render(payload) == _render_pure(payload, monkeypatch)
+
+    def test_keyed_arrays_byte_parity(self, lib, monkeypatch):
+        rng = np.random.default_rng(43)
+        vv = {
+            str(i * 3): rng.standard_normal(rng.integers(0, 6))
+            for i in range(200)
+        }
+        payload = {"vector_values": vv}
+        s = _render(payload)
+        assert s == _render_pure(payload, monkeypatch)
+        obj = json.loads(s)
+        assert len(obj["vector_values"]) == 200
+
+    def test_keyed_arrays_fall_back_on_non_array(self, lib, monkeypatch):
+        vv = {str(i): np.zeros(3) for i in range(70)}
+        vv["x"] = [1.0, 2.0]  # plain list -> generic path
+        payload = {"vector_values": vv}
+        assert _render(payload) == _render_pure(payload, monkeypatch)
+
+
+class TestGrowOneShot:
+
+    def test_bulk_insert_single_grow(self):
+        idx = FlatIndex(4)
+        rng = np.random.default_rng(5)
+        n = 70000
+        idx.add_batch_arrays(
+            list(range(n)), rng.standard_normal((n, 4)),
+        )
+        # capacity is the single power-of-2 covering n
+        assert idx._capacity == 131072
+        assert len(idx) == n
+        # grown region stays zero / invalid by invariant
+        assert not idx._valid[n:].any()
+        assert not idx._values64[n:].any()

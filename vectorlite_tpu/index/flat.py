@@ -386,8 +386,8 @@ class FlatIndex:
         n = len(int_ids)
         if n == 0:
             return
-        while self._size + n > self._capacity:
-            self._grow()
+        if self._size + n > self._capacity:
+            self._grow(min_capacity=self._size + n)
         lo = self._size
         self._values64[lo : lo + n] = values
         self._ids[lo : lo + n] = int_ids
@@ -1380,23 +1380,36 @@ class FlatIndex:
             self._dirty_hi = max(self._dirty_hi, slot + 1)
         self._mask_dirty = True
 
-    def _grow(self) -> None:
+    def _grow(self, min_capacity: Optional[int] = None) -> None:
+        """Double capacity — straight to the power-of-2 covering
+        ``min_capacity`` when given, so a bulk insert of N rows pays ONE
+        reallocation instead of log2(N) chained concatenates (a 1M .vlc
+        load spent seconds re-copying the matrix per doubling)."""
         new_cap = self._capacity * 2
-        self._values64 = np.concatenate(
-            [self._values64, np.zeros((self._capacity, self.dim), np.float64)]
-        )
-        self._ids = np.concatenate(
-            [self._ids, np.zeros(self._capacity, np.uint64)]
-        )
-        self._valid = np.concatenate(
-            [self._valid, np.zeros(self._capacity, bool)]
-        )
-        self._texts.extend([None] * self._capacity)
-        self._metas.extend([None] * self._capacity)
+        if min_capacity is not None:
+            while new_cap < min_capacity:
+                new_cap *= 2
+        growth = new_cap - self._capacity
+        # np.zeros is calloc-backed (virtual zero pages): allocating the
+        # full new buffer and copying only the occupied prefix touches
+        # O(size) bytes, where concatenate-with-zeros touched O(new_cap)
+        # twice. Slots in [size, capacity) are always zero by invariant.
+        n = self._size
+        new_vals = np.zeros((new_cap, self.dim), np.float64)
+        new_vals[:n] = self._values64[:n]
+        self._values64 = new_vals
+        new_ids = np.zeros(new_cap, np.uint64)
+        new_ids[:n] = self._ids[:n]
+        self._ids = new_ids
+        new_valid = np.zeros(new_cap, bool)
+        new_valid[:n] = self._valid[:n]
+        self._valid = new_valid
+        self._texts.extend([None] * growth)
+        self._metas.extend([None] * growth)
         if self._host_norms64 is not None:
-            self._host_norms64 = np.concatenate(
-                [self._host_norms64, np.zeros(self._capacity, np.float64)]
-            )
+            new_norms = np.zeros(new_cap, np.float64)
+            new_norms[:n] = self._host_norms64[:n]
+            self._host_norms64 = new_norms
         self._capacity = new_cap
         # Capacity changed: device buffers must be rebuilt wholesale.
         self._dev_values = None

@@ -195,6 +195,33 @@ def _bind_vlc(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_char_p,
         c.c_int64,
     ]
+    lib.vlc_emit_rows.restype = c.c_int64
+    lib.vlc_emit_rows.argtypes = [
+        p(c.c_uint64),  # ids
+        p(c.c_double),  # vals [n, d]
+        c.c_int64,  # n_rows
+        c.c_int64,  # d
+        c.c_char_p,  # texts (raw utf-8, concatenated)
+        p(c.c_int64),  # text_offs [n+1]
+        c.c_char_p,  # metas (pre-rendered fragments, concatenated)
+        p(c.c_int64),  # meta_offs [n+1]
+        c.c_int32,  # elem_indent
+        c.c_int32,  # last_no_comma
+        c.c_char_p,  # out
+        c.c_int64,  # out_cap
+    ]
+    lib.vlc_emit_keyed_arrays.restype = c.c_int64
+    lib.vlc_emit_keyed_arrays.argtypes = [
+        c.c_char_p,  # keys (raw utf-8, concatenated)
+        p(c.c_int64),  # key_offs [n+1]
+        p(c.c_double),  # vals (concatenated)
+        p(c.c_int64),  # lens [n]
+        c.c_int64,  # n
+        c.c_int32,  # elem_indent
+        c.c_int32,  # last_no_comma
+        c.c_char_p,  # out
+        c.c_int64,  # out_cap
+    ]
     lib.vlc_parse_doc.restype = c.c_int32
     lib.vlc_parse_doc.argtypes = [
         c.c_char_p,  # doc

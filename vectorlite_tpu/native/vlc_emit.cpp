@@ -115,6 +115,74 @@ inline int fmt_f64(double x, char* out) {
   return int(p - out);
 }
 
+inline int fmt_u64(uint64_t u, char* out) {
+  char b[24];
+  int n = 0;
+  do {
+    b[n++] = char('0' + u % 10);
+    u /= 10;
+  } while (u);
+  char* p = out;
+  while (n) *p++ = b[--n];
+  return int(p - out);
+}
+
+// serde_json-compatible string escape (the rule _emit_str implements):
+// named escapes for " \ \n \r \t \b \f, \u00xx for other control bytes,
+// raw UTF-8 passthrough for everything else. Returns bytes written
+// (worst case 6x the input).
+inline int64_t esc_str(const char* s, int64_t n, char* out) {
+  static const char hex[] = "0123456789abcdef";
+  char* p = out;
+  *p++ = '"';
+  for (int64_t i = 0; i < n; ++i) {
+    unsigned char ch = (unsigned char)s[i];
+    switch (ch) {
+      case '"': *p++ = '\\'; *p++ = '"'; break;
+      case '\\': *p++ = '\\'; *p++ = '\\'; break;
+      case '\n': *p++ = '\\'; *p++ = 'n'; break;
+      case '\r': *p++ = '\\'; *p++ = 'r'; break;
+      case '\t': *p++ = '\\'; *p++ = 't'; break;
+      case '\b': *p++ = '\\'; *p++ = 'b'; break;
+      case '\f': *p++ = '\\'; *p++ = 'f'; break;
+      default:
+        if (ch < 0x20) {
+          *p++ = '\\'; *p++ = 'u'; *p++ = '0'; *p++ = '0';
+          *p++ = hex[ch >> 4]; *p++ = hex[ch & 0xf];
+        } else {
+          *p++ = char(ch);
+        }
+    }
+  }
+  *p++ = '"';
+  return p - out;
+}
+
+// Emit one f64 array in full ([\n elems ]\n-less) at array_indent: the
+// opening bracket is written by the caller-context (we render
+// "[\n<elems>\n<pad>]"). Returns bytes written.
+inline char* emit_f64_array(const double* vals, int64_t n, int pad_elem,
+                            const char* padbuf, int pad_close, char* p) {
+  if (n == 0) {
+    *p++ = '[';
+    *p++ = ']';
+    return p;
+  }
+  *p++ = '[';
+  *p++ = '\n';
+  for (int64_t i = 0; i < n; ++i) {
+    std::memcpy(p, padbuf, pad_elem);
+    p += pad_elem;
+    p += fmt_f64(vals[i], p);
+    if (i + 1 < n) *p++ = ',';
+    *p++ = '\n';
+  }
+  std::memcpy(p, padbuf, pad_close);
+  p += pad_close;
+  *p++ = ']';
+  return p;
+}
+
 inline int fmt_i64(int64_t v, char* out) {
   char* p = out;
   uint64_t u;
@@ -179,6 +247,98 @@ int64_t vlc_emit_i64_elems(const int64_t* vals, int64_t n, int32_t indent,
     p += pad;
     p += fmt_i64(vals[i], p);
     if (i + 1 < n || !last_no_comma) *p++ = ',';
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Bulk Flat-row emitter: renders n_rows `Vector` dicts of the `data`
+// array (reference serde shape: src/lib.rs:163-174) in one call —
+//
+//   <pad_ei>{
+//   <pad_k>"id": <u64>,
+//   <pad_k>"values": [ ...d floats, elements at pad_v... ],
+//   <pad_k>"text": "<escaped>",
+//   <pad_k>"metadata": <verbatim fragment>
+//   <pad_ei>},          (last row of the array drops the comma)
+//
+// with elem_indent the indent level of the row dicts. `texts` holds the
+// raw UTF-8 of all texts back to back (offsets text_offs[0..n]),
+// escaped here; `metas` holds PRE-RENDERED JSON fragments (offsets
+// meta_offs[0..n]) spliced verbatim — arbitrary metadata stays exact
+// because Python renders it. Returns bytes written or -1 if out_cap
+// could be exceeded (checked per row before writing).
+int64_t vlc_emit_rows(const uint64_t* ids, const double* vals,
+                      int64_t n_rows, int64_t d, const char* texts,
+                      const int64_t* text_offs, const char* metas,
+                      const int64_t* meta_offs, int32_t elem_indent,
+                      int32_t last_no_comma, char* out, int64_t out_cap) {
+  const int pad_ei = 2 * elem_indent;
+  const int pad_k = pad_ei + 2;
+  const int pad_v = pad_k + 2;
+  if (pad_v > 510) return -1;
+  char padbuf[512];
+  std::memset(padbuf, ' ', sizeof(padbuf));
+  char* p = out;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t tlen = text_offs[r + 1] - text_offs[r];
+    const int64_t mlen = meta_offs[r + 1] - meta_offs[r];
+    // conservative row bound: fixed skeleton + values + escaped text
+    const int64_t need = 6 * pad_v + 96 + d * (pad_v + 26) + 6 * tlen + mlen;
+    if ((p - out) + need > out_cap) return -1;
+    std::memcpy(p, padbuf, pad_ei); p += pad_ei;
+    *p++ = '{'; *p++ = '\n';
+    std::memcpy(p, padbuf, pad_k); p += pad_k;
+    std::memcpy(p, "\"id\": ", 6); p += 6;
+    p += fmt_u64(ids[r], p);
+    *p++ = ','; *p++ = '\n';
+    std::memcpy(p, padbuf, pad_k); p += pad_k;
+    std::memcpy(p, "\"values\": ", 10); p += 10;
+    p = emit_f64_array(vals + r * d, d, pad_v, padbuf, pad_k, p);
+    *p++ = ','; *p++ = '\n';
+    std::memcpy(p, padbuf, pad_k); p += pad_k;
+    std::memcpy(p, "\"text\": ", 8); p += 8;
+    p += esc_str(texts + text_offs[r], tlen, p);
+    *p++ = ','; *p++ = '\n';
+    std::memcpy(p, padbuf, pad_k); p += pad_k;
+    std::memcpy(p, "\"metadata\": ", 12); p += 12;
+    std::memcpy(p, metas + meta_offs[r], mlen); p += mlen;
+    *p++ = '\n';
+    std::memcpy(p, padbuf, pad_ei); p += pad_ei;
+    *p++ = '}';
+    if (r + 1 < n_rows || !last_no_comma) *p++ = ',';
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Bulk keyed-array emitter: renders n dict entries `"<key>": [floats]`
+// (the HNSW `vector_values` map, reference: src/index/hnsw.rs:197-213)
+// at elem_indent. Keys are raw UTF-8 (escaped here); per-entry array
+// lengths come from `lens` with values concatenated in `vals`.
+int64_t vlc_emit_keyed_arrays(const char* keys, const int64_t* key_offs,
+                              const double* vals, const int64_t* lens,
+                              int64_t n, int32_t elem_indent,
+                              int32_t last_no_comma, char* out,
+                              int64_t out_cap) {
+  const int pad_ei = 2 * elem_indent;
+  const int pad_v = pad_ei + 2;
+  if (pad_v > 510) return -1;
+  char padbuf[512];
+  std::memset(padbuf, ' ', sizeof(padbuf));
+  char* p = out;
+  int64_t voff = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t klen = key_offs[r + 1] - key_offs[r];
+    const int64_t dn = lens[r];
+    const int64_t need = 2 * pad_v + 32 + dn * (pad_v + 26) + 6 * klen;
+    if ((p - out) + need > out_cap) return -1;
+    std::memcpy(p, padbuf, pad_ei); p += pad_ei;
+    p += esc_str(keys + key_offs[r], klen, p);
+    *p++ = ':'; *p++ = ' ';
+    p = emit_f64_array(vals + voff, dn, pad_v, padbuf, pad_ei, p);
+    voff += dn;
+    if (r + 1 < n || !last_no_comma) *p++ = ',';
     *p++ = '\n';
   }
   return p - out;

@@ -191,6 +191,193 @@ def _emit_ndarray(arr, indent: int, out: list) -> bool:
     return True
 
 
+_ROW_KEYS = ("id", "values", "text", "metadata")
+
+
+def _emit_vector_rows(rows, indent: int, out: list) -> bool:
+    """Bulk fast path for the Flat ``data`` array: when every element is
+    a reference-shaped Vector row (``{"id", "values", "text",
+    "metadata"}`` with an ndarray values row — what
+    FlatIndex.index_to_json builds), whole chunks of rows render through
+    one native call each (native/vlc_emit.cpp ``vlc_emit_rows``) instead
+    of ~30 Python-level emitter steps per row. Metadata stays fully
+    general: non-null values are pre-rendered by the Python emitter and
+    spliced verbatim. Byte-identical to the per-row path
+    (tests/test_vlc_native.py pins equality); returns False — having
+    emitted nothing — when the native codec is unavailable or any row
+    doesn't fit the shape."""
+    import ctypes
+
+    from ..native import load_vlc
+
+    if len(rows) < 64:
+        return False
+    lib = load_vlc()
+    if lib is None:
+        return False
+    d = None
+    for r in rows:
+        if type(r) is not dict or tuple(r) != _ROW_KEYS:
+            return False
+        rid = r["id"]
+        if type(rid) is not int or not 0 <= rid < 1 << 64:
+            return False
+        v = r["values"]
+        if not (
+            isinstance(v, _np.ndarray)
+            and v.ndim == 1
+            and _np.issubdtype(v.dtype, _np.floating)
+        ):
+            return False
+        if d is None:
+            d = int(v.shape[0])
+        elif int(v.shape[0]) != d:
+            return False
+        if type(r["text"]) is not str:
+            return False
+    try:
+        all_texts = [r["text"].encode("utf-8") for r in rows]
+    except UnicodeEncodeError:
+        # unpaired surrogates: decline BEFORE emitting anything; the
+        # generic path then raises at file-write time as before
+        return False
+    ei = indent + 1
+    pad_v = 2 * ei + 4
+    row_fixed = 6 * pad_v + 96 + d * (pad_v + 26)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out.append("[\n")
+    n = len(rows)
+    chunk_rows = max(64, _EMIT_CHUNK // max(d, 1))
+    for start in range(0, n, chunk_rows):
+        chunk = rows[start : start + chunk_rows]
+        cn = len(chunk)
+        last = start + chunk_rows >= n
+        ids = _np.fromiter(
+            (r["id"] for r in chunk), dtype=_np.uint64, count=cn
+        )
+        vals = _np.empty((cn, d), dtype=_np.float64)
+        for i, r in enumerate(chunk):
+            vals[i] = r["values"]
+        text_parts = all_texts[start : start + chunk_rows]
+        meta_parts = []
+        for r in chunk:
+            m = r["metadata"]
+            if m is None:
+                meta_parts.append(b"null")
+            else:
+                tmp: list = []
+                _emit(m, ei + 1, tmp)
+                meta_parts.append("".join(tmp).encode("utf-8"))
+        text_offs = _np.zeros(cn + 1, dtype=_np.int64)
+        _np.cumsum([len(t) for t in text_parts], out=text_offs[1:])
+        meta_offs = _np.zeros(cn + 1, dtype=_np.int64)
+        _np.cumsum([len(m) for m in meta_parts], out=meta_offs[1:])
+        cap = (
+            cn * row_fixed
+            + 6 * int(text_offs[-1])
+            + int(meta_offs[-1])
+            + 16
+        )
+        buf = _emit_scratch(cap)
+        ln = lib.vlc_emit_rows(
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cn,
+            d,
+            b"".join(text_parts),
+            text_offs.ctypes.data_as(i64p),
+            b"".join(meta_parts),
+            meta_offs.ctypes.data_as(i64p),
+            ei,
+            1 if last else 0,
+            buf,
+            cap,
+        )
+        if ln < 0:  # cannot happen with the cap above; guard anyway
+            raise SerializationError("native vlc row emitter overflow")
+        out.append(
+            ctypes.string_at(ctypes.addressof(buf), ln).decode("utf-8")
+        )
+    out.append("  " * indent + "]")
+    return True
+
+
+def _emit_keyed_arrays(obj: dict, indent: int, out: list) -> bool:
+    """Bulk fast path for the HNSW ``vector_values`` map: a dict whose
+    values are all 1-D float ndarrays (reference serde shape:
+    src/index/hnsw.rs:197-213) renders through
+    native ``vlc_emit_keyed_arrays`` in chunks. Same contract as
+    ``_emit_vector_rows``: byte-identical or declines untouched."""
+    import ctypes
+
+    from ..native import load_vlc
+
+    if len(obj) < 64:
+        return False
+    lib = load_vlc()
+    if lib is None:
+        return False
+    for k, v in obj.items():
+        if type(k) is not str:
+            return False
+        if not (
+            isinstance(v, _np.ndarray)
+            and v.ndim == 1
+            and _np.issubdtype(v.dtype, _np.floating)
+        ):
+            return False
+    items = list(obj.items())
+    try:
+        all_keys = [k.encode("utf-8") for k, _ in items]
+    except UnicodeEncodeError:
+        return False
+    ei = indent + 1
+    pad_v = 2 * ei + 2
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out.append("{\n")
+    n = len(items)
+    avg_d = max(1, sum(int(v.shape[0]) for _, v in items) // n)
+    chunk_rows = max(64, _EMIT_CHUNK // avg_d)
+    for start in range(0, n, chunk_rows):
+        chunk = items[start : start + chunk_rows]
+        cn = len(chunk)
+        last = start + chunk_rows >= n
+        key_parts = all_keys[start : start + chunk_rows]
+        lens = _np.fromiter(
+            (int(v.shape[0]) for _, v in chunk), dtype=_np.int64, count=cn
+        )
+        vals = _np.concatenate(
+            [_np.ascontiguousarray(v, dtype=_np.float64) for _, v in chunk]
+        ) if int(lens.sum()) else _np.empty(0, dtype=_np.float64)
+        key_offs = _np.zeros(cn + 1, dtype=_np.int64)
+        _np.cumsum([len(k) for k in key_parts], out=key_offs[1:])
+        cap = (
+            cn * (2 * pad_v + 32)
+            + int(lens.sum()) * (pad_v + 26)
+            + 6 * int(key_offs[-1])
+            + 16
+        )
+        buf = _emit_scratch(cap)
+        ln = lib.vlc_emit_keyed_arrays(
+            b"".join(key_parts),
+            key_offs.ctypes.data_as(i64p),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lens.ctypes.data_as(i64p),
+            cn,
+            ei,
+            1 if last else 0,
+            buf,
+            cap,
+        )
+        if ln < 0:
+            raise SerializationError("native vlc keyed emitter overflow")
+        out.append(
+            ctypes.string_at(ctypes.addressof(buf), ln).decode("utf-8")
+        )
+    out.append("  " * indent + "}")
+    return True
+
+
 def _emit(obj, indent: int, out: list) -> None:
     pad = "  " * indent
     pad_in = "  " * (indent + 1)
@@ -210,6 +397,8 @@ def _emit(obj, indent: int, out: list) -> None:
         if not obj:
             out.append("{}")
             return
+        if _emit_keyed_arrays(obj, indent, out):
+            return
         out.append("{\n")
         for i, (k, v) in enumerate(obj.items()):
             out.append(pad_in)
@@ -224,6 +413,8 @@ def _emit(obj, indent: int, out: list) -> None:
     elif isinstance(obj, (list, tuple)):
         if not obj:
             out.append("[]")
+            return
+        if isinstance(obj, list) and _emit_vector_rows(obj, indent, out):
             return
         out.append("[\n")
         for i, v in enumerate(obj):
