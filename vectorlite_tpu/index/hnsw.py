@@ -294,12 +294,20 @@ class HNSWIndex:
         new_cap = self._capacity
         while new_cap < n:
             new_cap *= 2
-        grow = new_cap - self._capacity
+        # Rows >= _num_nodes were never inserted, so they still hold the
+        # initial fill (0 / -1); copy only the live prefix and fill the
+        # rest once. np.zeros is calloc-backed (virtual zero pages), so
+        # the zero-filled matrices cost O(live) writes — where the old
+        # concatenate([a, np.full(...)]) wrote every byte of the new
+        # buffer twice (measured 7 s of a 27 s 20K build on this box).
+        live = self._num_nodes
 
         def pad2(a, fill=0):
-            return np.concatenate(
-                [a, np.full((grow,) + a.shape[1:], fill, dtype=a.dtype)]
-            )
+            new = np.zeros((new_cap,) + a.shape[1:], dtype=a.dtype)
+            new[:live] = a[:live]
+            if fill != 0:
+                new[live:] = fill
+            return new
 
         self._vecs = pad2(self._vecs)
         if self._vecs64 is not None:
