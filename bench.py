@@ -88,18 +88,31 @@ def _chip_healthy(timeout_s: int = 180) -> bool:
 
 def main() -> None:
     healthy = False
-    for attempt in range(10):  # up to ~30 min of patience
+    # Observed relay congestion episodes run minutes to 2+ hours; this
+    # record is the round's headline, so wait up to ~75 min before
+    # surrendering (probes are a subprocess each — nothing hangs).
+    for attempt in range(25):
         t0 = time.perf_counter()
         if _chip_healthy():
             healthy = True
             break
-        log(f"TPU relay unresponsive (probe {attempt + 1}/10); waiting...")
+        log(f"TPU relay unresponsive (probe {attempt + 1}/25); waiting...")
         # pace probes to one 180 s window each: a fast failure (relay
         # refusing connections) must not burn all attempts in seconds
         time.sleep(max(0.0, 180.0 - (time.perf_counter() - t0)))
     if not healthy:
         log("TPU relay unresponsive (congestion episode); recording a")
         log("zero instead of hanging — rerun in a healthy window.")
+        note = "tpu relay unresponsive at run time"
+        try:
+            with open("bench/last_headline.json") as f:
+                prev = json.load(f)
+            note += (
+                "; last healthy-window measurement: "
+                f"{prev['value']} {prev['unit']} at {prev['when']}"
+            )
+        except Exception:
+            pass
         print(
             json.dumps(
                 {
@@ -107,7 +120,7 @@ def main() -> None:
                     "value": 0,
                     "unit": "queries/s",
                     "vs_baseline": 0,
-                    "note": "tpu relay unresponsive at run time",
+                    "note": note,
                 }
             )
         )
@@ -246,17 +259,18 @@ def main() -> None:
     baseline = cpu_baseline_qps(v64, queries_f32.astype(np.float64))
     log(f"cpu baseline: {baseline:,.2f} QPS")
 
-    print(
-        json.dumps(
-            {
-                "metric": "cosine_top10_qps_1m_x384_b256_recall"
-                + f"{recall:.4f}",
-                "value": round(device_qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(device_qps / baseline, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "cosine_top10_qps_1m_x384_b256_recall" + f"{recall:.4f}",
+        "value": round(device_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(device_qps / baseline, 2),
+    }
+    try:  # remember the healthy-window result for congestion fallbacks
+        with open("bench/last_headline.json", "w") as f:
+            json.dump({**record, "when": time.strftime("%Y-%m-%d %H:%M")}, f)
+    except Exception:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
