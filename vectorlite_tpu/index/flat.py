@@ -244,6 +244,36 @@ def _use_pallas(capacity: int, metric: SimilarityMetric) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _rows_as_matrix(
+    vals: list, dim: int
+) -> Optional[np.ndarray]:
+    """Reshape per-row f64 arrays back into one [N, dim] matrix when
+    they are consecutive views of a single base buffer — the native
+    .vlc parser (persist/vlc.py) extracts document arrays into one
+    contiguous f64 buffer in document order, so a Flat snapshot's rows
+    are almost always adjacent. Avoids an np.stack copy, which on this
+    box costs ~11 ms/MB in first-touch page faults (3 GB at 1Mx384).
+    Returns None when rows aren't one contiguous run (e.g. a numeric
+    metadata array interleaved between rows)."""
+    first = vals[0]
+    base = first.base
+    if (
+        base is None
+        or first.dtype != np.float64
+        or base.dtype != np.float64
+        or base.ndim != 1
+    ):
+        return None
+    addr = first.__array_interface__["data"][0]
+    expect = addr
+    for v in vals:
+        if v.base is not base or v.__array_interface__["data"][0] != expect:
+            return None
+        expect += dim * 8
+    start = (addr - base.__array_interface__["data"][0]) // 8
+    return base[start : start + len(vals) * dim].reshape(len(vals), dim)
+
+
 def _amk_enabled() -> bool:
     """ApproxTopK selection (kernels/amk.py) — VECTORLITE_AMK=0 reverts
     to the round-2 Pallas block kernels (escape hatch, not a tuned
@@ -1615,11 +1645,13 @@ class FlatIndex:
             for r in rows
         ):
             index = cls(dim, **kwargs)
+            vals = [r["values"] for r in rows]
+            mat = _rows_as_matrix(vals, dim)
+            if mat is None:
+                mat = np.stack(vals).astype(np.float64, copy=False)
             index.add_batch_arrays(
                 [int(r["id"]) for r in rows],
-                np.stack([r["values"] for r in rows]).astype(
-                    np.float64, copy=False
-                ),
+                mat,
                 texts=[r["text"] for r in rows],
                 metadatas=[r.get("metadata") for r in rows],
             )
