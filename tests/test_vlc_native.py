@@ -293,6 +293,61 @@ class TestNativeParse:
                 )
                 assert va.text == vb.text and va.metadata == vb.metadata
 
+    def test_numeric_metadata_breaks_contiguity(self, tmp_path,
+                                                monkeypatch):
+        """Pure-numeric metadata arrays are extracted into the same
+        parse buffer as the vector rows, so the rows are no longer one
+        contiguous run; the Flat restore must detect that and fall back
+        to np.stack without corrupting values or metadata."""
+        from vectorlite_tpu.index.flat import _rows_as_matrix
+        from vectorlite_tpu.persist.vlc import load_collection_from_file
+        from vectorlite_tpu.store.collection import Collection
+
+        rng = np.random.default_rng(77)
+        vals = rng.standard_normal((70, 6))
+        idx = FlatIndex(
+            6,
+            [
+                Vector(id=i, values=vals[i], text=f"t{i}",
+                       metadata={"nums": [1.5 * i, 2.5, -3.0]})
+                for i in range(70)
+            ],
+        )
+        p = tmp_path / "meta.vlc"
+        from vectorlite_tpu.persist.vlc import save_collection_to_file
+        save_collection_to_file(Collection("m", idx), p)
+
+        col_n = load_collection_from_file(p)
+        monkeypatch.setenv("VECTORLITE_NO_NATIVE", "1")
+        col_p = load_collection_from_file(p)
+        with col_n.index_read() as a, col_p.index_read() as b:
+            assert len(a) == len(b) == 70
+            for i in range(70):
+                va, vb = a.get_vector(i), b.get_vector(i)
+                assert np.array_equal(
+                    np.asarray(va.values, dtype=np.float64),
+                    np.asarray(vb.values, dtype=np.float64),
+                )
+                ma = np.asarray(va.metadata["nums"], dtype=np.float64)
+                assert np.array_equal(ma, [1.5 * i, 2.5, -3.0])
+
+    def test_rows_as_matrix_detects_gaps(self):
+        from vectorlite_tpu.index.flat import _rows_as_matrix
+
+        base = np.arange(40, dtype=np.float64)
+        rows = [base[0:4], base[4:8], base[8:12]]
+        mat = _rows_as_matrix(rows, 4)
+        assert mat is not None and mat.shape == (3, 4)
+        assert np.shares_memory(mat, base)
+        assert np.array_equal(mat, np.stack(rows))
+        # a gap (skipped run) must defeat the reshape
+        assert _rows_as_matrix([base[0:4], base[8:12]], 4) is None
+        # rows from different buffers must defeat it too
+        other = np.arange(8, dtype=np.float64)
+        assert _rows_as_matrix([base[0:4], other[0:4]], 4) is None
+        # an owning (non-view) first row must defeat it
+        assert _rows_as_matrix([np.arange(4.0), base[4:8]], 4) is None
+
 
 class TestSnapshotParity:
 
