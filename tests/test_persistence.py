@@ -110,6 +110,18 @@ class TestCollectionData:
         with pytest.raises(FileNotFound):
             load_collection_from_file(tmp_path / "nope.vlc")
 
+    def test_pathological_nesting_rejected(self, tmp_path):
+        """Nesting beyond the interpreter stack must surface as the
+        canonical parse error, not RecursionError (serde_json's default
+        recursion limit rejects these too). Found by parser fuzzing."""
+        path = tmp_path / "deep.vlc"
+        path.write_bytes(b"[" * 10000 + b"]" * 10000)
+        with pytest.raises(SerializationError):
+            load_collection_from_file(path)
+        path.write_bytes(b'{"a":' * 5000 + b"1" + b"}" * 5000)
+        with pytest.raises(SerializationError):
+            load_collection_from_file(path)
+
     def test_version_mismatch(self, tmp_path):
         path = tmp_path / "v2.vlc"
         payload = collection_to_json(make_flat_collection())

@@ -580,7 +580,10 @@ def _native_parse(raw: bytes):
     skel_len, narr, nd, ni = (int(x) for x in counts)
     try:
         obj = json.loads(skel[:skel_len].tobytes().decode("utf-8"))
-    except (json.JSONDecodeError, UnicodeDecodeError):
+    except (json.JSONDecodeError, UnicodeDecodeError, RecursionError):
+        # RecursionError: pathologically nested input ([[[[... beyond
+        # the interpreter stack); decline so the caller's json.loads
+        # raises the canonical SerializationError instead of a 500
         return None
     # Slice the value buffers back into per-array ndarrays as VIEWS:
     # first-touch page faults on this box run ~85 MB/s, so a .copy()
@@ -641,6 +644,11 @@ def load_collection_from_file(path, **index_kwargs) -> Collection:
     if obj is None:
         try:
             obj = json.loads(raw.decode("utf-8"))
-        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        except (
+            json.JSONDecodeError, UnicodeDecodeError, RecursionError,
+        ) as e:
+            # RecursionError: nesting beyond the interpreter stack —
+            # serde_json rejects these with a recursion-limit parse
+            # error too (its default limit is 128 levels)
             raise SerializationError(str(e)) from None
     return collection_from_json(obj, **index_kwargs)
