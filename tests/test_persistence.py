@@ -17,6 +17,7 @@ from vectorlite_tpu import (
 from vectorlite_tpu.embed.mock import ConstantEmbeddingFunction
 from vectorlite_tpu.errors import (
     FileNotFound,
+    InvalidFormat,
     SerializationError,
     VersionMismatch,
 )
@@ -111,16 +112,36 @@ class TestCollectionData:
             load_collection_from_file(tmp_path / "nope.vlc")
 
     def test_pathological_nesting_rejected(self, tmp_path):
-        """Nesting beyond the interpreter stack must surface as the
-        canonical parse error, not RecursionError (serde_json's default
-        recursion limit rejects these too). Found by parser fuzzing."""
+        """Pathological inputs must surface as TYPED errors — never
+        RecursionError/AttributeError escaping to a 500 (serde_json's
+        default recursion limit rejects the deep ones at parse time
+        too). Found by parser fuzzing."""
+        from vectorlite_tpu.errors import VectorLiteError
+
         path = tmp_path / "deep.vlc"
-        path.write_bytes(b"[" * 10000 + b"]" * 10000)
-        with pytest.raises(SerializationError):
-            load_collection_from_file(path)
-        path.write_bytes(b'{"a":' * 5000 + b"1" + b"}" * 5000)
-        with pytest.raises(SerializationError):
-            load_collection_from_file(path)
+        cases = [
+            # beyond the interpreter stack: parse-time rejection
+            (b"[" * 10000 + b"]" * 10000, SerializationError),
+            # parses fine, but it's not a collection object
+            (b'{"a":' * 5000 + b"1" + b"}" * 5000, VersionMismatch),
+            (b"[1, 2, 3]", InvalidFormat),
+            (b'{"header": "not a dict"}', VersionMismatch),
+            (
+                b'{"header": {"version": "1.0.0", '
+                b'"format": "vectorlite-collection"}, "index": 7}',
+                InvalidFormat,
+            ),
+            (
+                b'{"header": {"version": "1.0.0", '
+                b'"format": "vectorlite-collection"}}',
+                InvalidFormat,
+            ),
+        ]
+        for raw, exc in cases:
+            path.write_bytes(raw)
+            with pytest.raises(exc):
+                load_collection_from_file(path)
+            assert issubclass(exc, VectorLiteError)
 
     def test_version_mismatch(self, tmp_path):
         path = tmp_path / "v2.vlc"

@@ -491,7 +491,14 @@ def collection_to_json(collection: Collection) -> dict:
 
 
 def collection_from_json(obj: dict, **index_kwargs) -> Collection:
-    header = obj.get("header") or {}
+    if not isinstance(obj, dict):
+        # valid JSON, wrong shape (e.g. a top-level array) — a typed
+        # error, not an AttributeError escaping to a 500
+        raise InvalidFormat(
+            f"Expected a collection object, got {type(obj).__name__}"
+        )
+    header = obj.get("header")
+    header = header if isinstance(header, dict) else {}
     version = header.get("version")
     if version != FORMAT_VERSION:
         raise VersionMismatch(FORMAT_VERSION, str(version))
@@ -500,14 +507,17 @@ def collection_from_json(obj: dict, **index_kwargs) -> Collection:
         raise InvalidFormat(
             f"Expected format '{FORMAT_NAME}', got '{fmt}'"
         )
-    index_obj = obj["index"]
+    index_obj = obj.get("index")
+    if not isinstance(index_obj, dict):
+        raise InvalidFormat("Missing or malformed 'index' payload")
     if "Flat" in index_obj:
         index = FlatIndex.index_from_json(index_obj["Flat"], **index_kwargs)
     elif "HNSW" in index_obj:
         index = HNSWIndex.index_from_json(index_obj["HNSW"])
     else:
         raise InvalidFormat(f"Unknown index payload: {list(index_obj)}")
-    name = obj.get("metadata", {}).get("name", "")
+    meta = obj.get("metadata")
+    name = meta.get("name", "") if isinstance(meta, dict) else ""
     return Collection(name, index)
 
 
@@ -605,28 +615,37 @@ def _native_parse(raw: bytes):
         return None
     prefix = nonce + ":"
 
-    def reinsert(node):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                r = reinsert(v)
-                if r is not v:
-                    node[k] = r
-            return node
-        if isinstance(node, list):
-            if (
-                len(node) == 1
-                and isinstance(node[0], str)
-                and node[0].startswith(prefix)
-            ):
-                return arrays[int(node[0][len(prefix):])]
-            for j, v in enumerate(node):
-                r = reinsert(v)
-                if r is not v:
-                    node[j] = r
-            return node
+    def resolve(node):
+        """An extracted array rides as ["<nonce>:<idx>"]; swap it back."""
+        if (
+            isinstance(node, list)
+            and len(node) == 1
+            and isinstance(node[0], str)
+            and node[0].startswith(prefix)
+        ):
+            return arrays[int(node[0][len(prefix):])]
         return node
 
-    return reinsert(obj)
+    # Iterative walk: fuzzing found that a pathologically nested doc
+    # can clear json.loads (C scanner) yet blow the Python stack in a
+    # recursive rewrite.
+    obj = resolve(obj)
+    stack = [obj]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, dict):
+            items = node.items()
+        elif isinstance(node, list):
+            items = enumerate(node)
+        else:
+            continue
+        for k, v in items:
+            r = resolve(v)
+            if r is not v:
+                node[k] = r
+            elif isinstance(v, (dict, list)):
+                stack.append(v)
+    return obj
 
 
 def load_collection_from_file(path, **index_kwargs) -> Collection:
