@@ -3,6 +3,7 @@ golden-format check against the exact reference serde layout."""
 
 import json
 
+import numpy as np
 import pytest
 
 from vectorlite_tpu import (
@@ -142,6 +143,70 @@ class TestCollectionData:
             with pytest.raises(exc):
                 load_collection_from_file(path)
             assert issubclass(exc, VectorLiteError)
+
+    def test_mangled_index_payload_is_typed(self):
+        """Structured fuzzing invariant: ANY malformed index payload
+        raises a VectorLiteError (SerializationError for untyped
+        failures inside deserialization), never a raw
+        TypeError/AttributeError that would 500 with a Python message."""
+        import copy
+        import random
+
+        from vectorlite_tpu.errors import VectorLiteError
+        from vectorlite_tpu.index.hnsw import HNSWIndex
+        from vectorlite_tpu.core.metrics import SimilarityMetric
+        from vectorlite_tpu.persist.vlc import collection_from_json
+
+        rng = random.Random(5)
+        h = HNSWIndex(3, SimilarityMetric.COSINE)
+        h.add_batch_arrays(
+            list(range(12)),
+            np.random.default_rng(0).normal(size=(12, 3)),
+            texts=[f"t{i}" for i in range(12)],
+        )
+        payload = json.loads(
+            json.dumps(
+                h.index_to_json(),
+                default=lambda o: o.tolist()
+                if isinstance(o, np.ndarray)
+                else o,
+            )
+        )
+        junk = [None, 7, "junk", [], {}, [None], True, [[1], [2, 3]]]
+        for _ in range(250):
+            m = copy.deepcopy(payload)
+            node, path = m, []
+            while (
+                isinstance(node, (dict, list))
+                and node
+                and rng.random() < 0.8
+            ):
+                key = (
+                    rng.choice(list(node))
+                    if isinstance(node, dict)
+                    else rng.randrange(len(node))
+                )
+                path.append((node, key))
+                node = node[key]
+            if not path:
+                continue
+            parent, key = path[-1]
+            parent[key] = rng.choice(junk)
+            doc = {
+                "header": {
+                    "version": "1.0.0",
+                    "format": "vectorlite-collection",
+                    "created_at": "x",
+                },
+                "metadata": {"name": "z"},
+                "index": {"HNSW": m},
+            }
+            try:
+                col = collection_from_json(doc)
+                with col.index_read() as ix:
+                    ix.search([1.0, 0, 0], 3, SimilarityMetric.COSINE)
+            except VectorLiteError:
+                pass  # typed rejection is the contract
 
     def test_version_mismatch(self, tmp_path):
         path = tmp_path / "v2.vlc"

@@ -28,6 +28,7 @@ from ..errors import (
     FileNotFound,
     InvalidFormat,
     SerializationError,
+    VectorLiteError,
     VersionMismatch,
 )
 from ..index.flat import FlatIndex
@@ -510,15 +511,31 @@ def collection_from_json(obj: dict, **index_kwargs) -> Collection:
     index_obj = obj.get("index")
     if not isinstance(index_obj, dict):
         raise InvalidFormat("Missing or malformed 'index' payload")
+    try:
+        index = _index_from_payload(index_obj, **index_kwargs)
+    except VectorLiteError:
+        raise
+    except Exception as e:
+        # Any untyped failure inside index deserialization (wrong field
+        # type, short row, junk graph array — found by structured
+        # fuzzing) is a malformed snapshot: surface it the way serde
+        # does, as a parse error, never a raw TypeError/AttributeError.
+        raise SerializationError(
+            f"Malformed index payload: {type(e).__name__}: {e}"
+        ) from None
+    meta = obj.get("metadata")
+    name = meta.get("name", "") if isinstance(meta, dict) else ""
+    return Collection(name, index)
+
+
+def _index_from_payload(index_obj: dict, **index_kwargs):
     if "Flat" in index_obj:
         index = FlatIndex.index_from_json(index_obj["Flat"], **index_kwargs)
     elif "HNSW" in index_obj:
         index = HNSWIndex.index_from_json(index_obj["HNSW"])
     else:
         raise InvalidFormat(f"Unknown index payload: {list(index_obj)}")
-    meta = obj.get("metadata")
-    name = meta.get("name", "") if isinstance(meta, dict) else ""
-    return Collection(name, index)
+    return index
 
 
 def save_collection_to_file(collection: Collection, path) -> None:
