@@ -475,6 +475,71 @@ class TestReviewRegressions:
 
         http(go)
 
+    def test_non_string_fields_400(self):
+        """serde-typed DTO parity: the reference types text/query/name/
+        index_type/file_path as String (src/server.rs:71-100), so a
+        number/null/object body value is a reject, not a str() coercion."""
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            cases = [
+                ("/collections", {"name": 7, "index_type": "flat"}),
+                ("/collections", {"name": "x", "index_type": None}),
+                ("/collections/c/text", {"text": 7}),
+                ("/collections/c/text", {"text": None}),
+                ("/collections/c/text", {"text": {"a": 1}}),
+                ("/collections/c/search/text", {"query": 7}),
+                ("/collections/c/search/text", {"query": ["q"]}),
+                ("/collections/c/save", {"file_path": 7}),
+                ("/collections/load", {"file_path": None}),
+                (
+                    "/collections/load",
+                    {"file_path": "/tmp/x.vlc", "collection_name": 9},
+                ),
+            ]
+            for path, body in cases:
+                resp = await tc.post(path, json=body)
+                assert resp.status == 400, (path, body)
+                msg = (await resp.json())["message"]
+                assert "must be a string" in msg, (path, body, msg)
+
+        http(go)
+
+    def test_search_empty_metric_string_400(self):
+        """Option<String> parity: similarity_metric present-but-empty
+        reaches parse and errors (reference: src/server.rs:264-266) —
+        only create's #[serde(default)] metric treats "" as unset."""
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "x", "similarity_metric": ""},
+            )
+            assert resp.status == 400
+            assert "Invalid similarity metric" in (
+                await resp.json()
+            )["message"]
+            # absent and null still auto-detect
+            for body in (
+                {"query": "x"},
+                {"query": "x", "similarity_metric": None},
+            ):
+                resp = await tc.post(
+                    "/collections/c/search/text", json=body
+                )
+                assert resp.status == 200, body
+            # create still treats "" as unset
+            resp = await tc.post(
+                "/collections",
+                json={"name": "c2", "index_type": "flat", "metric": ""},
+            )
+            assert resp.status == 200
+
+        http(go)
+
     def test_cors_preflight_and_error_headers(self):
         async def go(tc):
             resp = await tc.options("/collections/c/search/text")

@@ -117,6 +117,19 @@ def _require_field(body: dict, name: str):
     return body[name]
 
 
+def _require_str(body: dict, name: str) -> str:
+    """Required string field. The reference's DTOs type these as serde
+    String (src/server.rs:71-100), so a number/null/object here is a
+    deserialization reject, not something to coerce via str()."""
+    value = _require_field(body, name)
+    if not isinstance(value, str):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"message": f"Field {name} must be a string"}),
+            content_type="application/json",
+        )
+    return value
+
+
 async def _blocking(request: web.Request, fn, *args, **kwargs):
     loop = asyncio.get_running_loop()
     return await loop.run_in_executor(
@@ -141,9 +154,10 @@ async def list_collections(request: web.Request) -> web.Response:
 
 async def create_collection(request: web.Request) -> web.Response:
     body = await _json_body(request)
-    name = str(_require_field(body, "name"))
-    index_type = IndexType.parse(str(_require_field(body, "index_type")))
-    metric_str = str(body.get("metric", ""))
+    name = _require_str(body, "name")
+    index_type = IndexType.parse(_require_str(body, "index_type"))
+    metric_raw = body.get("metric", "")
+    metric_str = metric_raw if isinstance(metric_raw, str) else str(metric_raw)
     # empty metric string means "not specified" (reference: src/server.rs:206-210)
     metric = SimilarityMetric.parse(metric_str) if metric_str else None
 
@@ -178,7 +192,7 @@ async def delete_collection(request: web.Request) -> web.Response:
 async def add_text(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     body = await _json_body(request)
-    text = str(_require_field(body, "text"))
+    text = _require_str(body, "text")
     metadata = body.get("metadata")
     client = request.app[_CLIENT_KEY]
 
@@ -216,13 +230,25 @@ def _parse_k(body: dict) -> int:
     return k
 
 
+def _parse_search_metric(body: dict):
+    """Search-side metric parsing: absent/null means auto-detect, but a
+    PRESENT string — including "" — must parse or 400. The reference's
+    SearchTextRequest.similarity_metric is Option<String>, so Some("")
+    reaches parse_similarity_metric and errors (src/server.rs:264-266),
+    unlike create's #[serde(default)] metric where "" means unset."""
+    metric_raw = body.get("similarity_metric")
+    if metric_raw is None:
+        return None
+    s = metric_raw if isinstance(metric_raw, str) else str(metric_raw)
+    return SimilarityMetric.parse(s)
+
+
 async def search_text(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     body = await _json_body(request)
-    query = str(_require_field(body, "query"))
+    query = _require_str(body, "query")
     k = _parse_k(body)
-    metric_str = body.get("similarity_metric")
-    metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
+    metric = _parse_search_metric(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
@@ -286,8 +312,7 @@ async def search_texts(request: web.Request) -> web.Response:
             content_type="application/json",
         )
     k = _parse_k(body)
-    metric_str = body.get("similarity_metric")
-    metric = SimilarityMetric.parse(str(metric_str)) if metric_str else None
+    metric = _parse_search_metric(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
@@ -362,7 +387,7 @@ async def compact_collection(request: web.Request) -> web.Response:
 async def save_collection(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     body = await _json_body(request)
-    file_path = str(_require_field(body, "file_path"))
+    file_path = _require_str(body, "file_path")
     client = request.app[_CLIENT_KEY]
 
     def run():
@@ -379,8 +404,13 @@ async def save_collection(request: web.Request) -> web.Response:
 
 async def load_collection(request: web.Request) -> web.Response:
     body = await _json_body(request)
-    file_path = str(_require_field(body, "file_path"))
+    file_path = _require_str(body, "file_path")
     requested_name = body.get("collection_name")
+    if requested_name is not None and not isinstance(requested_name, str):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field collection_name must be a string"}',
+            content_type="application/json",
+        )
     client = request.app[_CLIENT_KEY]
 
     def run():
