@@ -506,6 +506,24 @@ class TestReviewRegressions:
 
         http(go)
 
+    def test_vector_id_u64_bounds_400(self):
+        """Path<u64> parity: negative or 2^64+ ids fail path parsing
+        (400) rather than reading as absent ids (404)."""
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            for bad in ("-1", str(1 << 64), "abc", "1e5"):
+                resp = await tc.get(f"/collections/c/vectors/{bad}")
+                assert resp.status == 400, bad
+            # u64::MAX itself is a VALID id -> absent, 404
+            resp = await tc.get(
+                f"/collections/c/vectors/{(1 << 64) - 1}"
+            )
+            assert resp.status == 404
+
+        http(go)
+
     def test_search_empty_metric_string_400(self):
         """Option<String> parity: similarity_metric present-but-empty
         reaches parse and errors (reference: src/server.rs:264-266) —

@@ -332,9 +332,15 @@ async def search_texts(request: web.Request) -> web.Response:
 
 
 def _parse_vector_id(request: web.Request) -> int:
+    """Vector ids are u64 in the reference (Path<u64>, src/server.rs),
+    so a negative or > 2^64-1 path segment is a parse reject (400),
+    not a well-formed id that happens to be absent (404)."""
     raw = request.match_info["id"]
     try:
-        return int(raw)
+        vid = int(raw)
+        if not 0 <= vid < 1 << 64:
+            raise ValueError
+        return vid
     except ValueError:
         raise web.HTTPBadRequest(
             text='{"message": "Invalid vector id"}',
