@@ -191,3 +191,85 @@ class TestEdgeCaseGoldens:
             assert ours["metric"] == ref["metric"]
             assert rendered(ours["vector_values"]) == ref["vector_values"]
             assert ours["metadata"] == ref["metadata"]
+
+
+class TestRandomRoundTripProperty:
+    """Property invariant: ANY collection content — random special
+    floats, random unicode, random nested metadata — survives
+    save -> load -> save with byte-identical output (modulo the
+    created_at timestamps) and bit-exact values. Complements the
+    hand-built fixture matrix with content nobody thought to pin."""
+
+    def _random_meta(self, rng, depth=0):
+        roll = rng.random()
+        if depth >= 3 or roll < 0.25:
+            return rng.choice(
+                [None, True, False, 0, -7, 3.5, -0.0, 1e308, 5e-324,
+                 "", "naïve", "日本語 🌍", "line\nbreak\t\"q\"\\"]
+            )
+        if roll < 0.55:
+            return [self._random_meta(rng, depth + 1)
+                    for _ in range(rng.randrange(0, 4))]
+        return {
+            f"k{i}_ü": self._random_meta(rng, depth + 1)
+            for i in range(rng.randrange(0, 4))
+        }
+
+    def _random_values(self, np_rng, dim):
+        v = np_rng.standard_normal(dim) * 10.0 ** np_rng.integers(-300, 300)
+        # sprinkle exact edge floats
+        idx = np_rng.integers(0, dim, size=3)
+        pool = [0.0, -0.0, 5e-324, 1e308, -1e16, 123456789.0, 1e-5]
+        for j, slot in enumerate(idx):
+            v[slot] = pool[(j * 3) % len(pool)]
+        return v
+
+    def test_flat_random_content(self, tmp_path):
+        import random
+
+        import numpy as np
+
+        from vectorlite_tpu.core.types import Vector
+        from vectorlite_tpu.index.flat import FlatIndex
+        from vectorlite_tpu.store.collection import Collection
+
+        rng = random.Random(99)
+        np_rng = np.random.default_rng(99)
+        for trial in range(4):
+            dim = rng.choice([1, 3, 8, 17])
+            n = rng.choice([1, 5, 80])  # 80 engages the bulk emitters
+            vecs = [
+                Vector(
+                    id=i * 7 + trial,
+                    values=self._random_values(np_rng, dim),
+                    text="".join(
+                        rng.choice("aé日🌍\t\"\\\x01 z") for _ in
+                        range(rng.randrange(0, 12))
+                    ),
+                    metadata=self._random_meta(rng),
+                )
+                for i in range(n)
+            ]
+            idx = FlatIndex(dim, vecs)
+            p1 = tmp_path / f"r{trial}_a.vlc"
+            p2 = tmp_path / f"r{trial}_b.vlc"
+            save_collection_to_file(Collection(f"r{trial}", idx), p1)
+            col = load_collection_from_file(p1)
+            save_collection_to_file(col, p2)
+            norm = lambda s: re.sub(
+                r'"created_at": "[^"]+"', '"created_at": "T"', s
+            )
+            assert norm(p1.read_text(encoding="utf-8")) == norm(
+                p2.read_text(encoding="utf-8")
+            ), trial
+            with col.index_read() as ix:
+                for v in vecs:
+                    got = ix.get_vector(v.id)
+                    # bytes-level equality: array_equal would pass
+                    # -0.0 == 0.0, hiding a sign-loss bug
+                    assert (
+                        np.asarray(got.values, dtype=np.float64).tobytes()
+                        == np.asarray(v.values, dtype=np.float64).tobytes()
+                    )
+                    assert got.text == v.text
+                    assert got.metadata == v.metadata
