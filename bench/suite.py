@@ -483,13 +483,11 @@ def bench_manhattan1m():
 
     from vectorlite_tpu.kernels.pallas_l1 import pallas_search_topk_l1
 
-    n = 1_048_576
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # interpret mode on CPU: keep the run (and the allocation) small
+    n = 1_048_576 if on_tpu else 8_192
     data = make_data(n)
     queries = make_data(BATCH, seed=1)
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if not on_tpu:
-        n = 8_192  # interpret mode: keep the CPU run affordable
-        data = data[:n]
     values = jnp.asarray(data)
     valid = jnp.ones(n, dtype=bool)
     qd = jnp.asarray(queries)

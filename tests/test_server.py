@@ -497,6 +497,18 @@ class TestReviewRegressions:
                     "/collections/load",
                     {"file_path": "/tmp/x.vlc", "collection_name": 9},
                 ),
+                (
+                    "/collections",
+                    {"name": "m", "index_type": "flat", "metric": 0},
+                ),
+                (
+                    "/collections",
+                    {"name": "m", "index_type": "flat", "metric": None},
+                ),
+                (
+                    "/collections/c/search/text",
+                    {"query": "q", "similarity_metric": {"a": 1}},
+                ),
             ]
             for path, body in cases:
                 resp = await tc.post(path, json=body)
@@ -513,9 +525,17 @@ class TestReviewRegressions:
             await tc.post(
                 "/collections", json={"name": "c", "index_type": "flat"}
             )
-            for bad in ("-1", str(1 << 64), "abc", "1e5"):
+            # u64 FromStr parity: underscores, unicode digits, and
+            # whitespace are Python int() quirks, not valid u64 text
+            for bad in (
+                "-1", str(1 << 64), "abc", "1e5", "1_0",
+                "%D9%A1%D9%A0", "%205%20",
+            ):
                 resp = await tc.get(f"/collections/c/vectors/{bad}")
                 assert resp.status == 400, bad
+            # leading '+' IS accepted by Rust's u64 FromStr
+            resp = await tc.get("/collections/c/vectors/+3")
+            assert resp.status == 404
             # u64::MAX itself is a VALID id -> absent, 404
             resp = await tc.get(
                 f"/collections/c/vectors/{(1 << 64) - 1}"

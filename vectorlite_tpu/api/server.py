@@ -130,6 +130,19 @@ def _require_str(body: dict, name: str) -> str:
     return value
 
 
+def _optional_str(body: dict, name: str, default=None):
+    """Optional string field (serde Option<String> / #[serde(default)]
+    String): absent -> default, null -> None-or-default per serde
+    semantics handled by callers, any other non-string -> 400."""
+    value = body.get(name, default)
+    if value is not None and not isinstance(value, str):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"message": f"Field {name} must be a string"}),
+            content_type="application/json",
+        )
+    return value
+
+
 async def _blocking(request: web.Request, fn, *args, **kwargs):
     loop = asyncio.get_running_loop()
     return await loop.run_in_executor(
@@ -156,9 +169,15 @@ async def create_collection(request: web.Request) -> web.Response:
     body = await _json_body(request)
     name = _require_str(body, "name")
     index_type = IndexType.parse(_require_str(body, "index_type"))
-    metric_raw = body.get("metric", "")
-    metric_str = metric_raw if isinstance(metric_raw, str) else str(metric_raw)
-    # empty metric string means "not specified" (reference: src/server.rs:206-210)
+    # serde String + #[serde(default)]: absent -> "", present non-string
+    # (incl. null) -> type reject; empty string means "not specified"
+    # (reference: src/server.rs:75-77, 206-210)
+    metric_str = body.get("metric", "")
+    if not isinstance(metric_str, str):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field metric must be a string"}',
+            content_type="application/json",
+        )
     metric = SimilarityMetric.parse(metric_str) if metric_str else None
 
     client = request.app[_CLIENT_KEY]
@@ -236,11 +255,10 @@ def _parse_search_metric(body: dict):
     SearchTextRequest.similarity_metric is Option<String>, so Some("")
     reaches parse_similarity_metric and errors (src/server.rs:264-266),
     unlike create's #[serde(default)] metric where "" means unset."""
-    metric_raw = body.get("similarity_metric")
+    metric_raw = _optional_str(body, "similarity_metric")
     if metric_raw is None:
         return None
-    s = metric_raw if isinstance(metric_raw, str) else str(metric_raw)
-    return SimilarityMetric.parse(s)
+    return SimilarityMetric.parse(metric_raw)
 
 
 async def search_text(request: web.Request) -> web.Response:
@@ -336,9 +354,14 @@ def _parse_vector_id(request: web.Request) -> int:
     so a negative or > 2^64-1 path segment is a parse reject (400),
     not a well-formed id that happens to be absent (404)."""
     raw = request.match_info["id"]
+    # Python int() accepts "1_0", unicode digits, and " 5 " — Rust's
+    # u64 FromStr accepts only [+]ASCII-digits, so gate on that first
+    digits = raw[1:] if raw.startswith("+") else raw
     try:
-        vid = int(raw)
-        if not 0 <= vid < 1 << 64:
+        if not (digits.isascii() and digits.isdigit()):
+            raise ValueError
+        vid = int(digits)
+        if vid >= 1 << 64:
             raise ValueError
         return vid
     except ValueError:
@@ -411,12 +434,7 @@ async def save_collection(request: web.Request) -> web.Response:
 async def load_collection(request: web.Request) -> web.Response:
     body = await _json_body(request)
     file_path = _require_str(body, "file_path")
-    requested_name = body.get("collection_name")
-    if requested_name is not None and not isinstance(requested_name, str):
-        raise web.HTTPBadRequest(
-            text='{"message": "Field collection_name must be a string"}',
-            content_type="application/json",
-        )
+    requested_name = _optional_str(body, "collection_name")
     client = request.app[_CLIENT_KEY]
 
     def run():

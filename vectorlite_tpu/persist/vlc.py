@@ -515,6 +515,10 @@ def collection_from_json(obj: dict, **index_kwargs) -> Collection:
         index = _index_from_payload(index_obj, **index_kwargs)
     except VectorLiteError:
         raise
+    except MemoryError:
+        # a valid-but-huge snapshot on a memory-tight box is an
+        # environment problem, not file corruption — don't relabel it
+        raise
     except Exception as e:
         # Any untyped failure inside index deserialization (wrong field
         # type, short row, junk graph array — found by structured
