@@ -122,6 +122,69 @@ class TestMeshFlatIndex:
             assert np.array_equal(ids_s, ids_1), metric
             np.testing.assert_allclose(sc_s, sc_1, rtol=1e-5, atol=1e-6)
 
+    def test_mesh_amk_matches_exact(self, mesh, rng):
+        """Mesh speed mode (sharded_search_amk): per-shard ApproxTopK +
+        exact-f32 rescore must agree with the per-shard exact kernel on
+        CPU, where approx_max_k's fallback is exact selection — any
+        divergence is a merge/offset/rescore bug, not approximation."""
+        n, d, k = 640, 32, 7
+        data = rng.normal(size=(n, d))
+        idx = FlatIndex(d, mesh=mesh)
+        idx.add_batch_arrays(
+            np.arange(n) * 3, data, texts=[f"t{i}" for i in range(n)]
+        )
+        q = rng.normal(size=(6, d))
+        for metric in (
+            SimilarityMetric.COSINE,
+            SimilarityMetric.EUCLIDEAN,
+            SimilarityMetric.DOT_PRODUCT,
+        ):
+            ids_a, sc_a = idx.search_batch_arrays(
+                q, k, metric, approx=True
+            )
+            ids_e, sc_e = idx.search_batch_arrays(
+                q, k, metric, approx=False
+            )
+            assert np.array_equal(ids_a, ids_e), metric
+            np.testing.assert_allclose(
+                sc_a, sc_e, rtol=1e-5, atol=1e-6
+            )
+
+    def test_mesh_amk_kernel_parity(self, mesh, rng):
+        """Kernel-level: sharded_search_amk vs sharded_search_topk on
+        identical sharded buffers, incl. invalid rows."""
+        from vectorlite_tpu.dist.sharding import sharded_search_amk
+
+        n, d, b, k = 1024, 48, 8, 10
+        values = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        sqnorms = jnp.sum(values * values, axis=-1)
+        valid = jnp.asarray(rng.random(n) > 0.15)
+        queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+        sv, ss, svd = shard_corpus(mesh, values, sqnorms, valid)
+        for metric in (
+            SimilarityMetric.COSINE,
+            SimilarityMetric.DOT_PRODUCT,
+        ):
+            s_ref, i_ref = sharded_search_topk(
+                sv, ss, svd, queries, metric=metric, k=k, mesh=mesh
+            )
+            s_amk, i_amk = sharded_search_amk(
+                sv,
+                sv,
+                ss,
+                svd,
+                queries,
+                metric=metric,
+                k=k,
+                k_sel=64,
+                recall_target=0.99,
+                mesh=mesh,
+            )
+            assert np.array_equal(np.asarray(i_amk), np.asarray(i_ref))
+            np.testing.assert_allclose(
+                np.asarray(s_amk), np.asarray(s_ref), rtol=1e-5, atol=1e-6
+            )
+
     def test_delete_and_incremental_insert(self, mesh, rng):
         n, d = 300, 16
         data = rng.normal(size=(n, d))

@@ -105,6 +105,64 @@ def sharded_search_topk(
     )(values, sqnorms, valid, queries)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "k_sel", "recall_target", "mesh"),
+)
+def sharded_search_amk(
+    values_scan: jax.Array,  # [cap, D] bf16 scan copy (or f32 rows), sharded
+    values_exact: jax.Array,  # [cap, D] f32 exact rows (may alias), sharded
+    sqnorms: jax.Array,  # [cap] f32, row-sharded
+    valid: jax.Array,  # [cap] bool, row-sharded
+    queries: jax.Array,  # [B, D] f32, replicated
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    k_sel: int,
+    recall_target: float,
+    mesh: Mesh,
+):
+    """Mesh speed mode: the flagship single-chip engine — fused matmul +
+    ApproxTopK candidate selection + exact-f32 device re-score
+    (kernels/amk.py) — run per shard under shard_map, merged by
+    all-gather. Per-shard winners carry EXACT f32 scores, so the
+    cross-shard ``top_k`` merge is order-exact over the candidate pools;
+    approximation lives only in each shard's candidate selection, the
+    same contract as single-chip. ApproxTopK lowers to a per-device
+    PartialReduce (a local op), so no cross-shard communication happens
+    until the k-winner gather."""
+    from ..kernels.amk import amk_search_topk_rescored
+
+    def local_shard(vs, ve, sq, va, q):
+        rows_per_shard = vs.shape[0]
+        s, i = amk_search_topk_rescored(
+            vs,
+            ve,
+            sq,
+            va,
+            q,
+            metric=metric,
+            k=min(k, rows_per_shard),
+            k_sel=min(k_sel, rows_per_shard),
+            recall_target=recall_target,
+        )
+        return _merge_local_topk(s, i, rows_per_shard, k)
+
+    return jax.shard_map(
+        local_shard,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None),
+            P(SHARD_AXIS, None),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(values_scan, values_exact, sqnorms, valid, queries)
+
+
 @partial(jax.jit, static_argnames=("metric", "k", "mesh"))
 def sharded_search_topk_int8(
     values_q: jax.Array,  # [cap, D] int8, row-sharded

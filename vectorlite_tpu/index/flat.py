@@ -1037,15 +1037,17 @@ class FlatIndex:
         if (
             not self._auto_dtype
             or self._quantized
-            or self._mesh is not None
             or self._capacity < _PALLAS_MIN_CAPACITY
         ):
             return False
         if jax.default_backend() != "tpu":
             return False
+        # a mesh splits rows across devices, so the f32+bf16 budget is
+        # per-chip HBM x mesh size
+        n_dev = 1 if self._mesh is None else self._mesh.devices.size
         return (
             self._capacity * self.dim * _SCAN_COPY_BYTES_PER_ELEM
-            <= _hbm_budget_bytes()
+            <= _hbm_budget_bytes() * n_dev
         )
 
     def _resolve_approx(
@@ -1059,13 +1061,21 @@ class FlatIndex:
         candidates are 2x-oversampled (_selection_k) and exactly
         re-scored as before; manhattan always scans exactly (the L1
         kernel is VPU-bound, selection is a rounding error of its
-        cost). Mesh selection is always exact (the approximate kernels
-        are single-chip)."""
-        if self._mesh is not None or not _use_pallas(self._capacity, metric):
-            return False
+        cost). On a mesh, ApproxTopK + exact rescore runs PER SHARD
+        (dist/sharding.py sharded_search_amk) — same contract and
+        auto-engage scale; the int8 capacity profile and manhattan stay
+        exact under a mesh."""
         if metric is SimilarityMetric.MANHATTAN:
             # no matmul form: the L1 scan is VPU-bound and selection is a
             # rounding error of its cost — always exact (pallas_l1.py)
+            return False
+        if self._mesh is not None:
+            if self._quantized or not _amk_enabled():
+                return False
+            if approx is not None:
+                return bool(approx)
+            return _use_pallas(self._capacity, metric)
+        if not _use_pallas(self._capacity, metric):
             return False
         if not self._block_selection_feasible(k_pad):
             return False
@@ -1196,10 +1206,12 @@ class FlatIndex:
                 approx = False
             queries = jnp.asarray(q)
             if self._mesh is not None:
-                # per-shard scan + all-gather merge; selection is always
-                # exact under a mesh (the block-top1 Pallas kernel stays
-                # single-chip), so `approx` only affects host re-scoring
+                # per-shard scan + all-gather merge. Speed mode rides
+                # the flagship amk engine per shard (fused matmul +
+                # ApproxTopK + exact-f32 rescore); int8 and manhattan
+                # (and risky/amk-off corpora) stay per-shard exact.
                 from ..dist.sharding import (
+                    sharded_search_amk,
                     sharded_search_topk,
                     sharded_search_topk_int8,
                 )
@@ -1213,6 +1225,34 @@ class FlatIndex:
                         queries,
                         metric=metric,
                         k=k_pad,
+                        mesh=self._mesh,
+                    )
+                if (
+                    approx
+                    and metric is not SimilarityMetric.MANHATTAN
+                    and _amk_enabled()
+                ):
+                    from ..kernels.amk import K_SEL_MIN, recall_target
+
+                    scan = (
+                        self._dev_scan
+                        if self._dev_scan is not None
+                        else self._dev_values
+                    )
+                    k_sel = min(
+                        self._capacity,
+                        max(K_SEL_MIN, next_pow2(2 * k_pad)),
+                    )
+                    return sharded_search_amk(
+                        scan,
+                        self._dev_values,
+                        self._dev_sqnorms,
+                        self._dev_valid,
+                        queries,
+                        metric=metric,
+                        k=k_pad,
+                        k_sel=k_sel,
+                        recall_target=recall_target(),
                         mesh=self._mesh,
                     )
                 return sharded_search_topk(
@@ -1556,6 +1596,19 @@ class FlatIndex:
         mesh = self._mesh
         if self._dev_values is None:
             v32 = self._values64.astype(np.float32)
+            # same bf16-selection auto-guard as single-chip: risky
+            # corpora refuse the scan copy and serve per-shard exact
+            from ..utils import env_number
+
+            if (
+                self._capacity >= _PALLAS_MIN_CAPACITY
+                and env_number("VECTORLITE_SPEED_GUARD", 1) == 1
+            ):
+                self._precision_risky = _bf16_selection_risky(
+                    v32, self._valid, self._size
+                )
+            else:
+                self._precision_risky = False
             sq = np.einsum("nd,nd->n", v32, v32).astype(np.float32)
             if self._quantized:
                 q, scales = _quantize_rows_int8_np(v32)
@@ -1567,6 +1620,18 @@ class FlatIndex:
                 self._dev_values = jax.device_put(
                     v32.astype(self._device_dtype), row_sharding(mesh, 2)
                 )
+            if (
+                not self._quantized
+                and self._device_dtype == jnp.float32
+                and self._scan_copy_wanted()
+            ):
+                import ml_dtypes
+
+                self._dev_scan = jax.device_put(
+                    v32.astype(ml_dtypes.bfloat16), row_sharding(mesh, 2)
+                )
+            else:
+                self._dev_scan = None
             self._dev_sqnorms = jax.device_put(sq, row_sharding(mesh, 1))
             self._dev_valid = jax.device_put(
                 self._valid, row_sharding(mesh, 1)
@@ -1599,6 +1664,15 @@ class FlatIndex:
                     lo,
                     mesh=mesh,
                 )
+                if self._dev_scan is not None:
+                    import ml_dtypes
+
+                    self._dev_scan = update_rows_sharded(
+                        self._dev_scan,
+                        rows32.astype(ml_dtypes.bfloat16),
+                        lo,
+                        mesh=mesh,
+                    )
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:
             self._dev_valid = jax.device_put(
