@@ -324,6 +324,20 @@ class TestMeshHNSW:
                 [r.score for r in rm], [r.score for r in ro], rtol=1e-6
             )
 
+    def test_non_pow2_mesh_batch_padding(self, rng):
+        """make_mesh accepts any device count; batch padding must round
+        up to a MULTIPLE of the mesh size, not max() with it (b_pad=4 on
+        a 3-device mesh tripped mesh_beam_search's divisibility check —
+        round-3 self-review finding)."""
+        mesh3 = make_mesh(jax.devices()[:3])
+        idx, data = self._build(rng, mesh=mesh3, n=256)
+        q = [list(map(float, data[i] + 1e-3)) for i in range(4)]
+        res = idx.search_batch(
+            q, 5, SimilarityMetric.COSINE, ef=32, use_device=True
+        )
+        assert len(res) == 4
+        assert all(len(r) == 5 for r in res)
+
     def test_mesh_beam_recall_vs_truth(self, mesh, rng):
         idx, data = self._build(rng, mesh=mesh)
         b, k = 8, 5

@@ -419,6 +419,26 @@ class TestHostPrefilter:
                 s_a[finite], s_b[finite], rtol=1e-12, atol=1e-13
             )
 
+    def test_underflow_rows_fall_back_to_f64(self, monkeypatch):
+        """A row whose f32 squared norm underflows to zero/subnormal
+        (components ~1e-25, legal f64 input) must not be dropped: its
+        f32 cosine selection score would be 0 while the exact f64 score
+        is ~1.0. The certification guard reverts such corpora to the
+        pure f64 scan (round-3 self-review finding, reproduced live)."""
+        rng = np.random.default_rng(13)
+        data = rng.normal(size=(self.N, self.D))
+        q = rng.normal(size=self.D)
+        data[4499] = q * 1e-25  # aligned, tiny: exact cosine 1.0
+        idx = FlatIndex(self.D)
+        idx.add_batch_arrays(np.arange(self.N, dtype=np.uint64), data)
+        monkeypatch.setenv("VECTORLITE_HOST_PREFILTER", "1")
+        res = idx.search_batch([q], 3, SimilarityMetric.COSINE)[0]
+        assert res[0].id == 4499
+        assert res[0].score == pytest.approx(1.0, abs=1e-12)
+        # tiny QUERY norm: guarded the same way
+        res = idx.search_batch([q * 1e-30], 3, SimilarityMetric.COSINE)[0]
+        assert res[0].id == 4499
+
     def test_tie_break_lowest_slot_through_prefilter(self):
         data = self._corpus()
         data[1000:1010] = data[999]  # exact duplicates

@@ -123,6 +123,10 @@ class TestCollectionData:
         cases = [
             # beyond the interpreter stack: parse-time rejection
             (b"[" * 10000 + b"]" * 10000, SerializationError),
+            # beyond the NATIVE parser's C++ stack: before the depth cap
+            # in vlc_emit.cpp:parse_value this SIGSEGV'd the process
+            # instead of raising (found by round-3 self-review)
+            (b"[" * 2_000_000 + b"1" + b"]" * 2_000_000, SerializationError),
             # parses fine, but it's not a collection object
             (b'{"a":' * 5000 + b"1" + b"}" * 5000, VersionMismatch),
             (b"[1, 2, 3]", InvalidFormat),

@@ -97,7 +97,11 @@ def _chunk_candidates(
         # at k=SCAN_K. Candidate exactness is not the recall limiter
         # (measured: exact vs block-approximate candidates gave
         # identical 1M recall), so the approximate pool is free speed.
-        from ..kernels.amk import _matmul, _rank_scores
+        from ..kernels.amk import (
+            _exact_rescore_device,
+            _matmul,
+            _rank_scores,
+        )
 
         dot = _matmul(queries, values)
         rank = jnp.where(
@@ -107,31 +111,12 @@ def _chunk_candidates(
         )
         _, rows = jax.lax.approx_max_k(rank, k, recall_target=0.95)
         # exact f32 scores for the selected candidates only (the
-        # distance conversion below feeds the C++ heuristic)
-        rows_sorted = jnp.sort(rows, axis=1)
-        sel = values[rows_sorted].astype(jnp.float32)
-        dot2 = jnp.einsum(
-            "bkd,bd->bk", sel, queries.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
+        # distance conversion below feeds the C++ heuristic); shared
+        # with the serving scan so the metric formulas live once —
+        # returns descending-by-score, invalid rows at -inf
+        scores, rows = _exact_rescore_device(
+            rows, values, sqnorms, valid_rows, queries, metric, k
         )
-        if metric is SimilarityMetric.COSINE:
-            qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
-            denom = jnp.sqrt(qsq) * jnp.sqrt(sqnorms[rows_sorted])
-            scores = jnp.where(
-                denom > 0.0, dot2 / jnp.maximum(denom, 1e-30), 0.0
-            )
-        elif metric is SimilarityMetric.EUCLIDEAN:
-            qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
-            d_sq = jnp.maximum(qsq + sqnorms[rows_sorted] - 2.0 * dot2, 0.0)
-            scores = 1.0 / (1.0 + jnp.sqrt(d_sq))
-        else:
-            scores = dot2
-        scores = jnp.where(valid_rows[rows_sorted], scores, -jnp.inf)
-        # re-sort ascending-by-distance (descending score) as the
-        # heuristic expects
-        order = jnp.argsort(-scores, axis=1)
-        rows = jnp.take_along_axis(rows_sorted, order, axis=1)
-        scores = jnp.take_along_axis(scores, order, axis=1)
     else:
         from ..kernels.topk import search_topk
 
@@ -272,8 +257,10 @@ def bulk_build(index, start: int, count: int) -> None:
     # the diversity heuristic over neighbors + neighbors-of-neighbors,
     # letting nodes adopt the better rows their neighbors found.
     # VECTORLITE_BULK_REFINE sets the round count (default 1; 0 off).
-    rounds = int(
-        float(os.environ.get("VECTORLITE_BULK_REFINE", "1") or 0)
+    from ..utils import env_number
+
+    rounds = env_number(
+        "VECTORLITE_BULK_REFINE", 1, cast=lambda s: int(float(s))
     )
     t0 = time.perf_counter()
     if rounds > 0:

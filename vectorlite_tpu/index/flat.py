@@ -552,19 +552,9 @@ class FlatIndex:
             scores, slots = self._device_topk(q, k_sel, metric, approx)
             # one fused device->host transfer (np.asarray is a round trip)
             scores, slots = jax.device_get((scores, slots))
-            scores = scores[:b]
-            slots = slots[:b]
-            if self._needs_rescore():
-                scores, slots = self._exact_rescore(
-                    q64, scores, slots, metric
-                )
-            elif metric is SimilarityMetric.COSINE:
-                # f32 device rounding can overshoot 1.0; clamp for
-                # consistency with the exact-rescore path and the HNSW
-                # distance clamp
-                scores = np.minimum(scores, 1.0)
-            scores = scores[:, :k_eff]
-            slots = slots[:, :k_eff]
+            scores, slots = self._finalize_device(
+                q64, scores[:b], slots[:b], k_eff, metric
+            )
 
         out: list[list[SearchResult]] = []
         for row_scores, row_slots in zip(scores, slots):
@@ -866,10 +856,15 @@ class FlatIndex:
 
     def _host_f32(self):
         """Lazy f32 row copy + f32 squared-norm table for the prefilter
-        (watermark/lock discipline of _host_norms). The finite flag trips
-        when any row's squared norm overflows or is NaN in f32 — such
-        corpora (|x| ~ 1e19+, reference accepts any f64) fall back to the
-        pure f64 scan, where the error analysis is unnecessary."""
+        (watermark/lock discipline of _host_norms). The certified flag
+        trips when any row's squared norm overflows/is NaN in f32 (|x| ~
+        1e19+) OR underflows below the f32 normal range while the true
+        f64 norm is nonzero (|x| ~ 1e-20-): in the underflow regime the
+        relative-error analysis breaks (a row with f64 cosine 1.0 can
+        get f32 selection score 0 and be dropped), so such corpora fall
+        back to the pure f64 scan, where no error analysis is needed.
+        The reference accepts any f64 values, so both extremes are
+        legal inputs."""
         with self._norms_lock:
             if (
                 self._host_f32v is None
@@ -883,13 +878,28 @@ class FlatIndex:
                 self._host_f32_finite = True
             if self._host_f32_n < self._size:
                 lo, hi = self._host_f32_n, self._size
-                with np.errstate(over="ignore", invalid="ignore"):
+                with np.errstate(
+                    over="ignore", invalid="ignore", under="ignore"
+                ):
                     rows = self._values64[lo:hi].astype(np.float32)
                     sq = np.einsum("nd,nd->n", rows, rows)
                 self._host_f32v[lo:hi] = rows
                 self._host_sq32[lo:hi] = sq
                 if not np.all(np.isfinite(sq)):
                     self._host_f32_finite = False
+                else:
+                    # underflow certification: true-nonzero rows whose
+                    # f32 squared norm is zero/subnormal lose up to all
+                    # relative precision in the f32 selection score
+                    sq64 = np.einsum(
+                        "nd,nd->n",
+                        self._values64[lo:hi],
+                        self._values64[lo:hi],
+                    )
+                    if np.any(
+                        (sq64 > 0.0) & (sq < np.finfo(np.float32).tiny)
+                    ):
+                        self._host_f32_finite = False
                 self._host_f32_n = hi
             return self._host_f32v, self._host_sq32, self._host_f32_finite
 
@@ -937,8 +947,20 @@ class FlatIndex:
                 sel = dots
                 eps = _PREFILTER_EPS_DOT * qn * vn_max
             elif metric is SimilarityMetric.COSINE:
+                qn32 = qn.astype(np.float32)
+                if np.any((qn > 0.0) & (qn32 == 0.0)):
+                    return None  # query-norm underflow: sel would be 0
                 vn32 = np.sqrt(sq)
-                denom = qn.astype(np.float32)[:, None] * vn32[None, :]
+                # certify every nonzero x nonzero denominator stays
+                # above the division clamp: below 1e-30 (or product-
+                # underflowed to 0) the selection score is arbitrarily
+                # under-scaled vs the true cosine and winners get lost
+                q_nz = qn32[qn32 > 0.0]
+                v_nz = vn32[vn32 > 0.0]
+                if q_nz.size and v_nz.size:
+                    if float(q_nz.min()) * float(v_nz.min()) < 1e-30:
+                        return None
+                denom = qn32[:, None] * vn32[None, :]
                 with np.errstate(invalid="ignore", divide="ignore"):
                     sel = np.where(
                         denom > 0.0,
@@ -1281,10 +1303,15 @@ class FlatIndex:
 
                     if approx and use_amk:
                         from ..kernels.amk import (
+                            K_SEL_MIN,
                             amk_select_int8,
                             recall_target,
                         )
 
+                        # int8 ranking error displaces true winners at
+                        # least as far as bf16's (~100 ranks at 1M), so
+                        # the candidate pool the host rescores needs the
+                        # same K_SEL_MIN floor the f32/bf16 amk paths use
                         return amk_select_int8(
                             self._dev_values,
                             self._dev_scales,
@@ -1292,7 +1319,10 @@ class FlatIndex:
                             self._dev_valid,
                             queries,
                             metric=metric,
-                            k=k_pad,
+                            k=min(
+                                self._capacity,
+                                max(K_SEL_MIN, k_pad),
+                            ),
                             recall_target=recall_target(),
                         )
                     if approx:

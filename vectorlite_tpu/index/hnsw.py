@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -66,9 +67,11 @@ def convert_distance_to_similarity(
     cosine = 1 - cos, dotproduct = 1000 - clamp(dot, -1000, 1000)
     (the reference's pre-scaling values).
     """
-    from ..utils import env_number
-
-    if env_number("VECTORLITE_REFERENCE_SCORES", 0) == 1:
+    # direct env probe (not env_number): this runs once per returned
+    # hit on the serving path; a dict lookup is ~100 ns while the
+    # helper's function-local import paid the import-machinery lock
+    # per hit. Stays uncached so tests/operators can flip it live.
+    if os.environ.get("VECTORLITE_REFERENCE_SCORES") == "1":
         return reference_score(distance, metric)
     if metric is SimilarityMetric.EUCLIDEAN:
         return 1.0 / (1.0 + distance)
@@ -830,7 +833,11 @@ class HNSWIndex:
         ef_pad = next_pow2(max(ef, 8))
         b_pad = next_pow2(b)
         if self._mesh is not None:
-            b_pad = max(b_pad, int(self._mesh.devices.size))
+            # mesh_beam_search shards the batch axis: pad up to a
+            # multiple of the mesh size (max() alone breaks non-power-
+            # of-2 meshes, e.g. b_pad=4 on a 3-device mesh)
+            n_dev = int(self._mesh.devices.size)
+            b_pad = ((b_pad + n_dev - 1) // n_dev) * n_dev
         if b_pad > b:
             q = np.concatenate([q, np.zeros((b_pad - b, self.dim), np.float32)])
             entries = np.concatenate(

@@ -623,6 +623,17 @@ struct Parser {
   }
 
   void parse_value() {
+    // Depth cap: the mutual parse_value/parse_array/parse_object
+    // recursion otherwise overflows the C++ stack (SIGSEGV, killing
+    // the process) on pathologically nested input (~100K+ brackets).
+    // Legit .vlc documents are depth <= 6; beyond the cap we report
+    // "malformed" (err=2) so the caller falls back to json.loads,
+    // whose RecursionError the Python layer converts to the canonical
+    // SerializationError.
+    if (depth > 1000) {
+      err = 2;
+      return;
+    }
     ws();
     if (p >= end) {
       err = 2;
