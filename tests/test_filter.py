@@ -1,0 +1,385 @@
+"""Metadata-filtered search (``where`` clauses) — TPU-native extension.
+
+The reference has no filtered search (metadata is stored but opaque,
+reference: src/lib.rs:163-174). Coverage: the clause compiler's
+semantics (core/filter.py), FlatIndex host + device + mesh paths (the
+mask intersects the kernels' validity input), HNSW brute/beam paths,
+cache invalidation across mutations, and the HTTP surface.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vectorlite_tpu import (
+    FlatIndex,
+    HNSWIndex,
+    InvalidFilter,
+    SimilarityMetric,
+    Vector,
+    VectorLiteClient,
+)
+from vectorlite_tpu.api.server import create_app
+from vectorlite_tpu.core.filter import compile_where
+from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+COS = SimilarityMetric.COSINE
+
+
+class TestCompileWhere:
+    def check(self, where, meta, expect):
+        assert compile_where(where)(meta) is expect
+
+    def test_equality_and_missing(self):
+        self.check({"tag": "a"}, {"tag": "a"}, True)
+        self.check({"tag": "a"}, {"tag": "b"}, False)
+        self.check({"tag": "a"}, {"other": 1}, False)
+        self.check({"tag": "a"}, None, False)
+        self.check({"tag": "a"}, "not-an-object", False)
+
+    def test_implicit_and(self):
+        w = {"a": 1, "b": "x"}
+        self.check(w, {"a": 1, "b": "x"}, True)
+        self.check(w, {"a": 1, "b": "y"}, False)
+
+    def test_strict_json_typing(self):
+        # serde_json-style: booleans never equal numbers
+        self.check({"flag": True}, {"flag": 1}, False)
+        self.check({"flag": 1}, {"flag": True}, False)
+        self.check({"n": 1}, {"n": 1.0}, True)  # Mongo-style numerics
+
+    def test_deep_equality(self):
+        w = {"cfg": {"a": [1, 2], "b": None}}
+        self.check(w, {"cfg": {"a": [1, 2], "b": None}}, True)
+        self.check(w, {"cfg": {"a": [1, 2]}}, False)
+        self.check(w, {"cfg": {"a": [2, 1], "b": None}}, False)
+
+    def test_operators(self):
+        self.check({"y": {"$gte": 2020, "$lt": 2024}}, {"y": 2021}, True)
+        self.check({"y": {"$gte": 2020, "$lt": 2024}}, {"y": 2024}, False)
+        self.check({"y": {"$gt": 5}}, {"y": "abc"}, False)  # type mismatch
+        self.check({"s": {"$gte": "m"}}, {"s": "z"}, True)
+        self.check({"t": {"$in": ["a", "b"]}}, {"t": "b"}, True)
+        self.check({"t": {"$in": ["a", "b"]}}, {"t": "c"}, False)
+        self.check({"t": {"$nin": ["a"]}}, {"t": "b"}, True)
+        self.check({"t": {"$nin": ["a"]}}, {}, False)  # missing key
+        self.check({"t": {"$ne": "a"}}, {"t": "b"}, True)
+        self.check({"t": {"$exists": True}}, {"t": None}, True)
+        self.check({"t": {"$exists": False}}, {"other": 1}, True)
+        self.check({"t": {"$exists": False}}, None, True)  # no metadata
+
+    def test_logical(self):
+        w = {"$or": [{"a": 1}, {"b": 2}]}
+        self.check(w, {"a": 1}, True)
+        self.check(w, {"b": 2}, True)
+        self.check(w, {"a": 2, "b": 3}, False)
+        self.check({"$not": {"a": 1}}, {"a": 2}, True)
+        self.check(
+            {"$and": [{"a": 1}, {"b": {"$gt": 0}}]}, {"a": 1, "b": 5}, True
+        )
+
+    def test_empty_matches_all(self):
+        self.check({}, None, True)
+        self.check({}, {"x": 1}, True)
+
+    def test_malformed(self):
+        for bad in (
+            "x",
+            ["a"],
+            {"f": {"$bogus": 1}},
+            {"$or": []},
+            {"$or": "x"},
+            {"$xor": [{}]},
+            {"f": {"$in": "abc"}},
+            {"f": {"$exists": "yes"}},
+        ):
+            with pytest.raises(InvalidFilter):
+                compile_where(bad)
+
+
+def _flat_corpus(n=64, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=(n, d))
+    metas = [
+        {"tag": "even" if i % 2 == 0 else "odd", "rank": i}
+        if i % 5 != 0
+        else None  # every 5th row has no metadata at all
+        for i in range(n)
+    ]
+    idx = FlatIndex(d)
+    idx.add_batch_arrays(
+        np.arange(n, dtype=np.uint64),
+        data,
+        texts=[f"t{i}" for i in range(n)],
+        metadatas=metas,
+    )
+    return idx, data, metas
+
+
+def _brute_ids(data, metas, pred, q, k):
+    """Ground truth: cosine top-k over pred-matching rows."""
+    sims = data @ q / (
+        np.linalg.norm(data, axis=1) * np.linalg.norm(q)
+    )
+    order = np.argsort(-sims, kind="stable")
+    out = [i for i in order if pred(metas[i])][:k]
+    return out
+
+
+class TestFlatFiltered:
+    def test_host_path_matches_brute_force(self):
+        idx, data, metas = _flat_corpus()
+        pred = compile_where({"tag": "even"})
+        q = data[2] + 1e-3
+        res = idx.search_batch([q], 5, COS, where={"tag": "even"})[0]
+        assert [r.id for r in res] == _brute_ids(data, metas, pred, q, 5)
+        assert all(r.metadata and r.metadata["tag"] == "even" for r in res)
+
+    def test_range_and_or(self):
+        idx, data, metas = _flat_corpus()
+        where = {"$or": [{"rank": {"$lt": 4}}, {"rank": {"$gte": 60}}]}
+        pred = compile_where(where)
+        q = data[0]
+        res = idx.search_batch([q], 10, COS, where=where)[0]
+        assert [r.id for r in res] == _brute_ids(data, metas, pred, q, 10)
+
+    def test_fewer_matches_than_k(self):
+        idx, data, metas = _flat_corpus()
+        res = idx.search_batch(
+            [data[0]], 10, COS, where={"rank": {"$in": [1, 2]}}
+        )[0]
+        assert sorted(r.id for r in res) == [1, 2]
+
+    def test_zero_matches_and_empty_where(self):
+        idx, data, metas = _flat_corpus()
+        assert (
+            idx.search_batch([data[0]], 3, COS, where={"tag": "nope"})[0]
+            == []
+        )
+        res_all = idx.search_batch([data[0]], 3, COS)[0]
+        res_empty = idx.search_batch([data[0]], 3, COS, where={})[0]
+        assert [r.id for r in res_all] == [r.id for r in res_empty]
+
+    def test_no_metadata_rows_match_exists_false(self):
+        idx, data, metas = _flat_corpus()
+        where = {"tag": {"$exists": False}}
+        res = idx.search_batch([data[0]], 64, COS, where=where)[0]
+        assert sorted(r.id for r in res) == [
+            i for i in range(64) if metas[i] is None
+        ]
+
+    def test_invalid_where_raises_even_when_empty(self):
+        idx = FlatIndex(4)
+        with pytest.raises(InvalidFilter):
+            idx.search_batch([[0.0] * 4], 3, COS, where={"f": {"$bad": 1}})
+
+    def test_device_path_matches_brute_force(self, monkeypatch):
+        # force the device kernels (valid-mask intersection) on CPU jax
+        monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+        idx, data, metas = _flat_corpus(n=128)
+        for where in ({"tag": "odd"}, {"rank": {"$gte": 100}}):
+            pred = compile_where(where)
+            q = data[7] + 1e-3
+            res = idx.search_batch([q], 6, COS, where=where)[0]
+            assert [r.id for r in res] == _brute_ids(
+                data, metas, pred, q, 6
+            )
+
+    def test_arrays_path_and_padding(self, monkeypatch):
+        monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+        idx, data, metas = _flat_corpus(n=128)
+        where = {"rank": {"$in": [3, 9]}}
+        ids, scores = idx.search_batch_arrays(
+            data[:4], 5, COS, where=where
+        )
+        assert ids.shape == (4, 5)
+        for row_ids, row_s in zip(ids, scores):
+            live = row_ids[np.isfinite(row_s)]
+            assert sorted(live.tolist()) == [3, 9]
+            assert (row_ids[~np.isfinite(row_s)] == -1).all()
+
+    def test_cache_invalidation_across_mutations(self):
+        idx, data, metas = _flat_corpus()
+        where = {"tag": "even"}
+        r1 = idx.search_batch([data[0]], 64, COS, where=where)[0]
+        idx.add(
+            Vector(
+                id=1000,
+                values=list(map(float, data[0])),
+                text="",
+                metadata={"tag": "even", "rank": 1000},
+            )
+        )
+        r2 = idx.search_batch([data[0]], 65, COS, where=where)[0]
+        assert 1000 in {r.id for r in r2}
+        assert len(r2) == len(r1) + 1
+        idx.delete(1000)
+        r3 = idx.search_batch([data[0]], 65, COS, where=where)[0]
+        assert 1000 not in {r.id for r in r3}
+
+    def test_deleted_rows_never_match(self):
+        idx, data, metas = _flat_corpus()
+        idx.delete(2)
+        res = idx.search_batch(
+            [data[2]], 64, COS, where={"tag": "even"}
+        )[0]
+        assert 2 not in {r.id for r in res}
+
+
+class TestHNSWFiltered:
+    def _build(self, n=120, d=8, seed=5):
+        rng = np.random.default_rng(seed)
+        data = rng.normal(size=(n, d)).astype(np.float64)
+        metas = [{"g": i % 3} for i in range(n)]
+        idx = HNSWIndex(d, COS, seed=11)
+        idx.add_batch(
+            [
+                Vector(
+                    id=i,
+                    values=[float(x) for x in data[i]],
+                    text=f"t{i}",
+                    metadata=metas[i],
+                )
+                for i in range(n)
+            ]
+        )
+        return idx, data, metas
+
+    def test_brute_path_exact(self):
+        idx, data, metas = self._build()
+        pred = compile_where({"g": 1})
+        q = data[4] + 1e-3
+        res = idx.search_batch([q], 5, COS, where={"g": 1})[0]
+        assert [r.id for r in res] == _brute_ids(data, metas, pred, q, 5)
+        assert all(r.metadata["g"] == 1 for r in res)
+
+    def test_beam_path_filters_and_recalls(self, monkeypatch):
+        idx, data, metas = self._build(n=200)
+        # force the beam+post-filter path by shrinking the brute ceiling
+        monkeypatch.setattr(HNSWIndex, "_FILTER_BRUTE_MAX", 4)
+        pred = compile_where({"g": 0})
+        q = data[9] + 1e-3
+        res = idx.search_batch([q], 5, COS, where={"g": 0})[0]
+        assert len(res) == 5
+        assert all(r.metadata["g"] == 0 for r in res)
+        truth = set(_brute_ids(data, metas, pred, q, 5))
+        got = {r.id for r in res}
+        assert len(got & truth) >= 4  # approximate contract, ef-escalated
+
+    def test_zero_matches_and_invalid(self):
+        idx, data, metas = self._build(n=30)
+        assert idx.search_batch([data[0]], 3, COS, where={"g": 9})[0] == []
+        with pytest.raises(InvalidFilter):
+            idx.search_batch([data[0]], 3, COS, where={"g": {"$no": 1}})
+
+    def test_delete_invalidates(self):
+        idx, data, metas = self._build(n=40)
+        where = {"g": 2}
+        before = {
+            r.id
+            for r in idx.search_batch([data[2]], 40, COS, where=where)[0]
+        }
+        assert 2 in before
+        idx.delete(2)
+        after = {
+            r.id
+            for r in idx.search_batch([data[2]], 40, COS, where=where)[0]
+        }
+        assert after == before - {2}
+
+
+class TestMeshFiltered:
+    def test_mesh_flat_filtered_matches_unsharded(self):
+        import jax
+
+        from vectorlite_tpu.dist.sharding import make_mesh
+
+        mesh = make_mesh(jax.devices()[:8])
+        rng = np.random.default_rng(8)
+        n, d = 256, 16
+        data = rng.normal(size=(n, d))
+        metas = [{"p": i % 4} for i in range(n)]
+        ids = np.arange(n, dtype=np.uint64)
+        a = FlatIndex(d, mesh=mesh)
+        b = FlatIndex(d)
+        for idx in (a, b):
+            idx.add_batch_arrays(ids, data, metadatas=metas)
+        q = data[:4] + 1e-3
+        where = {"p": {"$in": [1, 3]}}
+        ra = a.search_batch(q, 6, COS, where=where)
+        rb = b.search_batch(q, 6, COS, where=where)
+        for x, y in zip(ra, rb):
+            assert [r.id for r in x] == [r.id for r in y]
+
+
+class TestHTTPFiltered:
+    def _go(self, coro_fn):
+        async def runner():
+            app = create_app(VectorLiteClient(MockEmbeddingFunction(8)))
+            async with TestClient(TestServer(app)) as tc:
+                return await coro_fn(tc)
+
+        return asyncio.run(runner())
+
+    def test_search_with_where(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            for i, text in enumerate(["apple pie", "banana bread", "cherry"]):
+                resp = await tc.post(
+                    "/collections/c/text",
+                    json={
+                        "text": text,
+                        "metadata": {"kind": "fruit" if i < 2 else "other"},
+                    },
+                )
+                assert resp.status == 200
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={
+                    "query": "apple pie",
+                    "k": 10,
+                    "where": {"kind": "fruit"},
+                },
+            )
+            assert resp.status == 200
+            results = (await resp.json())["results"]
+            assert {r["id"] for r in results} == {0, 1}
+            assert all(r["metadata"]["kind"] == "fruit" for r in results)
+            # batched route
+            resp = await tc.post(
+                "/collections/c/search/texts",
+                json={
+                    "queries": ["apple pie", "cherry"],
+                    "where": {"kind": "other"},
+                },
+            )
+            assert resp.status == 200
+            batches = (await resp.json())["results"]
+            assert [{r["id"] for r in b} for b in batches] == [{2}, {2}]
+
+        self._go(go)
+
+    def test_where_errors(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "x", "where": "not-an-object"},
+            )
+            assert resp.status == 400
+            assert "Invalid filter" in (await resp.json())["message"]
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "x", "where": {"f": {"$bogus": 1}}},
+            )
+            assert resp.status == 400
+            body = await resp.json()
+            assert body["message"].startswith("Invalid filter: unknown")
+
+        self._go(go)

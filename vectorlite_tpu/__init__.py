@@ -28,7 +28,7 @@ from .persist.vlc import (
     save_collection_to_file,
 )
 from .config import VectorLiteConfig
-from .errors import FileNotFound, PersistenceError
+from .errors import FileNotFound, InvalidFilter, PersistenceError
 
 __version__ = "0.1.0"
 
@@ -75,6 +75,7 @@ __all__ = [
     "VectorLiteConfig",
     "PersistenceError",
     "FileNotFound",
+    "InvalidFilter",
     "create_app",
     "start_server",
     "EmbeddingGenerator",

@@ -261,17 +261,37 @@ def _parse_search_metric(body: dict):
     return SimilarityMetric.parse(metric_raw)
 
 
+def _parse_where(body: dict):
+    """Optional metadata filter (TPU-native extension): absent/null means
+    unfiltered; anything present must be a JSON object (the clause's
+    operators are validated by core/filter.py, raising InvalidFilter ->
+    400 with the canonical message)."""
+    where = body.get("where", None)
+    if where is None:
+        return None
+    if not isinstance(where, dict):
+        raise web.HTTPBadRequest(
+            text='{"message": "Invalid filter: where clause must be a '
+            'JSON object"}',
+            content_type="application/json",
+        )
+    return where
+
+
 async def search_text(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     body = await _json_body(request)
     query = _require_str(body, "query")
     k = _parse_k(body)
     metric = _parse_search_metric(body)
+    where = _parse_where(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
-            return client.search_text_in_collection(name, query, k, metric)
+            return client.search_text_in_collection(
+                name, query, k, metric, where=where
+            )
 
     results = await _blocking(request, run)
     logger.info(
@@ -331,12 +351,13 @@ async def search_texts(request: web.Request) -> web.Response:
         )
     k = _parse_k(body)
     metric = _parse_search_metric(body)
+    where = _parse_where(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_texts_in_collection(
-                name, queries, k, metric
+                name, queries, k, metric, where=where
             )
 
     batches = await _blocking(request, run)

@@ -117,6 +117,18 @@ class MetricRequired(VectorLiteError):
         )
 
 
+class InvalidFilter(VectorLiteError):
+    """Malformed metadata ``where`` clause (TPU-native extension — the
+    reference has no filtered search; this maps to 400 like its other
+    invalid-request errors, reference: src/errors.rs:71-91)."""
+
+    status_code = 400
+
+    def __init__(self, detail: str):
+        self.detail = detail
+        super().__init__(f"Invalid filter: {detail}")
+
+
 class EmbeddingError(VectorLiteError):
     status_code = 500
 

@@ -357,6 +357,12 @@ class FlatIndex:
         self._norms_lock = threading.Lock()
         # set at wholesale device rebuilds by the bf16 auto-guard
         self._precision_risky = False
+        # metadata-filter mask cache: canonical where-JSON ->
+        # (epoch, host mask [cap] bool over live+matching slots,
+        #  match count, lazily-uploaded device mask). The epoch bumps
+        # on every mutation so stale masks can never serve.
+        self._epoch = 0
+        self._where_masks: dict = {}
 
         # Device cache state. The mutex makes sync + dispatch atomic:
         # update_rows donates the old buffer, so a concurrent reader must
@@ -394,6 +400,7 @@ class FlatIndex:
         self._id_to_slot[vid] = slot
         self._size += 1
         self._count += 1
+        self._epoch += 1
         self._mark_dirty(slot)
 
     def add_batch_arrays(
@@ -431,6 +438,7 @@ class FlatIndex:
         self._id_to_slot.update(zip(int_ids, range(lo, lo + n)))
         self._size += n
         self._count += n
+        self._epoch += 1
         self._mark_dirty(lo)
         self._mark_dirty(lo + n - 1)
 
@@ -447,6 +455,7 @@ class FlatIndex:
         self._texts[slot] = None
         self._metas[slot] = None
         self._count -= 1
+        self._epoch += 1
         self._mask_dirty = True
         if self._size > 1024 and self._count < self._size // 2:
             self._compact()
@@ -489,12 +498,18 @@ class FlatIndex:
         self._dev_sqnorms = None
         self._dev_valid = None
         self._dirty_lo, self._dirty_hi = 0, n
+        self._epoch += 1
         self._mask_dirty = True
 
     def search(
-        self, query: Sequence[float], k: int, metric: SimilarityMetric
+        self,
+        query: Sequence[float],
+        k: int,
+        metric: SimilarityMetric,
+        *,
+        where: Optional[dict] = None,
     ) -> list[SearchResult]:
-        results = self.search_batch([query], k, metric)
+        results = self.search_batch([query], k, metric, where=where)
         return results[0]
 
     def search_batch(
@@ -504,6 +519,7 @@ class FlatIndex:
         metric: SimilarityMetric,
         *,
         approx: Optional[bool] = None,
+        where: Optional[dict] = None,
     ) -> list[list[SearchResult]]:
         """Batched top-k. The single-query API wraps this with B=1.
 
@@ -524,6 +540,11 @@ class FlatIndex:
         if q.ndim != 2:
             raise ValueError("queries must be [B, D]")
         b = q.shape[0]
+        mask = mkey = None
+        if where is not None:
+            # validate (InvalidFilter) before any early return so a
+            # malformed clause is always a 400, even on empty indexes
+            mask, mcount, mkey = self._where_mask(where)
         if self._count == 0:
             return [[] for _ in range(b)]
         if q.shape[1] != self.dim:
@@ -531,10 +552,18 @@ class FlatIndex:
         k = int(k)
         if k <= 0:
             return [[] for _ in range(b)]
+        avail = mcount if mask is not None else self._count
+        if avail == 0:
+            return [[] for _ in range(b)]
 
-        k_eff = min(k, self._count)
+        k_eff = min(k, avail)
         if self._host_scan_eligible(b):
-            scores, slots = self._host_scan(q64, k_eff, metric)
+            if mask is None:
+                scores, slots = self._host_scan(q64, k_eff, metric)
+            else:
+                scores, slots = self._host_scan_subset(
+                    q64, k_eff, metric, mask
+                )
         else:
             k_pad = min(
                 self._capacity, max(1, next_pow2(min(k_eff, _MAX_K_BUCKET)))
@@ -549,7 +578,12 @@ class FlatIndex:
 
             approx = self._resolve_approx(approx, k_pad, metric)
             k_sel = self._selection_k(k_pad, approx)
-            scores, slots = self._device_topk(q, k_sel, metric, approx)
+            where_dev = (
+                self._where_dev(mkey, mask) if mask is not None else None
+            )
+            scores, slots = self._device_topk(
+                q, k_sel, metric, approx, where_dev=where_dev
+            )
             # one fused device->host transfer (np.asarray is a round trip)
             scores, slots = jax.device_get((scores, slots))
             scores, slots = self._finalize_device(
@@ -580,6 +614,7 @@ class FlatIndex:
         metric: SimilarityMetric,
         *,
         approx: Optional[bool] = None,
+        where: Optional[dict] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Array fast path: returns (ids [B,k] int64, scores [B,k] f64)
         without materializing per-hit Python objects (score dtype is
@@ -592,6 +627,9 @@ class FlatIndex:
         q = q64.astype(np.float32)
         b = q.shape[0]
         k = int(k)
+        mask = mkey = None
+        if where is not None:
+            mask, mcount, mkey = self._where_mask(where)
         if self._count == 0 or k <= 0:
             k_out = max(0, k)
             return (
@@ -600,18 +638,33 @@ class FlatIndex:
             )
         if q.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, q.shape[1])
-        k_eff = min(k, self._count)
+        avail = mcount if mask is not None else self._count
+        if avail == 0:
+            return (
+                np.full((b, k), -1, np.int64),
+                np.full((b, k), -np.inf, np.float64),
+            )
+        k_eff = min(k, avail)
         if self._host_scan_eligible(b):
-            scores, slots = self._host_scan(q64, k_eff, metric)
+            if mask is None:
+                scores, slots = self._host_scan(q64, k_eff, metric)
+            else:
+                scores, slots = self._host_scan_subset(
+                    q64, k_eff, metric, mask
+                )
         else:
-            dev, _ = self._dispatch_arrays(q64, q, k_eff, metric, approx)
+            dev, _ = self._dispatch_arrays(
+                q64, q, k_eff, metric, approx, mask=mask, mkey=mkey
+            )
             scores, slots = jax.device_get(dev)
             scores, slots = self._finalize_device(
                 q64, scores[:b], slots[:b], k_eff, metric
             )
         return self._pack_arrays(scores, slots, k, k_eff)
 
-    def _dispatch_arrays(self, q64, q, k_eff, metric, approx):
+    def _dispatch_arrays(
+        self, q64, q, k_eff, metric, approx, mask=None, mkey=None
+    ):
         """Pad + dispatch one device search; returns the async device
         handles and the effective approx flag (no host sync)."""
         b = q.shape[0]
@@ -623,7 +676,11 @@ class FlatIndex:
             )
         approx = self._resolve_approx(approx, k_pad, metric)
         k_sel = self._selection_k(k_pad, approx)
-        return self._device_topk(q, k_sel, metric, approx), approx
+        where_dev = self._where_dev(mkey, mask) if mask is not None else None
+        return (
+            self._device_topk(q, k_sel, metric, approx, where_dev=where_dev),
+            approx,
+        )
 
     def _finalize_device(self, q64, scores, slots, k_eff, metric):
         """Post-fetch host work shared by the array path and the
@@ -657,6 +714,7 @@ class FlatIndex:
         *,
         depth: int = 2,
         approx: Optional[bool] = None,
+        where: Optional[dict] = None,
     ):
         """Pipelined batched search (VERDICT round-2 item 2): keeps up to
         ``depth`` device dispatches in flight, and fetch + host assembly
@@ -673,6 +731,13 @@ class FlatIndex:
 
         k = int(k)
         depth = max(1, int(depth))
+        mask = mkey = None
+        mcount = 0
+        if where is not None:
+            # one mask for the whole stream (callers hold the read lock
+            # per their own discipline; a mid-stream mutation already
+            # races the unfiltered stream the same way)
+            mask, mcount, mkey = self._where_mask(where)
         pending: deque = deque()
 
         def finish_device(q64, dev, k_eff, b):
@@ -694,7 +759,8 @@ class FlatIndex:
                 q64 = np.asarray(queries, dtype=np.float64)
                 q = q64.astype(np.float32)
                 b = q.shape[0]
-                if self._count == 0 or k <= 0:
+                avail = mcount if mask is not None else self._count
+                if avail == 0 or k <= 0:
                     k_out = max(0, k)
                     item = (
                         "ready",
@@ -706,16 +772,24 @@ class FlatIndex:
                 else:
                     if q.shape[1] != self.dim:
                         raise DimensionMismatch(self.dim, q.shape[1])
-                    k_eff = min(k, self._count)
+                    k_eff = min(k, avail)
                     if self._host_scan_eligible(b):
-                        scores, slots = self._host_scan(q64, k_eff, metric)
+                        if mask is None:
+                            scores, slots = self._host_scan(
+                                q64, k_eff, metric
+                            )
+                        else:
+                            scores, slots = self._host_scan_subset(
+                                q64, k_eff, metric, mask
+                            )
                         item = (
                             "ready",
                             self._pack_arrays(scores, slots, k, k_eff),
                         )
                     else:
                         dev, _ = self._dispatch_arrays(
-                            q64, q, k_eff, metric, approx
+                            q64, q, k_eff, metric, approx,
+                            mask=mask, mkey=mkey,
                         )
                         item = (
                             "fut",
@@ -774,6 +848,93 @@ class FlatIndex:
             and b <= _HOST_SCAN_MAX_BATCH
             and self._size <= rows
         )
+
+    # -------------------------------------------------- metadata filtering
+
+    def _where_mask(self, where) -> tuple[np.ndarray, int, Optional[str]]:
+        """Compile + evaluate a metadata ``where`` clause (core/filter.py)
+        into a slot mask. Returns (mask [capacity] bool, already ANDed
+        with the live-slot mask; match count; cache key or None).
+
+        Raises InvalidFilter on a malformed clause. Masks cache by the
+        clause's canonical JSON and invalidate on the mutation epoch, so
+        repeated filters pay the O(N) metadata walk once per mutation
+        generation (TPU-native extension — the reference has no
+        filtered search)."""
+        from ..core.filter import compile_where, where_cache_key
+
+        key = where_cache_key(where)
+        if key is not None:
+            with self._norms_lock:
+                ent = self._where_masks.get(key)
+                if ent is not None and ent[0] == self._epoch:
+                    return ent[1], ent[2], key
+        pred = compile_where(where)
+        mask = np.zeros(self._capacity, dtype=bool)
+        metas = self._metas
+        valid = self._valid
+        for i in range(self._size):
+            if valid[i] and pred(metas[i]):
+                mask[i] = True
+        count = int(np.count_nonzero(mask))
+        if key is not None:
+            with self._norms_lock:
+                if len(self._where_masks) >= 32:
+                    # bounded cache: drop the oldest insertion
+                    try:
+                        self._where_masks.pop(
+                            next(iter(self._where_masks))
+                        )
+                    except (KeyError, StopIteration):
+                        pass
+                self._where_masks[key] = [self._epoch, mask, count, None]
+        return mask, count, key
+
+    def _where_dev(self, key: Optional[str], mask: np.ndarray):
+        """Device copy of a where mask, cached per epoch alongside the
+        host mask (mesh-sharded like the validity mask when the index is
+        mesh-resident) so repeated filtered searches skip the upload."""
+        if key is not None:
+            with self._norms_lock:
+                ent = self._where_masks.get(key)
+                if (
+                    ent is not None
+                    and ent[0] == self._epoch
+                    and ent[3] is not None
+                ):
+                    return ent[3]
+        else:
+            ent = None
+        if self._mesh is not None:
+            from ..dist.sharding import row_sharding
+
+            dev = jax.device_put(mask, row_sharding(self._mesh, 1))
+        else:
+            dev = jnp.asarray(mask)
+        if ent is not None:
+            ent[3] = dev
+        return dev
+
+    def _host_scan_subset(
+        self,
+        q64: np.ndarray,
+        k_eff: int,
+        metric: SimilarityMetric,
+        mask: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact f64 scan restricted to the masked slots — the filtered
+        analogue of _host_scan (same score formulas via
+        _exact_scores_row, same stable lowest-slot tie-break)."""
+        slots = np.flatnonzero(mask)
+        b = q64.shape[0]
+        out_s = np.empty((b, k_eff), np.float64)
+        out_i = np.empty((b, k_eff), np.int64)
+        for b_i in range(b):
+            s = self._exact_scores_row(q64[b_i], slots, metric)
+            order = np.argsort(-s, kind="stable")[:k_eff]
+            out_s[b_i] = s[order]
+            out_i[b_i] = slots[order]
+        return out_s, out_i
 
     def _host_scan(
         self, q64: np.ndarray, k_eff: int, metric: SimilarityMetric
@@ -1203,6 +1364,7 @@ class FlatIndex:
         k_pad: int,
         metric: SimilarityMetric,
         approx: bool = False,
+        where_dev=None,
     ):
         """Dispatch to the fused Pallas tiled scan for huge corpora (no
         [B, cap] intermediate) or the plain XLA path otherwise. With
@@ -1226,6 +1388,12 @@ class FlatIndex:
                 # oversample + exact re-score — precision there is the
                 # capacity trade itself, not an optimization)
                 approx = False
+            # metadata filter: intersect the validity mask the kernels
+            # already consume (same shape/dtype -> no recompile; the
+            # sharded mask matches the mesh layout via _where_dev)
+            valid = self._dev_valid
+            if where_dev is not None:
+                valid = jnp.logical_and(valid, where_dev)
             queries = jnp.asarray(q)
             if self._mesh is not None:
                 # per-shard scan + all-gather merge. Speed mode rides
@@ -1243,7 +1411,7 @@ class FlatIndex:
                         self._dev_values,
                         self._dev_scales,
                         self._dev_sqnorms,
-                        self._dev_valid,
+                        valid,
                         queries,
                         metric=metric,
                         k=k_pad,
@@ -1269,7 +1437,7 @@ class FlatIndex:
                         scan,
                         self._dev_values,
                         self._dev_sqnorms,
-                        self._dev_valid,
+                        valid,
                         queries,
                         metric=metric,
                         k=k_pad,
@@ -1280,7 +1448,7 @@ class FlatIndex:
                 return sharded_search_topk(
                     self._dev_values,
                     self._dev_sqnorms,
-                    self._dev_valid,
+                    valid,
                     queries,
                     metric=metric,
                     k=k_pad,
@@ -1316,7 +1484,7 @@ class FlatIndex:
                             self._dev_values,
                             self._dev_scales,
                             self._dev_sqnorms,
-                            self._dev_valid,
+                            valid,
                             queries,
                             metric=metric,
                             k=min(
@@ -1330,7 +1498,7 @@ class FlatIndex:
                             self._dev_values,
                             self._dev_scales,
                             self._dev_sqnorms,
-                            self._dev_valid,
+                            valid,
                             queries,
                             metric=metric,
                             k=k_pad,
@@ -1341,7 +1509,7 @@ class FlatIndex:
                         self._dev_values,
                         self._dev_scales,
                         self._dev_sqnorms,
-                        self._dev_valid,
+                        valid,
                         queries,
                         metric=metric,
                         k=k_pad,
@@ -1353,7 +1521,7 @@ class FlatIndex:
                     self._dev_values,
                     self._dev_scales,
                     self._dev_sqnorms,
-                    self._dev_valid,
+                    valid,
                     queries,
                     metric=metric,
                     k=k_pad,
@@ -1371,7 +1539,7 @@ class FlatIndex:
 
                     return pallas_search_topk_l1(
                         self._dev_values,
-                        self._dev_valid,
+                        valid,
                         queries,
                         k=k_pad,
                         tile_n=_PALLAS_TILE_F32,
@@ -1403,7 +1571,7 @@ class FlatIndex:
                         scan,
                         self._dev_values,
                         self._dev_sqnorms,
-                        self._dev_valid,
+                        valid,
                         queries,
                         metric=metric,
                         k=k_pad,
@@ -1421,7 +1589,7 @@ class FlatIndex:
                         self._dev_scan,
                         self._dev_values,
                         self._dev_sqnorms,
-                        self._dev_valid,
+                        valid,
                         queries,
                         metric=metric,
                         k=k_pad,
@@ -1442,7 +1610,7 @@ class FlatIndex:
                         self._dev_values,
                         self._dev_values,
                         self._dev_sqnorms,
-                        self._dev_valid,
+                        valid,
                         queries,
                         metric=metric,
                         k=k_pad,
@@ -1453,7 +1621,7 @@ class FlatIndex:
                 return pallas_search_topk(
                     self._dev_values,
                     self._dev_sqnorms,
-                    self._dev_valid,
+                    valid,
                     queries,
                     metric=metric,
                     k=k_pad,
@@ -1466,7 +1634,7 @@ class FlatIndex:
             return search_topk(
                 self._dev_values,
                 self._dev_sqnorms,
-                self._dev_valid,
+                valid,
                 queries,
                 metric=metric,
                 k=k_pad,

@@ -189,6 +189,10 @@ class HNSWIndex:
         self._index_to_id: dict[int, int] = {}
         self._texts: dict[int, str] = {}
         self._metas: dict[int, object] = {}
+        # metadata-filter cache: where-JSON -> (epoch, nodes, vid set);
+        # the epoch bumps on every mutation (see _where_nodes)
+        self._epoch = 0
+        self._where_cache: dict = {}
         # device-search cache: vectors synced by append watermark, level-0
         # adjacency rows by dirty set (links/prunes touch scattered rows)
         self._dev = None  # (vecs, sqnorms, adj0) jax arrays at _dev_n rows
@@ -480,6 +484,7 @@ class HNSWIndex:
         self._index_to_id[node] = vid
         self._texts[vid] = vector.text
         self._metas[vid] = vector.metadata
+        self._epoch += 1
 
     def add_batch(self, vectors: Sequence[Vector]) -> None:
         """Bulk insert: one native call for the whole batch (used by
@@ -510,6 +515,7 @@ class HNSWIndex:
             self._index_to_id[node] = vid
             self._texts[vid] = v.text
             self._metas[vid] = v.metadata
+        self._epoch += 1
         self._link_batch(start, count)
 
     def add_batch_arrays(
@@ -558,6 +564,7 @@ class HNSWIndex:
         self._metas.update(
             zip(int_ids, metadatas if metadatas is not None else [None] * n)
         )
+        self._epoch += 1
         self._link_batch(start, n)
 
     def _link_batch(self, start: int, count: int) -> None:
@@ -606,6 +613,7 @@ class HNSWIndex:
         self._index_to_id.pop(node, None)
         self._texts.pop(vid, None)
         self._metas.pop(vid, None)
+        self._epoch += 1
 
     def compact(self) -> int:
         """Rebuild the graph from live vectors, reclaiming tombstones.
@@ -662,9 +670,10 @@ class HNSWIndex:
         *,
         ef: Optional[int] = None,
         use_device: Optional[bool] = None,
+        where: Optional[dict] = None,
     ) -> list[SearchResult]:
         return self.search_batch(
-            [query], k, metric, ef=ef, use_device=use_device
+            [query], k, metric, ef=ef, use_device=use_device, where=where
         )[0]
 
     def search_batch(
@@ -675,6 +684,7 @@ class HNSWIndex:
         *,
         ef: Optional[int] = None,
         use_device: Optional[bool] = None,
+        where: Optional[dict] = None,
     ) -> list[list[SearchResult]]:
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim != 2:
@@ -684,6 +694,8 @@ class HNSWIndex:
         # HNSW graphs are metric-specific (reference: src/index/hnsw.rs:425-430)
         if metric is not self._metric:
             raise MetricMismatch(metric, self._metric)
+        if where is not None:
+            return self._search_filtered(q, k, metric, ef, use_device, where)
         k = int(k)
         live = len(self._id_to_index)
         if live == 0 or k <= 0:
@@ -714,6 +726,107 @@ class HNSWIndex:
         for qi in q:
             out.append(self._search_one(qi, k, ef_eff))
         return out
+
+    # -------------------------------------------------- metadata filtering
+
+    #: below this match count (or 4k) filtered search scores the matching
+    #: rows exactly instead of traversing the graph — brute force over a
+    #: few thousand rows beats any beam there and returns EXACT top-k
+    _FILTER_BRUTE_MAX = 2048
+
+    def _where_nodes(self, where):
+        """Matching live nodes for a ``where`` clause (core/filter.py),
+        cached per mutation epoch. Returns (nodes int64 ascending,
+        matching-vid set). Raises InvalidFilter on a malformed clause."""
+        from ..core.filter import compile_where, where_cache_key
+
+        key = where_cache_key(where)
+        if key is not None:
+            ent = self._where_cache.get(key)
+            if ent is not None and ent[0] == self._epoch:
+                return ent[1], ent[2]
+        pred = compile_where(where)
+        metas = self._metas
+        pairs = [
+            (node, vid)
+            for vid, node in self._id_to_index.items()
+            if pred(metas.get(vid))
+        ]
+        pairs.sort()
+        nodes = np.fromiter(
+            (p[0] for p in pairs), dtype=np.int64, count=len(pairs)
+        )
+        vids = {p[1] for p in pairs}
+        if key is not None:
+            if len(self._where_cache) >= 32:
+                try:
+                    self._where_cache.pop(next(iter(self._where_cache)))
+                except (KeyError, StopIteration):
+                    pass
+            self._where_cache[key] = (self._epoch, nodes, vids)
+        return nodes, vids
+
+    def _search_filtered(
+        self, q, k, metric, ef, use_device, where
+    ) -> list[list[SearchResult]]:
+        """Metadata-filtered search (TPU-native extension — the
+        reference has no filtered search).
+
+        Selective filters (matches <= max(4k, _FILTER_BRUTE_MAX)) are
+        scored EXACTLY by brute force over the matching rows — cheaper
+        than any traversal and immune to the classic filtered-HNSW
+        recall collapse. Broader filters run the normal beam with ef
+        widened by the selectivity ratio and post-filter the hits,
+        escalating ef up to two more rounds when metadata clusters
+        starve the beam; results there inherit HNSW's approximate
+        contract."""
+        b = q.shape[0]
+        k = int(k)
+        nodes, vid_set = self._where_nodes(where)
+        m = len(nodes)
+        if m == 0 or k <= 0:
+            return [[] for _ in range(b)]
+        k_eff = min(k, m)
+        if m <= max(4 * k_eff, self._FILTER_BRUTE_MAX):
+            out = []
+            for qi in q:
+                d = self._dist_to_many(qi, nodes)
+                order = np.argsort(d, kind="stable")[:k_eff]
+                out.append(
+                    self._cands_to_hits(
+                        [(float(d[j]), int(nodes[j])) for j in order],
+                        k_eff,
+                    )
+                )
+            return out
+        live = len(self._id_to_index)
+        ef_base = self.ef_search if ef is None else int(ef)
+        ef_base = min(k, live) if ef_base <= 0 else max(ef_base, k_eff)
+        # widen the beam by the selectivity ratio so ~2x k_eff matches
+        # are expected among the candidates
+        scale = -(-live // m)  # ceil
+        ef_try = min(live, max(ef_base, 2 * k_eff * scale, 64))
+        results: list = [None] * b
+        pending = list(range(b))
+        for _ in range(3):
+            res = self.search_batch(
+                q[pending],
+                ef_try,
+                metric,
+                ef=ef_try,
+                use_device=use_device,
+            )
+            still = []
+            for row, bi in zip(res, pending):
+                hits = [h for h in row if h.id in vid_set][:k_eff]
+                results[bi] = hits
+                if len(hits) < k_eff and ef_try < live:
+                    still.append(bi)
+            pending = still
+            if not pending:
+                break
+            ef_try = min(live, ef_try * 4)
+        return results
 
     def _native_search_block(
         self, q: np.ndarray, k: int, ef: int

@@ -148,6 +148,7 @@ class VectorLiteClient:
         query_text: str,
         k: int,
         similarity_metric: Optional[SimilarityMetric] = None,
+        where: Optional[dict] = None,
     ) -> list[SearchResult]:
         collection = self._require(collection_name)
         metric = (
@@ -156,7 +157,7 @@ class VectorLiteClient:
             else collection.detected_metric()
         )
         return collection.search_text(
-            query_text, k, metric, self._embedding_function
+            query_text, k, metric, self._embedding_function, where=where
         )
 
     def search_texts_in_collection(
@@ -165,6 +166,7 @@ class VectorLiteClient:
         query_texts,
         k: int,
         similarity_metric: Optional[SimilarityMetric] = None,
+        where: Optional[dict] = None,
     ) -> list[list[SearchResult]]:
         """Batched search (TPU-native extension)."""
         collection = self._require(collection_name)
@@ -174,7 +176,7 @@ class VectorLiteClient:
             else collection.detected_metric()
         )
         return collection.search_texts(
-            query_texts, k, metric, self._embedding_function
+            query_texts, k, metric, self._embedding_function, where=where
         )
 
     def delete_from_collection(self, collection_name: str, id: int) -> None:

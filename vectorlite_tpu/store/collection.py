@@ -146,19 +146,22 @@ class Collection:
         k: int,
         metric: SimilarityMetric,
         embedding_function: EmbeddingFunction,
+        where: Optional[dict] = None,
     ) -> list[SearchResult]:
-        if env_number("VECTORLITE_COALESCE", 1):
+        if where is None and env_number("VECTORLITE_COALESCE", 1):
             # Concurrent single-text searches merge into one embedder
             # forward + one batched dispatch (see store/coalesce.py);
             # both indexes define search(q) == search_batch([q])[0], so
-            # results are identical to the direct path below.
+            # results are identical to the direct path below. Filtered
+            # searches take the direct path (coalescing batches share
+            # one dispatch, which a per-request mask would fragment).
             return self._get_coalescer().submit(
                 query_text, k, metric, embedding_function
             )
         # embed outside the lock (reference: src/client.rs:393-401)
         query = _run_embed(embedding_function, query_text)
         with self._lock.read(), profile_span("vectorlite.index.search"):
-            return self._index.search(query, k, metric)
+            return self._index.search(query, k, metric, where=where)
 
     def _get_coalescer(self):
         co = self._coalescer
@@ -186,12 +189,13 @@ class Collection:
         k: int,
         metric: SimilarityMetric,
         embedding_function: EmbeddingFunction,
+        where: Optional[dict] = None,
     ) -> list[list[SearchResult]]:
         """Batched search — TPU-native extension."""
         with profile_span("vectorlite.embed.batch"):
             queries = _embed_arrays(embedding_function, list(query_texts))
         with self._lock.read(), profile_span("vectorlite.index.search_batch"):
-            return self._index.search_batch(queries, k, metric)
+            return self._index.search_batch(queries, k, metric, where=where)
 
     def delete(self, id: int) -> None:
         with self._lock.write():
