@@ -1,0 +1,151 @@
+"""RemoteClient (vectorlite_tpu/remote.py) against a real-socket server.
+
+The reference points SDK consumers at OpenAPI-generated clients
+(reference: README.md:82-83); ours ships in-tree. These tests bind the
+aiohttp app to an ephemeral localhost port in a background thread and
+drive it with the synchronous stdlib client — a genuine HTTP round trip,
+unlike the in-process oneshot suites.
+"""
+
+import asyncio
+import threading
+
+import pytest
+
+from vectorlite_tpu import SimilarityMetric, VectorLiteClient
+from vectorlite_tpu.api.server import create_app
+from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+from vectorlite_tpu.remote import (
+    RemoteClient,
+    RemoteConnectionError,
+    RemoteError,
+)
+from vectorlite_tpu.store.client import IndexType
+
+
+class _ServerThread:
+    """aiohttp app on 127.0.0.1:<ephemeral> inside its own event loop."""
+
+    def __init__(self, client):
+        self._client = client
+        self._loop = asyncio.new_event_loop()
+        self._started = threading.Event()
+        self.port = None
+        self._runner = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        if not self._started.wait(30):
+            raise RuntimeError("server thread failed to start")
+
+    def _run(self):
+        from aiohttp import web
+
+        asyncio.set_event_loop(self._loop)
+        app = create_app(self._client)
+        self._runner = web.AppRunner(app)
+        self._loop.run_until_complete(self._runner.setup())
+        site = web.TCPSite(self._runner, "127.0.0.1", 0)
+        self._loop.run_until_complete(site.start())
+        self.port = self._runner.addresses[0][1]
+        self._started.set()
+        self._loop.run_forever()
+
+    def stop(self):
+        async def _cleanup():
+            await self._runner.cleanup()
+
+        fut = asyncio.run_coroutine_threadsafe(_cleanup(), self._loop)
+        fut.result(10)
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(10)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(8)))
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def rc(server):
+    client = RemoteClient(f"http://127.0.0.1:{server.port}")
+    yield client
+    for name in client.list_collections():
+        client.delete_collection(name)
+
+
+class TestRemoteLifecycle:
+    def test_health_and_stats(self, rc):
+        assert rc.health()["status"] == "healthy"
+        assert isinstance(rc.stats(), dict)
+
+    def test_collection_crud(self, rc):
+        rc.create_collection("a", "flat")
+        rc.create_collection("b", IndexType.HNSW, SimilarityMetric.COSINE)
+        assert sorted(rc.list_collections()) == ["a", "b"]
+        assert rc.has_collection("a") and not rc.has_collection("z")
+        info = rc.get_collection_info("a")
+        assert info["name"] == "a" and info["count"] == 0
+        rc.delete_collection("b")
+        assert rc.list_collections() == ["a"]
+
+    def test_text_roundtrip_and_filters(self, rc):
+        rc.create_collection("docs", "flat")
+        vid = rc.add_text("docs", "alpha beta", {"lang": "en"})
+        assert vid == 0
+        ids = rc.add_texts(
+            "docs",
+            ["gamma delta", "epsilon"],
+            metadatas=[{"lang": "de"}, {"lang": "en"}],
+        )
+        assert ids == [1, 2]
+        hits = rc.search_text("docs", "alpha beta", k=3)
+        assert hits[0].id == 0 and hits[0].score == pytest.approx(1.0)
+        only_en = rc.search_text(
+            "docs", "alpha beta", k=5, where={"lang": "en"}
+        )
+        assert {h.id for h in only_en} == {0, 2}
+        batches = rc.search_texts(
+            "docs", ["gamma delta", "epsilon"], k=1, where={"lang": "de"}
+        )
+        assert [h.id for row in batches for h in row] == [1, 1]
+        v = rc.get_vector("docs", 0)
+        assert v.text == "alpha beta" and v.metadata == {"lang": "en"}
+        rc.delete_vector("docs", 0)
+        assert rc.get_collection_info("docs")["count"] == 2
+
+    def test_save_load_compact(self, rc, tmp_path):
+        rc.create_collection("p", "flat")
+        rc.add_texts("p", ["one", "two", "three"])
+        path = str(tmp_path / "p.vlc")
+        rc.save_collection("p", path)
+        rc.delete_collection("p")
+        assert rc.load_collection(path) == "p"
+        assert rc.get_collection_info("p")["count"] == 3
+        rc.delete_vector("p", 0)
+        assert rc.compact("p") >= 0
+
+    def test_typed_errors(self, rc):
+        with pytest.raises(RemoteError) as e:
+            rc.get_collection_info("missing")
+        assert e.value.status_code == 404
+        assert "not found" in e.value.message
+        assert e.value.is_client_error()
+        rc.create_collection("dup", "flat")
+        with pytest.raises(RemoteError) as e:
+            rc.create_collection("dup", "flat")
+        assert e.value.status_code == 409
+        with pytest.raises(RemoteError) as e:
+            rc.create_collection("h2", "hnsw")  # metric required
+        assert e.value.status_code == 400
+        with pytest.raises(RemoteError) as e:
+            rc.search_text("dup", "x", where={"f": {"$bogus": 1}})
+        assert e.value.status_code == 400
+        assert e.value.message.startswith("Invalid filter")
+
+    def test_connection_error(self):
+        dead = RemoteClient("http://127.0.0.1:9", timeout=2)
+        with pytest.raises(RemoteConnectionError) as e:
+            dead.health()
+        assert e.value.status_code == 503

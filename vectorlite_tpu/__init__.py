@@ -50,6 +50,10 @@ def __getattr__(name):
         from .embed.minilm import MiniLMEmbedder
 
         return MiniLMEmbedder
+    if name in ("RemoteClient", "RemoteError", "RemoteConnectionError"):
+        from . import remote
+
+        return getattr(remote, name)
     raise AttributeError(f"module 'vectorlite_tpu' has no attribute {name!r}")
 
 __all__ = [
@@ -78,6 +82,9 @@ __all__ = [
     "InvalidFilter",
     "create_app",
     "start_server",
+    "RemoteClient",
+    "RemoteError",
+    "RemoteConnectionError",
     "EmbeddingGenerator",
     "MiniLMEmbedder",
     "save_collection_to_file",

@@ -1,0 +1,280 @@
+"""HTTP SDK client for a running vectorlite server (stdlib-only).
+
+The reference points API consumers at OpenAPI-generated JS/Go clients
+(reference: README.md:82-83); this module ships the Python equivalent
+in-tree: :class:`RemoteClient` mirrors the local
+:class:`~vectorlite_tpu.VectorLiteClient` method surface over the
+reference-compatible REST contract (docs/openapi.yaml), including the
+TPU-native extensions (batched routes, ``where`` filters, compaction,
+stats). Only ``urllib`` is used — no extra dependencies.
+
+Server-side typed errors (``{"message": ...}`` bodies with the
+reference's status codes) surface as :class:`RemoteError`; transport
+failures as :class:`RemoteConnectionError`. Both subclass
+:class:`~vectorlite_tpu.errors.VectorLiteError` so callers can keep one
+except-clause across local and remote clients.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Optional, Sequence
+
+from .core.types import SearchResult, Vector
+from .errors import VectorLiteError
+
+__all__ = ["RemoteClient", "RemoteError", "RemoteConnectionError"]
+
+
+class RemoteError(VectorLiteError):
+    """A typed error returned by the server (4xx/5xx with the canonical
+    ``{"message": ...}`` body). ``status_code`` carries the HTTP status
+    so ``is_client_error()``/``is_server_error()`` keep working."""
+
+    def __init__(self, status: int, message: str):
+        self.status_code = int(status)
+        super().__init__(message)
+
+
+class RemoteConnectionError(VectorLiteError):
+    """The server could not be reached (refused, DNS, timeout)."""
+
+    status_code = 503
+
+    def __init__(self, detail: str):
+        super().__init__(f"Connection error: {detail}")
+
+
+def _metric_str(metric) -> Optional[str]:
+    if metric is None:
+        return None
+    name = getattr(metric, "name", None)
+    if name is not None:  # SimilarityMetric enum
+        return name.replace("_", "").lower()
+    return str(metric)
+
+
+def _index_type_str(index_type) -> str:
+    name = getattr(index_type, "name", None)
+    if name is not None:  # IndexType enum
+        return name.lower()
+    return str(index_type)
+
+
+def _result(obj: dict) -> SearchResult:
+    return SearchResult(
+        id=int(obj["id"]),
+        score=float(obj["score"]),
+        text=obj.get("text") or "",
+        metadata=obj.get("metadata"),
+    )
+
+
+class RemoteClient:
+    """Synchronous client for one vectorlite server.
+
+    >>> rc = RemoteClient("http://127.0.0.1:3001")
+    >>> rc.create_collection("docs", "flat")
+    >>> rc.add_text("docs", "hello", {"lang": "en"})
+    0
+    >>> rc.search_text("docs", "hello", k=3, where={"lang": "en"})
+    [SearchResult(id=0, ...)]
+    """
+
+    def __init__(self, base_url: str, *, timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = float(timeout)
+
+    # ------------------------------------------------------------ plumbing
+
+    def _request(
+        self, method: str, path: str, body: Optional[dict] = None
+    ) -> Any:
+        url = self.base_url + path
+        data = None
+        headers = {"accept": "application/json"}
+        if body is not None:
+            data = json.dumps(body).encode("utf-8")
+            headers["content-type"] = "application/json"
+        req = urllib.request.Request(
+            url, data=data, method=method, headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+        except urllib.error.HTTPError as e:
+            raw = e.read()
+            try:
+                message = json.loads(raw.decode("utf-8"))["message"]
+            except Exception:
+                message = raw.decode("utf-8", "replace") or str(e)
+            raise RemoteError(e.code, message) from None
+        except urllib.error.URLError as e:
+            raise RemoteConnectionError(str(e.reason)) from None
+        if not raw:
+            return None
+        return json.loads(raw.decode("utf-8"))
+
+    # --------------------------------------------------------- collections
+
+    def create_collection(
+        self, name: str, index_type, similarity_metric=None
+    ) -> None:
+        body: dict = {
+            "name": name,
+            "index_type": _index_type_str(index_type),
+        }
+        metric = _metric_str(similarity_metric)
+        if metric is not None:
+            body["metric"] = metric
+        self._request("POST", "/collections", body)
+
+    def list_collections(self) -> list[str]:
+        return self._request("GET", "/collections")["collections"]
+
+    def has_collection(self, name: str) -> bool:
+        return name in self.list_collections()
+
+    def delete_collection(self, name: str) -> None:
+        self._request(
+            "DELETE", f"/collections/{urllib.parse.quote(name, safe='')}"
+        )
+
+    def get_collection_info(self, name: str) -> dict:
+        out = self._request(
+            "GET", f"/collections/{urllib.parse.quote(name, safe='')}"
+        )
+        return out["info"]
+
+    # ------------------------------------------------------------- vectors
+
+    def add_text(
+        self, collection: str, text: str, metadata: Optional[Any] = None
+    ) -> int:
+        body: dict = {"text": text}
+        if metadata is not None:
+            body["metadata"] = metadata
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}/text",
+            body,
+        )
+        return int(out["id"])
+
+    def add_texts(
+        self,
+        collection: str,
+        texts: Sequence[str],
+        metadatas: Optional[Sequence[Any]] = None,
+    ) -> list[int]:
+        """Batched insert (extension route: one on-chip forward)."""
+        body: dict = {"texts": list(texts)}
+        if metadatas is not None:
+            body["metadatas"] = list(metadatas)
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}/texts",
+            body,
+        )
+        return [int(i) for i in out["ids"]]
+
+    def search_text(
+        self,
+        collection: str,
+        query: str,
+        k: int = 10,
+        similarity_metric=None,
+        where: Optional[dict] = None,
+    ) -> list[SearchResult]:
+        body: dict = {"query": query, "k": int(k)}
+        metric = _metric_str(similarity_metric)
+        if metric is not None:
+            body["similarity_metric"] = metric
+        if where is not None:
+            body["where"] = where
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/search/text",
+            body,
+        )
+        return [_result(r) for r in out["results"]]
+
+    def search_texts(
+        self,
+        collection: str,
+        queries: Sequence[str],
+        k: int = 10,
+        similarity_metric=None,
+        where: Optional[dict] = None,
+    ) -> list[list[SearchResult]]:
+        """Batched search (extension route: one device program)."""
+        body: dict = {"queries": list(queries), "k": int(k)}
+        metric = _metric_str(similarity_metric)
+        if metric is not None:
+            body["similarity_metric"] = metric
+        if where is not None:
+            body["where"] = where
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/search/texts",
+            body,
+        )
+        return [[_result(r) for r in row] for row in out["results"]]
+
+    def get_vector(self, collection: str, id: int) -> Vector:
+        out = self._request(
+            "GET",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors/{int(id)}",
+        )
+        v = out["vector"]
+        return Vector(
+            id=int(v["id"]),
+            values=v["values"],
+            text=v.get("text") or "",
+            metadata=v.get("metadata"),
+        )
+
+    def delete_vector(self, collection: str, id: int) -> None:
+        self._request(
+            "DELETE",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors/{int(id)}",
+        )
+
+    # ------------------------------------------------------- ops & persist
+
+    def save_collection(self, collection: str, file_path: str) -> None:
+        self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}/save",
+            {"file_path": file_path},
+        )
+
+    def load_collection(
+        self, file_path: str, collection_name: Optional[str] = None
+    ) -> str:
+        body: dict = {"file_path": file_path}
+        if collection_name is not None:
+            body["collection_name"] = collection_name
+        out = self._request("POST", "/collections/load", body)
+        return out["collection_name"]
+
+    def compact(self, collection: str) -> int:
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/compact",
+        )
+        return int(out["reclaimed"])
+
+    def health(self) -> dict:
+        return self._request("GET", "/health")
+
+    def stats(self) -> dict:
+        return self._request("GET", "/stats")
