@@ -77,6 +77,13 @@ SCENARIO = [
      "/collections/c/vectors/0", None, 200),
     ("GET", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/12345", None, 404),
+    # metadata update extension: ok, missing field, missing vector
+    ("PATCH", "/collections/{name}/vectors/{id}",
+     "/collections/c/vectors/0", {"metadata": {"k": "v"}}, 200),
+    ("PATCH", "/collections/{name}/vectors/{id}",
+     "/collections/c/vectors/0", {"wrong": 1}, 400),
+    ("PATCH", "/collections/{name}/vectors/{id}",
+     "/collections/c/vectors/12345", {"metadata": None}, 404),
     ("DELETE", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/0", None, 200),
     ("DELETE", "/collections/{name}/vectors/{id}",

@@ -290,6 +290,58 @@ class TestHNSWFiltered:
         assert after == before - {2}
 
 
+class TestUpdateMetadata:
+    """In-place metadata replacement (extension) — must retarget filters
+    immediately (epoch-invalidated mask cache) without touching
+    embeddings."""
+
+    def test_flat_update_retargets_filters(self):
+        idx, data, metas = _flat_corpus()
+        where = {"tag": "retagged"}
+        assert idx.search_batch([data[3]], 5, COS, where=where)[0] == []
+        idx.update_metadata(3, {"tag": "retagged"})
+        res = idx.search_batch([data[3]], 5, COS, where=where)[0]
+        assert [r.id for r in res] == [3]
+        assert res[0].metadata == {"tag": "retagged"}
+        assert idx.get_vector(3).metadata == {"tag": "retagged"}
+        idx.update_metadata(3, None)  # clear
+        assert idx.search_batch([data[3]], 5, COS, where=where)[0] == []
+        assert idx.get_vector(3).metadata is None
+
+    def test_flat_update_missing_raises(self):
+        from vectorlite_tpu.errors import VectorNotFound
+
+        idx, _, _ = _flat_corpus(n=8)
+        with pytest.raises(VectorNotFound):
+            idx.update_metadata(999, {"a": 1})
+
+    def test_hnsw_update_retargets_filters(self):
+        from vectorlite_tpu.errors import VectorNotFound
+
+        rng = np.random.default_rng(7)
+        data = rng.normal(size=(30, 8))
+        idx = HNSWIndex(8, COS, seed=2)
+        idx.add_batch(
+            [
+                Vector(
+                    id=i,
+                    values=[float(x) for x in data[i]],
+                    text="",
+                    metadata={"g": 0},
+                )
+                for i in range(30)
+            ]
+        )
+        idx.update_metadata(5, {"g": 1})
+        res = idx.search_batch([data[5]], 5, COS, where={"g": 1})[0]
+        assert [r.id for r in res] == [5]
+        with pytest.raises(VectorNotFound):
+            idx.update_metadata(77, {})
+        idx.delete(5)
+        with pytest.raises(VectorNotFound):
+            idx.update_metadata(5, {})
+
+
 class TestMeshFiltered:
     def test_mesh_flat_filtered_matches_unsharded(self):
         import jax
@@ -360,6 +412,47 @@ class TestHTTPFiltered:
             assert resp.status == 200
             batches = (await resp.json())["results"]
             assert [{r["id"] for r in b} for b in batches] == [{2}, {2}]
+
+        self._go(go)
+
+    def test_patch_metadata_route(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/c/text",
+                json={"text": "apple", "metadata": {"kind": "old"}},
+            )
+            resp = await tc.patch(
+                "/collections/c/vectors/0",
+                json={"metadata": {"kind": "new"}},
+            )
+            assert resp.status == 200
+            assert (await resp.json())["id"] == 0
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "apple", "where": {"kind": "new"}},
+            )
+            assert {r["id"] for r in (await resp.json())["results"]} == {0}
+            # null clears
+            resp = await tc.patch(
+                "/collections/c/vectors/0", json={"metadata": None}
+            )
+            assert resp.status == 200
+            resp = await tc.get("/collections/c/vectors/0")
+            assert (await resp.json())["vector"]["metadata"] is None
+            # missing field -> 400; missing vector/collection -> 404
+            resp = await tc.patch("/collections/c/vectors/0", json={})
+            assert resp.status == 400
+            resp = await tc.patch(
+                "/collections/c/vectors/99", json={"metadata": {}}
+            )
+            assert resp.status == 404
+            resp = await tc.patch(
+                "/collections/zz/vectors/0", json={"metadata": {}}
+            )
+            assert resp.status == 404
 
         self._go(go)
 

@@ -112,6 +112,8 @@ class TestRemoteLifecycle:
         assert [h.id for row in batches for h in row] == [1, 1]
         v = rc.get_vector("docs", 0)
         assert v.text == "alpha beta" and v.metadata == {"lang": "en"}
+        rc.update_metadata("docs", 0, {"lang": "fr"})
+        assert rc.get_vector("docs", 0).metadata == {"lang": "fr"}
         rc.delete_vector("docs", 0)
         assert rc.get_collection_info("docs")["count"] == 2
 

@@ -413,6 +413,28 @@ async def delete_vector(request: web.Request) -> web.Response:
     return web.json_response({})
 
 
+async def update_vector_metadata(request: web.Request) -> web.Response:
+    """Extension route: replace one vector's metadata in place (the
+    reference can only delete + re-add, burning a new id). Body must
+    carry the "metadata" key; null clears. The embedding is untouched."""
+    name = request.match_info["name"]
+    vid = _parse_vector_id(request)
+    body = await _json_body(request)
+    if "metadata" not in body:
+        raise web.HTTPBadRequest(
+            text='{"message": "Field metadata is required (null clears)"}',
+            content_type="application/json",
+        )
+    metadata = body["metadata"]
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].read():
+        client.update_metadata_in_collection(name, vid, metadata)
+    logger.info(
+        "Updated metadata for vector %s in collection '%s'", vid, name
+    )
+    return web.json_response({"id": vid})
+
+
 async def compact_collection(request: web.Request) -> web.Response:
     """Extension route: reclaim tombstoned slots/nodes (the reference
     leaks HNSW soft deletes forever, reference: src/index/hnsw.rs:400-414).
@@ -573,6 +595,9 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     app.router.add_post("/collections/{name}/search/texts", search_texts)
     app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
     app.router.add_delete("/collections/{name}/vectors/{id}", delete_vector)
+    app.router.add_patch(
+        "/collections/{name}/vectors/{id}", update_vector_metadata
+    )
     app.router.add_post("/collections/{name}/compact", compact_collection)
     app.router.add_post("/collections/{name}/save", save_collection)
     app.router.add_post("/collections/load", load_collection)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..core.metrics import SimilarityMetric
 from ..core.types import SearchResult, Vector
-from ..errors import DimensionMismatch, DuplicateVectorId
+from ..errors import DimensionMismatch, DuplicateVectorId, VectorNotFound
 from ..kernels.topk import next_pow2, row_sqnorms, search_topk, update_rows
 from .base import validate_batch_arrays
 
@@ -822,6 +822,17 @@ class FlatIndex:
             metadata=self._metas[slot],
         )
 
+    def update_metadata(self, id: int, metadata) -> None:
+        """Replace a vector's metadata in place (TPU-native extension —
+        the reference can only delete + re-add, burning a new id).
+        ``None`` clears. The embedding and text are untouched, so no
+        device state changes; only the filter-mask cache epoch bumps."""
+        slot = self._id_to_slot.get(int(id))
+        if slot is None:
+            raise VectorNotFound(int(id))
+        self._metas[slot] = metadata
+        self._epoch += 1
+
     @property
     def dimension(self) -> int:
         return self.dim
@@ -963,15 +974,20 @@ class FlatIndex:
             out = self._host_scan_prefiltered(q64, k_eff, metric)
             if out is not None:
                 return out
-        scores = self._host_scores64(q64, metric)
+        scores = self._host_scores64(q64, metric, n)
         scores = np.where(self._valid[:n][None, :], scores, -np.inf)
         return _topk_tie_safe(scores, k_eff)
 
     def _host_scores64(
-        self, q64: np.ndarray, metric: SimilarityMetric
+        self, q64: np.ndarray, metric: SimilarityMetric, n: int
     ) -> np.ndarray:
-        """Full [B, N] exact f64 score matrix (reference formulas)."""
-        v = self._values64[: self._size]  # [N, D]
+        """Full [B, n] exact f64 score matrix (reference formulas).
+
+        ``n`` is the caller's row-count snapshot: re-reading self._size
+        here raced concurrent appends (the stream path searches without
+        the collection lock), mismatching the score width against the
+        caller's validity slice."""
+        v = self._values64[:n]  # [n, D]
         if metric is SimilarityMetric.MANHATTAN:
             # chunked |v - q| reduce: a full [B, N, D] f64 broadcast would
             # be ~100 MB/query at the 32K-row threshold
@@ -1002,7 +1018,7 @@ class FlatIndex:
         if metric is SimilarityMetric.DOT_PRODUCT:
             return dots
         if metric is SimilarityMetric.COSINE:
-            vn = self._host_norms()[: self._size]
+            vn = self._host_norms()[:n]
             qn = np.linalg.norm(q64, axis=1, keepdims=True)
             denom = qn * vn[None, :]
             with np.errstate(invalid="ignore", divide="ignore"):

@@ -1063,6 +1063,16 @@ class HNSWIndex:
             metadata=self._metas.get(vid),
         )
 
+    def update_metadata(self, id: int, metadata) -> None:
+        """Replace a vector's metadata in place (TPU-native extension —
+        the reference can only delete + re-add). ``None`` clears; the
+        graph and vectors are untouched."""
+        vid = int(id)
+        if vid not in self._id_to_index:
+            raise VectorNotFound(vid)
+        self._metas[vid] = metadata
+        self._epoch += 1
+
     @property
     def dimension(self) -> int:
         return self.dim

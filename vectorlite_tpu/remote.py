@@ -247,6 +247,17 @@ class RemoteClient:
             f"/vectors/{int(id)}",
         )
 
+    def update_metadata(
+        self, collection: str, id: int, metadata: Optional[Any]
+    ) -> None:
+        """Replace one vector's metadata (extension route; None clears)."""
+        self._request(
+            "PATCH",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors/{int(id)}",
+            {"metadata": metadata},
+        )
+
     # ------------------------------------------------------- ops & persist
 
     def save_collection(self, collection: str, file_path: str) -> None:

@@ -182,6 +182,12 @@ class VectorLiteClient:
     def delete_from_collection(self, collection_name: str, id: int) -> None:
         self._require(collection_name).delete(id)
 
+    def update_metadata_in_collection(
+        self, collection_name: str, id: int, metadata
+    ) -> None:
+        """Replace one vector's metadata (TPU-native extension)."""
+        self._require(collection_name).update_metadata(id, metadata)
+
     def get_vector_from_collection(
         self, collection_name: str, id: int
     ) -> Optional[Vector]:

@@ -202,6 +202,12 @@ class Collection:
             self._index.delete(id)
         self._mutations.fetch_add(1)
 
+    def update_metadata(self, id: int, metadata) -> None:
+        """Replace one vector's metadata (extension; None clears)."""
+        with self._lock.write():
+            self._index.update_metadata(id, metadata)
+        self._mutations.fetch_add(1)
+
     def get_vector(self, id: int) -> Optional[Vector]:
         with self._lock.read():
             return self._index.get_vector(id)
