@@ -504,7 +504,61 @@ def bench_manhattan1m():
     return {"config": "manhattan_pallas_1m_b256", "qps": round(qps, 1)}
 
 
-ALL = ["flat10k", "flat100k", "hnsw", "hnswf16", "e2e", "manhattan1m"]
+def bench_filtered1m():
+    """Metadata-filtered Flat search at headline scale: the where mask
+    intersects the kernels' validity input, so filtered throughput
+    should track unfiltered throughput (same scan, same selection);
+    the one-time cost is the O(N) host metadata walk, reported as
+    mask_build_ms. 10-way partition tags; 50% and 10% selectivity."""
+    import jax
+
+    from vectorlite_tpu import FlatIndex
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n = 1_048_576 if on_tpu else 32_768
+    data = make_data(n)
+    queries = make_data(BATCH, seed=1).astype(np.float64)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(n, dtype=np.uint64),
+        data.astype(np.float64),
+        metadatas=[{"p": int(i % 10)} for i in range(n)],
+    )
+
+    def qps_of(where, warm=2, iters=8):
+        for _ in range(warm):
+            idx.search_batch_arrays(
+                queries, K, SimilarityMetric.COSINE, where=where
+            )
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            idx.search_batch_arrays(
+                queries, K, SimilarityMetric.COSINE, where=where
+            )
+        return BATCH * iters / (time.perf_counter() - t0)
+
+    out = {"config": "flat_filtered_1m_b256", "n": n}
+    out["unfiltered_qps"] = round(qps_of(None), 1)
+    t0 = time.perf_counter()
+    idx._where_mask({"p": {"$in": [0, 1, 2, 3, 4]}})
+    out["mask_build_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    out["sel50_qps"] = round(
+        qps_of({"p": {"$in": [0, 1, 2, 3, 4]}}), 1
+    )
+    out["sel10_qps"] = round(qps_of({"p": 0}), 1)
+    log(
+        f"[filtered1m] n={n}: unfiltered {out['unfiltered_qps']:,.0f} / "
+        f"50% {out['sel50_qps']:,.0f} / 10% {out['sel10_qps']:,.0f} QPS, "
+        f"mask build {out['mask_build_ms']} ms"
+    )
+    return out
+
+
+ALL = [
+    "flat10k", "flat100k", "hnsw", "hnswf16", "e2e", "manhattan1m",
+    "filtered1m",
+]
 
 
 def main():
@@ -527,6 +581,7 @@ def main():
         "e2e": bench_e2e,
         "flat4m": bench_flat4m,
         "manhattan1m": bench_manhattan1m,
+        "filtered1m": bench_filtered1m,
     }
     results = []
     for name in args.configs.split(","):

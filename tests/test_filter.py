@@ -99,6 +99,70 @@ class TestCompileWhere:
                 compile_where(bad)
 
 
+class TestCompileWhereFuzz:
+    """The clause compiler sits on the HTTP surface: random structured
+    input must either raise InvalidFilter at compile time or yield a
+    predicate that returns a plain bool on ANY metadata value — never a
+    TypeError/KeyError escaping to a 500."""
+
+    def _values(self, rng, depth=0):
+        kinds = ["int", "float", "str", "bool", "none", "list", "dict"]
+        k = kinds[rng.integers(len(kinds) - (2 if depth > 1 else 0))]
+        if k == "int":
+            return int(rng.integers(-5, 5))
+        if k == "float":
+            return float(rng.normal())
+        if k == "str":
+            return "s" + str(rng.integers(3))
+        if k == "bool":
+            return bool(rng.integers(2))
+        if k == "none":
+            return None
+        if k == "list":
+            return [self._values(rng, depth + 1) for _ in range(rng.integers(3))]
+        return {
+            "k" + str(i): self._values(rng, depth + 1)
+            for i in range(rng.integers(3))
+        }
+
+    def _clause(self, rng, depth=0):
+        ops = [
+            "$eq", "$ne", "$in", "$nin", "$gt", "$gte", "$lt", "$lte",
+            "$exists", "$bogus",
+        ]
+        out = {}
+        for _ in range(rng.integers(1, 4)):
+            roll = rng.integers(10)
+            if roll == 0 and depth < 2:
+                out["$or"] = [self._clause(rng, depth + 1)]
+            elif roll == 1 and depth < 2:
+                out["$not"] = self._clause(rng, depth + 1)
+            elif roll == 2:
+                out["f" + str(rng.integers(4))] = {
+                    ops[rng.integers(len(ops))]: self._values(rng)
+                }
+            else:
+                out["f" + str(rng.integers(4))] = self._values(rng)
+        return out
+
+    def test_fuzz_never_escapes(self):
+        import numpy as np
+
+        from vectorlite_tpu.errors import InvalidFilter
+
+        rng = np.random.default_rng(42)
+        metas = [self._values(rng) for _ in range(50)] + [None]
+        for _ in range(500):
+            clause = self._clause(rng)
+            try:
+                pred = compile_where(clause)
+            except InvalidFilter:
+                continue
+            for meta in metas:
+                out = pred(meta)
+                assert out is True or out is False, (clause, meta, out)
+
+
 def _flat_corpus(n=64, d=8, seed=3):
     rng = np.random.default_rng(seed)
     data = rng.normal(size=(n, d))
