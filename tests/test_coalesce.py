@@ -117,6 +117,61 @@ class TestCoalescedEquivalence:
             )
 
 
+class TestFilteredCoalescing:
+    """Filtered singles coalesce too, grouped by the clause's canonical
+    JSON — mixed-filter concurrency must return exactly the direct
+    path's rows, and an invalid clause must fail only its own group."""
+
+    def _fill_tagged(self, client, name, n=64):
+        client.create_collection(name, IndexType.FLAT)
+        client.add_texts_to_collection(
+            name,
+            [f"document {i}" for i in range(n)],
+            [{"p": i % 4} for i in range(n)],
+        )
+
+    def test_concurrent_mixed_wheres(self, client, monkeypatch):
+        self._fill_tagged(client, "c", n=64)
+        jobs = [
+            (f"document {i}", {"p": i % 4} if i % 3 else None)
+            for i in range(36)
+        ]
+        with ThreadPoolExecutor(max_workers=12) as pool:
+            got = list(
+                pool.map(
+                    lambda jw: client.search_text_in_collection(
+                        "c", jw[0], 5, where=jw[1]
+                    ),
+                    jobs,
+                )
+            )
+        monkeypatch.setenv("VECTORLITE_COALESCE", "0")
+        for (q, w), rows in zip(jobs, got):
+            if w is not None:
+                assert all(r.metadata["p"] == w["p"] for r in rows)
+            _rows_equal(
+                rows,
+                client.search_text_in_collection("c", q, 5, where=w),
+            )
+
+    def test_invalid_clause_fails_only_its_group(self, client):
+        from vectorlite_tpu.errors import InvalidFilter
+
+        self._fill_tagged(client, "c", n=16)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            ok = pool.submit(
+                client.search_text_in_collection, "c", "document 1", 3
+            )
+            bad = pool.submit(
+                lambda: client.search_text_in_collection(
+                    "c", "document 2", 3, where={"p": {"$nope": 1}}
+                )
+            )
+            assert len(ok.result()) == 3
+            with pytest.raises(InvalidFilter):
+                bad.result()
+
+
 class _FlakyEmbedder(MockEmbeddingFunction):
     """Raises on texts containing 'poison'; batch fails whole if any."""
 

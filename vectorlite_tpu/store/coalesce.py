@@ -41,13 +41,18 @@ MAX_BATCH = 256
 
 
 class _Entry:
-    __slots__ = ("text", "k", "metric", "embed_fn", "event", "result", "error")
+    __slots__ = (
+        "text", "k", "metric", "embed_fn", "where", "where_key",
+        "event", "result", "error",
+    )
 
-    def __init__(self, text, k, metric, embed_fn):
+    def __init__(self, text, k, metric, embed_fn, where, where_key):
         self.text = text
         self.k = k
         self.metric = metric
         self.embed_fn = embed_fn
+        self.where = where
+        self.where_key = where_key
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
@@ -67,8 +72,18 @@ class SearchCoalescer:
         self._closed = False
         self._thread: Optional[threading.Thread] = None
 
-    def submit(self, text, k, metric, embedding_function):
-        entry = _Entry(text, int(k), metric, embedding_function)
+    def submit(self, text, k, metric, embedding_function, where=None):
+        # filtered requests group by the clause's canonical JSON so
+        # same-filter concurrency still shares one dispatch (and one
+        # index-side mask-cache entry); callers pre-screen None keys
+        where_key = None
+        if where is not None:
+            from ..core.filter import where_cache_key
+
+            where_key = where_cache_key(where)
+        entry = _Entry(
+            text, int(k), metric, embedding_function, where, where_key
+        )
         with self._cv:
             if self._closed:
                 raise RuntimeError("coalescer closed")
@@ -149,19 +164,22 @@ class SearchCoalescer:
         if not ready:
             return
 
-        # 2. Dispatch, grouped by (metric, k): every entry gets exactly
-        #    the rows its own search_batch(queries, k, metric) returns.
+        # 2. Dispatch, grouped by (metric, k, where): every entry gets
+        #    exactly the rows its own search_batch(...) returns.
         groups: dict = {}
         for i in ready:
-            groups.setdefault((batch[i].metric, batch[i].k), []).append(i)
+            groups.setdefault(
+                (batch[i].metric, batch[i].k, batch[i].where_key), []
+            ).append(i)
         with collection._lock.read():
-            for (metric, k), idxs in groups.items():
+            for (metric, k, _wkey), idxs in groups.items():
                 try:
                     with profile_span("vectorlite.index.search_batch"):
                         rows = collection._index.search_batch(
                             np.stack([embeddings[i] for i in idxs]),
                             k,
                             metric,
+                            where=batch[idxs[0]].where,
                         )
                 except BaseException as e:  # noqa: BLE001
                     for i in idxs:

@@ -148,16 +148,22 @@ class Collection:
         embedding_function: EmbeddingFunction,
         where: Optional[dict] = None,
     ) -> list[SearchResult]:
-        if where is None and env_number("VECTORLITE_COALESCE", 1):
+        if env_number("VECTORLITE_COALESCE", 1):
             # Concurrent single-text searches merge into one embedder
             # forward + one batched dispatch (see store/coalesce.py);
             # both indexes define search(q) == search_batch([q])[0], so
             # results are identical to the direct path below. Filtered
-            # searches take the direct path (coalescing batches share
-            # one dispatch, which a per-request mask would fragment).
-            return self._get_coalescer().submit(
-                query_text, k, metric, embedding_function
-            )
+            # requests coalesce too, grouped by the clause's canonical
+            # JSON (sharing one dispatch and one mask-cache entry); a
+            # non-serializable clause (SDK-only — HTTP input is always
+            # JSON) would collide with the unfiltered group's None key,
+            # so it takes the direct path instead.
+            from ..core.filter import where_cache_key
+
+            if where is None or where_cache_key(where) is not None:
+                return self._get_coalescer().submit(
+                    query_text, k, metric, embedding_function, where=where
+                )
         # embed outside the lock (reference: src/client.rs:393-401)
         query = _run_embed(embedding_function, query_text)
         with self._lock.read(), profile_span("vectorlite.index.search"):
