@@ -283,6 +283,57 @@ class TestFlatFiltered:
         r3 = idx.search_batch([data[0]], 65, COS, where=where)[0]
         assert 1000 not in {r.id for r in r3}
 
+    def test_filtered_forces_exhaustive_selection(self):
+        """Approximate selection engines assume uniformly-spread
+        survivors; a where mask clusters them (same-tag rows insert
+        together), so filtered searches must resolve to exhaustive
+        kernels regardless of the approx flag (round-3 self-review)."""
+        idx, _, _ = _flat_corpus()
+        for approx in (None, True, False):
+            assert (
+                idx._resolve_approx(approx, 16, COS, filtered=True)
+                is False
+            )
+
+    def test_tuple_clause_canonicalizes_like_list(self):
+        """json.dumps turns tuples into arrays, so {"a": (1, 2)} and
+        {"a": [1, 2]} share a cache key — they must share match
+        semantics too or a cached mask would answer for the wrong
+        clause (round-3 self-review)."""
+        idx, data, _ = _flat_corpus(n=8)
+        idx.update_metadata(3, {"a": [1, 2]})
+        r_tuple = idx.search_batch(
+            [data[3]], 8, COS, where={"a": (1, 2)}
+        )[0]
+        r_list = idx.search_batch(
+            [data[3]], 8, COS, where={"a": [1, 2]}
+        )[0]
+        assert [r.id for r in r_tuple] == [r.id for r in r_list] == [3]
+
+    def test_append_extends_cached_mask_incrementally(self):
+        """Appends must surface in cached masks without a structural
+        rebuild (the extension path), including across capacity
+        growth."""
+        idx, data, metas = _flat_corpus()
+        where = {"tag": "even"}
+        r1 = {
+            r.id
+            for r in idx.search_batch([data[0]], 64, COS, where=where)[0]
+        }
+        rng = np.random.default_rng(99)
+        extra = rng.normal(size=(300, 8))  # forces capacity growth
+        idx.add_batch_arrays(
+            np.arange(2000, 2300, dtype=np.uint64),
+            extra,
+            metadatas=[{"tag": "even"}] * 300,
+        )
+        r2 = {
+            r.id
+            for r in idx.search_batch([data[0]], 400, COS, where=where)[0]
+        }
+        assert r1 <= r2
+        assert set(range(2000, 2300)) <= r2
+
     def test_deleted_rows_never_match(self):
         idx, data, metas = _flat_corpus()
         idx.delete(2)
@@ -320,17 +371,42 @@ class TestHNSWFiltered:
         assert all(r.metadata["g"] == 1 for r in res)
 
     def test_beam_path_filters_and_recalls(self, monkeypatch):
-        idx, data, metas = self._build(n=200)
-        # force the beam+post-filter path by shrinking the brute ceiling
+        idx, data, metas = self._build(n=400)
+        # force the beam+post-filter path: shrink the brute ceiling AND
+        # keep ef_try below the match count (the ef_try >= m dominance
+        # rule otherwise routes to exact brute force)
         monkeypatch.setattr(HNSWIndex, "_FILTER_BRUTE_MAX", 4)
         pred = compile_where({"g": 0})
         q = data[9] + 1e-3
-        res = idx.search_batch([q], 5, COS, where={"g": 0})[0]
+        m = sum(1 for x in metas if x["g"] == 0)
+        res = idx.search_batch([q], 5, COS, where={"g": 0}, ef=8)[0]
+        assert m > 64  # beam path really ran (ef_try = 64 < m)
         assert len(res) == 5
         assert all(r.metadata["g"] == 0 for r in res)
         truth = set(_brute_ids(data, metas, pred, q, 5))
         got = {r.id for r in res}
         assert len(got & truth) >= 4  # approximate contract, ef-escalated
+
+    def test_incremental_extension_after_appends(self):
+        idx, data, metas = self._build(n=60)
+        where = {"g": 1}
+        before = {
+            r.id
+            for r in idx.search_batch([data[1]], 60, COS, where=where)[0]
+        }
+        idx.add(
+            Vector(
+                id=500,
+                values=[float(x) for x in data[1]],
+                text="",
+                metadata={"g": 1},
+            )
+        )
+        after = {
+            r.id
+            for r in idx.search_batch([data[1]], 61, COS, where=where)[0]
+        }
+        assert after == before | {500}
 
     def test_zero_matches_and_invalid(self):
         idx, data, metas = self._build(n=30)

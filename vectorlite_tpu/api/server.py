@@ -407,8 +407,14 @@ async def delete_vector(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     vid = _parse_vector_id(request)
     client = request.app[_CLIENT_KEY]
-    with request.app[_LOCK_KEY].read():
-        client.delete_from_collection(name, vid)
+
+    # off the event loop: delete takes the collection WRITE lock (it can
+    # wait behind a long device search) and may trigger O(N) compaction
+    def run():
+        with request.app[_LOCK_KEY].read():
+            client.delete_from_collection(name, vid)
+
+    await _blocking(request, run)
     logger.info("Deleted vector %s from collection '%s'", vid, name)
     return web.json_response({})
 
@@ -427,8 +433,12 @@ async def update_vector_metadata(request: web.Request) -> web.Response:
         )
     metadata = body["metadata"]
     client = request.app[_CLIENT_KEY]
-    with request.app[_LOCK_KEY].read():
-        client.update_metadata_in_collection(name, vid, metadata)
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            client.update_metadata_in_collection(name, vid, metadata)
+
+    await _blocking(request, run)
     logger.info(
         "Updated metadata for vector %s in collection '%s'", vid, name
     )

@@ -36,6 +36,7 @@ results (index/hnsw.py).
 from __future__ import annotations
 
 import json
+import threading
 from typing import Any, Callable, Optional
 
 from ..errors import InvalidFilter
@@ -206,3 +207,56 @@ def where_cache_key(where: dict) -> Optional[str]:
         return json.dumps(where, sort_keys=True, separators=(",", ":"))
     except (TypeError, ValueError):
         return None
+
+
+class FilterCache:
+    """Bounded, lock-guarded store for per-clause filter artifacts.
+
+    Shared by FlatIndex (slot masks) and HNSWIndex (node lists): keys
+    are canonical clause JSON, entries are opaque lists the owning index
+    interprets (epoch/watermark/payload). The cache only owns keying,
+    bounding (drop-oldest at ``max_entries``), and thread safety; `None`
+    keys (non-serializable clauses) are never stored."""
+
+    def __init__(self, max_entries: int = 32):
+        self._lock = threading.Lock()
+        self._entries: dict = {}
+        self._max = max_entries
+
+    def get(self, key: Optional[str]):
+        if key is None:
+            return None
+        with self._lock:
+            return self._entries.get(key)
+
+    def put(self, key: Optional[str], entry):
+        if key is None:
+            return entry
+        with self._lock:
+            if (
+                key not in self._entries
+                and len(self._entries) >= self._max
+            ):
+                try:
+                    self._entries.pop(next(iter(self._entries)))
+                except (KeyError, StopIteration):
+                    pass
+            self._entries[key] = entry
+        return entry
+
+
+def canonicalize(where: dict):
+    """Return (clause, cache_key) with the clause round-tripped through
+    its canonical JSON when serializable.
+
+    Compiling the ROUND-TRIPPED form keeps cache-key identity and match
+    semantics in lockstep: json.dumps turns tuples into arrays and int
+    dict keys into strings, so ``{"a": (1, 2)}`` and ``{"a": [1, 2]}``
+    share a key — they must therefore share a predicate too, or a cached
+    mask would answer for a clause with different semantics. A
+    non-serializable clause compiles raw and returns key None (callers
+    skip caching and coalescing for it)."""
+    key = where_cache_key(where)
+    if key is None:
+        return where, None
+    return json.loads(key), key

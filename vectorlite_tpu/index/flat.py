@@ -357,12 +357,14 @@ class FlatIndex:
         self._norms_lock = threading.Lock()
         # set at wholesale device rebuilds by the bf16 auto-guard
         self._precision_risky = False
-        # metadata-filter mask cache: canonical where-JSON ->
-        # (epoch, host mask [cap] bool over live+matching slots,
-        #  match count, lazily-uploaded device mask). The epoch bumps
-        # on every mutation so stale masks can never serve.
+        # metadata-filter mask cache (core/filter.py:FilterCache).
+        # _epoch is the STRUCTURAL epoch: delete/compaction/metadata
+        # updates bump it (full mask rebuild); appends only move the
+        # _size watermark and extend cached masks incrementally.
         self._epoch = 0
-        self._where_masks: dict = {}
+        from ..core.filter import FilterCache
+
+        self._where_masks = FilterCache()
 
         # Device cache state. The mutex makes sync + dispatch atomic:
         # update_rows donates the old buffer, so a concurrent reader must
@@ -400,7 +402,6 @@ class FlatIndex:
         self._id_to_slot[vid] = slot
         self._size += 1
         self._count += 1
-        self._epoch += 1
         self._mark_dirty(slot)
 
     def add_batch_arrays(
@@ -438,7 +439,6 @@ class FlatIndex:
         self._id_to_slot.update(zip(int_ids, range(lo, lo + n)))
         self._size += n
         self._count += n
-        self._epoch += 1
         self._mark_dirty(lo)
         self._mark_dirty(lo + n - 1)
 
@@ -576,7 +576,9 @@ class FlatIndex:
                     [q, np.zeros((b_pad - b, self.dim), np.float32)]
                 )
 
-            approx = self._resolve_approx(approx, k_pad, metric)
+            approx = self._resolve_approx(
+                approx, k_pad, metric, filtered=mask is not None
+            )
             k_sel = self._selection_k(k_pad, approx)
             where_dev = (
                 self._where_dev(mkey, mask) if mask is not None else None
@@ -674,7 +676,9 @@ class FlatIndex:
             q = np.concatenate(
                 [q, np.zeros((b_pad - b, self.dim), np.float32)]
             )
-        approx = self._resolve_approx(approx, k_pad, metric)
+        approx = self._resolve_approx(
+            approx, k_pad, metric, filtered=mask is not None
+        )
         k_sel = self._selection_k(k_pad, approx)
         where_dev = self._where_dev(mkey, mask) if mask is not None else None
         return (
@@ -867,63 +871,73 @@ class FlatIndex:
         into a slot mask. Returns (mask [capacity] bool, already ANDed
         with the live-slot mask; match count; cache key or None).
 
-        Raises InvalidFilter on a malformed clause. Masks cache by the
-        clause's canonical JSON and invalidate on the mutation epoch, so
-        repeated filters pay the O(N) metadata walk once per mutation
-        generation (TPU-native extension — the reference has no
-        filtered search)."""
-        from ..core.filter import compile_where, where_cache_key
+        Raises InvalidFilter on a malformed clause. The clause is
+        compiled from its canonical JSON so cache-key identity implies
+        predicate identity (core/filter.py:canonicalize). Masks cache
+        per clause and invalidate on the STRUCTURAL epoch (delete /
+        compaction / metadata update); appends only extend the slot
+        range, so an append-dirty entry re-evaluates just the new rows
+        instead of walking all N — steady add+filtered-search workloads
+        stay O(appended), not O(N) per search. (TPU-native extension —
+        the reference has no filtered search.)
 
-        key = where_cache_key(where)
-        if key is not None:
-            with self._norms_lock:
-                ent = self._where_masks.get(key)
-                if ent is not None and ent[0] == self._epoch:
-                    return ent[1], ent[2], key
+        Entry layout: [struct_epoch, evaluated_upto, mask, count, dev]."""
+        from ..core.filter import canonicalize, compile_where
+
+        where, key = canonicalize(where)
+        ent = self._where_masks.get(key)
+        if ent is not None and ent[0] == self._epoch:
+            if ent[1] == self._size and len(ent[2]) == self._capacity:
+                return ent[2], ent[3], key
+            # append-only extension: rows [upto, size) are new; prior
+            # slots are immutable under this epoch. Copy-on-extend so a
+            # concurrent reader of the old mask never sees a tear.
+            pred = compile_where(where)
+            mask = np.zeros(self._capacity, dtype=bool)
+            upto = min(ent[1], len(ent[2]), self._capacity)
+            mask[:upto] = ent[2][:upto]
+            count = self._eval_mask_range(pred, mask, upto, self._size)
+            count += int(np.count_nonzero(mask[:upto]))
+            ent = [self._epoch, self._size, mask, count, None]
+            self._where_masks.put(key, ent)
+            return mask, count, key
         pred = compile_where(where)
         mask = np.zeros(self._capacity, dtype=bool)
-        metas = self._metas
-        valid = self._valid
-        for i in range(self._size):
-            if valid[i] and pred(metas[i]):
-                mask[i] = True
-        count = int(np.count_nonzero(mask))
-        if key is not None:
-            with self._norms_lock:
-                if len(self._where_masks) >= 32:
-                    # bounded cache: drop the oldest insertion
-                    try:
-                        self._where_masks.pop(
-                            next(iter(self._where_masks))
-                        )
-                    except (KeyError, StopIteration):
-                        pass
-                self._where_masks[key] = [self._epoch, mask, count, None]
+        count = self._eval_mask_range(pred, mask, 0, self._size)
+        self._where_masks.put(
+            key, [self._epoch, self._size, mask, count, None]
+        )
         return mask, count, key
 
+    def _eval_mask_range(self, pred, mask, lo: int, hi: int) -> int:
+        """Evaluate ``pred`` over live slots [lo, hi) into ``mask``;
+        returns the number of rows set."""
+        metas = self._metas
+        valid = self._valid
+        n = 0
+        for i in range(lo, hi):
+            if valid[i] and pred(metas[i]):
+                mask[i] = True
+                n += 1
+        return n
+
     def _where_dev(self, key: Optional[str], mask: np.ndarray):
-        """Device copy of a where mask, cached per epoch alongside the
-        host mask (mesh-sharded like the validity mask when the index is
-        mesh-resident) so repeated filtered searches skip the upload."""
-        if key is not None:
-            with self._norms_lock:
-                ent = self._where_masks.get(key)
-                if (
-                    ent is not None
-                    and ent[0] == self._epoch
-                    and ent[3] is not None
-                ):
-                    return ent[3]
-        else:
-            ent = None
+        """Device copy of a where mask, cached alongside the host mask
+        in its entry (mesh-sharded like the validity mask when the index
+        is mesh-resident) so repeated filtered searches skip the
+        upload. The entry's dev slot resets whenever the host mask is
+        rebuilt or extended."""
+        ent = self._where_masks.get(key)
+        if ent is not None and ent[4] is not None and ent[2] is mask:
+            return ent[4]
         if self._mesh is not None:
             from ..dist.sharding import row_sharding
 
             dev = jax.device_put(mask, row_sharding(self._mesh, 1))
         else:
             dev = jnp.asarray(mask)
-        if ent is not None:
-            ent[3] = dev
+        if ent is not None and ent[2] is mask:
+            ent[4] = dev
         return dev
 
     def _host_scan_subset(
@@ -1250,9 +1264,23 @@ class FlatIndex:
         )
 
     def _resolve_approx(
-        self, approx: Optional[bool], k_pad: int, metric: SimilarityMetric
+        self,
+        approx: Optional[bool],
+        k_pad: int,
+        metric: SimilarityMetric,
+        filtered: bool = False,
     ) -> bool:
         """Resolve the tri-state ``approx`` flag.
+
+        ``filtered`` forces exhaustive selection: both approximate
+        engines assume surviving scores are spread roughly uniformly
+        across the corpus — ApproxTopK keeps ~1 winner per PartialReduce
+        shard and the block kernel W=2 per 128-row block — but a where
+        mask leaves islands of valid rows (same-metadata vectors are
+        typically inserted together), so clustered matches beyond the
+        per-shard/per-block quota would be silently unrecoverable. The
+        exhaustive kernels treat -inf rows like tombstones and lose
+        nothing.
 
         ``None`` auto-engages ApproxTopK selection at Pallas scale —
         measured ~2-3.8 ms vs 14.1 exhaustive at 1M x 384 b=256
@@ -1264,6 +1292,8 @@ class FlatIndex:
         (dist/sharding.py sharded_search_amk) — same contract and
         auto-engage scale; the int8 capacity profile and manhattan stay
         exact under a mesh."""
+        if filtered:
+            return False
         if metric is SimilarityMetric.MANHATTAN:
             # no matmul form: the L1 scan is VPU-bound and selection is a
             # rounding error of its cost — always exact (pallas_l1.py)
@@ -1406,10 +1436,15 @@ class FlatIndex:
                 approx = False
             # metadata filter: intersect the validity mask the kernels
             # already consume (same shape/dtype -> no recompile; the
-            # sharded mask matches the mesh layout via _where_dev)
+            # sharded mask matches the mesh layout via _where_dev).
+            # Approximate selection assumes uniformly-spread survivors;
+            # a mask clusters them, so filtered searches always run the
+            # exhaustive kernels (_resolve_approx(filtered=True) on the
+            # public paths; enforced here for direct callers too).
             valid = self._dev_valid
             if where_dev is not None:
                 valid = jnp.logical_and(valid, where_dev)
+                approx = False
             queries = jnp.asarray(q)
             if self._mesh is not None:
                 # per-shard scan + all-gather merge. Speed mode rides

@@ -189,10 +189,15 @@ class HNSWIndex:
         self._index_to_id: dict[int, int] = {}
         self._texts: dict[int, str] = {}
         self._metas: dict[int, object] = {}
-        # metadata-filter cache: where-JSON -> (epoch, nodes, vid set);
-        # the epoch bumps on every mutation (see _where_nodes)
+        # metadata-filter cache (core/filter.py:FilterCache). _epoch is
+        # the STRUCTURAL epoch: delete/metadata updates bump it (full
+        # rebuild; compact swaps in a fresh index state wholesale);
+        # appends only advance _num_nodes and extend entries
+        # incrementally (see _where_nodes).
         self._epoch = 0
-        self._where_cache: dict = {}
+        from ..core.filter import FilterCache
+
+        self._where_cache = FilterCache()
         # device-search cache: vectors synced by append watermark, level-0
         # adjacency rows by dirty set (links/prunes touch scattered rows)
         self._dev = None  # (vecs, sqnorms, adj0) jax arrays at _dev_n rows
@@ -484,7 +489,6 @@ class HNSWIndex:
         self._index_to_id[node] = vid
         self._texts[vid] = vector.text
         self._metas[vid] = vector.metadata
-        self._epoch += 1
 
     def add_batch(self, vectors: Sequence[Vector]) -> None:
         """Bulk insert: one native call for the whole batch (used by
@@ -515,7 +519,6 @@ class HNSWIndex:
             self._index_to_id[node] = vid
             self._texts[vid] = v.text
             self._metas[vid] = v.metadata
-        self._epoch += 1
         self._link_batch(start, count)
 
     def add_batch_arrays(
@@ -564,7 +567,6 @@ class HNSWIndex:
         self._metas.update(
             zip(int_ids, metadatas if metadatas is not None else [None] * n)
         )
-        self._epoch += 1
         self._link_batch(start, n)
 
     def _link_batch(self, start: int, count: int) -> None:
@@ -736,35 +738,54 @@ class HNSWIndex:
 
     def _where_nodes(self, where):
         """Matching live nodes for a ``where`` clause (core/filter.py),
-        cached per mutation epoch. Returns (nodes int64 ascending,
-        matching-vid set). Raises InvalidFilter on a malformed clause."""
-        from ..core.filter import compile_where, where_cache_key
+        cached per structural epoch with append-incremental extension
+        (nodes are assigned sequentially, so rows [upto, _num_nodes)
+        are exactly the appends since the entry was built). Compiled
+        from the canonical JSON so cache-key identity implies predicate
+        identity. Returns (nodes int64 ascending, matching-vid set).
+        Raises InvalidFilter on a malformed clause.
 
-        key = where_cache_key(where)
-        if key is not None:
-            ent = self._where_cache.get(key)
-            if ent is not None and ent[0] == self._epoch:
-                return ent[1], ent[2]
+        Entry layout: [struct_epoch, evaluated_upto, nodes, vid_set]."""
+        from ..core.filter import canonicalize, compile_where
+
+        where, key = canonicalize(where)
+        ent = self._where_cache.get(key)
+        if ent is not None and ent[0] == self._epoch:
+            if ent[1] == self._num_nodes:
+                return ent[2], ent[3]
+            pred = compile_where(where)
+            fresh = self._match_node_range(pred, ent[1], self._num_nodes)
+            nodes = np.concatenate(
+                [ent[2], np.fromiter((p[0] for p in fresh), np.int64,
+                                     count=len(fresh))]
+            )
+            vids = set(ent[3])
+            vids.update(p[1] for p in fresh)
+            ent = [self._epoch, self._num_nodes, nodes, vids]
+            self._where_cache.put(key, ent)
+            return nodes, vids
         pred = compile_where(where)
-        metas = self._metas
-        pairs = [
-            (node, vid)
-            for vid, node in self._id_to_index.items()
-            if pred(metas.get(vid))
-        ]
-        pairs.sort()
+        pairs = self._match_node_range(pred, 0, self._num_nodes)
         nodes = np.fromiter(
             (p[0] for p in pairs), dtype=np.int64, count=len(pairs)
         )
         vids = {p[1] for p in pairs}
-        if key is not None:
-            if len(self._where_cache) >= 32:
-                try:
-                    self._where_cache.pop(next(iter(self._where_cache)))
-                except (KeyError, StopIteration):
-                    pass
-            self._where_cache[key] = (self._epoch, nodes, vids)
+        self._where_cache.put(
+            key, [self._epoch, self._num_nodes, nodes, vids]
+        )
         return nodes, vids
+
+    def _match_node_range(self, pred, lo: int, hi: int):
+        """(node, vid) pairs in [lo, hi) whose live metadata matches,
+        ascending by node."""
+        metas = self._metas
+        index_to_id = self._index_to_id
+        out = []
+        for node in range(lo, hi):
+            vid = index_to_id.get(node)
+            if vid is not None and pred(metas.get(vid)):
+                out.append((node, vid))
+        return out
 
     def _search_filtered(
         self, q, k, metric, ef, use_device, where
@@ -787,7 +808,19 @@ class HNSWIndex:
         if m == 0 or k <= 0:
             return [[] for _ in range(b)]
         k_eff = min(k, m)
-        if m <= max(4 * k_eff, self._FILTER_BRUTE_MAX):
+        live = len(self._id_to_index)
+        ef_base = self.ef_search if ef is None else int(ef)
+        ef_base = min(k, live) if ef_base <= 0 else max(ef_base, k_eff)
+        # widen the beam by the selectivity ratio so ~2x k_eff matches
+        # are expected among the candidates
+        scale = -(-live // m)  # ceil
+        ef_try = min(live, max(ef_base, 2 * k_eff * scale, 64))
+        # Brute-force the matching rows when (a) the match set is small
+        # in absolute terms, or (b) the widened beam would visit at
+        # least as many nodes as a direct scan of the matches — the beam
+        # pays graph overhead per node on top of the same distance
+        # evals, so ef_try >= m makes brute strictly cheaper AND exact.
+        if m <= max(4 * k_eff, self._FILTER_BRUTE_MAX) or ef_try >= m:
             out = []
             for qi in q:
                 d = self._dist_to_many(qi, nodes)
@@ -799,13 +832,6 @@ class HNSWIndex:
                     )
                 )
             return out
-        live = len(self._id_to_index)
-        ef_base = self.ef_search if ef is None else int(ef)
-        ef_base = min(k, live) if ef_base <= 0 else max(ef_base, k_eff)
-        # widen the beam by the selectivity ratio so ~2x k_eff matches
-        # are expected among the candidates
-        scale = -(-live // m)  # ceil
-        ef_try = min(live, max(ef_base, 2 * k_eff * scale, 64))
         results: list = [None] * b
         pending = list(range(b))
         for _ in range(3):

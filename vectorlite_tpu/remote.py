@@ -102,6 +102,8 @@ class RemoteClient:
         req = urllib.request.Request(
             url, data=data, method=method, headers=headers
         )
+        import http.client
+
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 raw = resp.read()
@@ -114,6 +116,10 @@ class RemoteClient:
             raise RemoteError(e.code, message) from None
         except urllib.error.URLError as e:
             raise RemoteConnectionError(str(e.reason)) from None
+        except (TimeoutError, OSError, http.client.HTTPException) as e:
+            # mid-body failures (read timeout, reset, IncompleteRead)
+            # surface after urlopen returned — same transport contract
+            raise RemoteConnectionError(str(e) or type(e).__name__) from None
         if not raw:
             return None
         return json.loads(raw.decode("utf-8"))
