@@ -506,10 +506,14 @@ def bench_manhattan1m():
 
 def bench_filtered1m():
     """Metadata-filtered Flat search at headline scale: the where mask
-    intersects the kernels' validity input, so filtered throughput
-    should track unfiltered throughput (same scan, same selection);
-    the one-time cost is the O(N) host metadata walk, reported as
-    mask_build_ms. 10-way partition tags; 50% and 10% selectivity."""
+    intersects the kernels' validity input and forces the EXHAUSTIVE
+    kernel (approximate selection's per-shard winner quota can't survive
+    clustered masks — see _resolve_approx), so at Pallas scale expect
+    filtered QPS ~ the exhaustive kernel's, below the unfiltered
+    ApproxTopK speed path. The one-time cost is the O(N) host metadata
+    walk, reported as mask_build_ms (cached per clause afterwards,
+    appends extend incrementally). 10-way partition tags; 50% and 10%
+    selectivity."""
     import jax
 
     from vectorlite_tpu import FlatIndex

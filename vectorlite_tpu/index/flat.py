@@ -545,6 +545,8 @@ class FlatIndex:
             # validate (InvalidFilter) before any early return so a
             # malformed clause is always a 400, even on empty indexes
             mask, mcount, mkey = self._where_mask(where)
+            if mcount == self._count:
+                mask = None  # matches every live row: keep the fast path
         if self._count == 0:
             return [[] for _ in range(b)]
         if q.shape[1] != self.dim:
@@ -632,6 +634,8 @@ class FlatIndex:
         mask = mkey = None
         if where is not None:
             mask, mcount, mkey = self._where_mask(where)
+            if mcount == self._count:
+                mask = None  # matches every live row: keep the fast path
         if self._count == 0 or k <= 0:
             k_out = max(0, k)
             return (
@@ -742,6 +746,8 @@ class FlatIndex:
             # per their own discipline; a mid-stream mutation already
             # races the unfiltered stream the same way)
             mask, mcount, mkey = self._where_mask(where)
+            if mcount == self._count:
+                mask = None  # matches every live row: keep the fast path
         pending: deque = deque()
 
         def finish_device(q64, dev, k_eff, b):

@@ -807,6 +807,11 @@ class HNSWIndex:
         m = len(nodes)
         if m == 0 or k <= 0:
             return [[] for _ in range(b)]
+        if m == len(self._id_to_index):
+            # matches every live node: the filter is a no-op
+            return self.search_batch(
+                q, k, metric, ef=ef, use_device=use_device
+            )
         k_eff = min(k, m)
         live = len(self._id_to_index)
         ef_base = self.ef_search if ef is None else int(ef)
