@@ -264,6 +264,28 @@ class TestFlatFiltered:
             assert sorted(live.tolist()) == [3, 9]
             assert (row_ids[~np.isfinite(row_s)] == -1).all()
 
+    def test_stream_path_filtered(self, monkeypatch):
+        """search_batch_stream with a where clause: every yielded batch
+        matches the filter and agrees with the array path."""
+        monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+        idx, data, metas = _flat_corpus(n=128)
+        where = {"tag": "odd"}
+        batches = [data[:4], data[4:8]]
+        got = list(
+            idx.search_batch_stream(batches, 5, COS, where=where)
+        )
+        assert len(got) == 2
+        for (ids, scores), q in zip(got, batches):
+            ref_ids, ref_scores = idx.search_batch_arrays(
+                q, 5, COS, where=where
+            )
+            assert np.array_equal(ids, ref_ids)
+            np.testing.assert_allclose(
+                scores[np.isfinite(scores)],
+                ref_scores[np.isfinite(ref_scores)],
+                rtol=1e-9,
+            )
+
     def test_cache_invalidation_across_mutations(self):
         idx, data, metas = _flat_corpus()
         where = {"tag": "even"}
@@ -593,6 +615,28 @@ class TestHTTPFiltered:
                 "/collections/zz/vectors/0", json={"metadata": {}}
             )
             assert resp.status == 404
+
+        self._go(go)
+
+    def test_filter_stats_exposed(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/c/text",
+                json={"text": "a", "metadata": {"t": 1}},
+            )
+            for _ in range(2):
+                await tc.post(
+                    "/collections/c/search/text",
+                    json={"query": "a", "where": {"t": 1}},
+                )
+            stats = await (await tc.get("/stats")).json()
+            f = stats["filters"]
+            assert f["lookups"] >= 2
+            assert f["full_builds"] >= 1
+            assert f["cache_hits"] >= 1
 
         self._go(go)
 

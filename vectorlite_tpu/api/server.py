@@ -514,10 +514,11 @@ async def load_collection(request: web.Request) -> web.Response:
 
 async def get_stats(request: web.Request) -> web.Response:
     """Per-route latency percentiles (extension; SURVEY §5 observability)."""
-    from ..observability import coalesce_stats
+    from ..observability import coalesce_stats, filter_stats
 
     body = request.app[_STATS_KEY].snapshot()
     body["coalesce"] = coalesce_stats.snapshot()
+    body["filters"] = filter_stats.snapshot()
     autosave = request.app.get(_AUTOSAVE_KEY)
     if autosave is not None:
         body["autosave"] = autosave.stats()

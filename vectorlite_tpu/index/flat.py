@@ -889,11 +889,13 @@ class FlatIndex:
 
         Entry layout: [struct_epoch, evaluated_upto, mask, count, dev]."""
         from ..core.filter import canonicalize, compile_where
+        from ..observability import filter_stats
 
         where, key = canonicalize(where)
         ent = self._where_masks.get(key)
         if ent is not None and ent[0] == self._epoch:
             if ent[1] == self._size and len(ent[2]) == self._capacity:
+                filter_stats.record("hit")
                 return ent[2], ent[3], key
             # append-only extension: rows [upto, size) are new; prior
             # slots are immutable under this epoch. Copy-on-extend so a
@@ -906,6 +908,7 @@ class FlatIndex:
             count += int(np.count_nonzero(mask[:upto]))
             ent = [self._epoch, self._size, mask, count, None]
             self._where_masks.put(key, ent)
+            filter_stats.record("extend", self._size - upto)
             return mask, count, key
         pred = compile_where(where)
         mask = np.zeros(self._capacity, dtype=bool)
@@ -913,6 +916,7 @@ class FlatIndex:
         self._where_masks.put(
             key, [self._epoch, self._size, mask, count, None]
         )
+        filter_stats.record("build", self._size)
         return mask, count, key
 
     def _eval_mask_range(self, pred, mask, lo: int, hi: int) -> int:

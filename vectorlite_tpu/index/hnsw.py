@@ -747,14 +747,17 @@ class HNSWIndex:
 
         Entry layout: [struct_epoch, evaluated_upto, nodes, vid_set]."""
         from ..core.filter import canonicalize, compile_where
+        from ..observability import filter_stats
 
         where, key = canonicalize(where)
         ent = self._where_cache.get(key)
         if ent is not None and ent[0] == self._epoch:
             if ent[1] == self._num_nodes:
+                filter_stats.record("hit")
                 return ent[2], ent[3]
             pred = compile_where(where)
             fresh = self._match_node_range(pred, ent[1], self._num_nodes)
+            filter_stats.record("extend", self._num_nodes - ent[1])
             nodes = np.concatenate(
                 [ent[2], np.fromiter((p[0] for p in fresh), np.int64,
                                      count=len(fresh))]
@@ -773,6 +776,7 @@ class HNSWIndex:
         self._where_cache.put(
             key, [self._epoch, self._num_nodes, nodes, vids]
         )
+        filter_stats.record("build", self._num_nodes)
         return nodes, vids
 
     def _match_node_range(self, pred, lo: int, hi: int):

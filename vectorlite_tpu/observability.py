@@ -126,6 +126,49 @@ class CoalesceRecorder:
 coalesce_stats = CoalesceRecorder()
 
 
+class FilterRecorder:
+    """Counters for metadata-filtered search (core/filter.py): cache
+    hits vs incremental extensions vs full O(N) mask builds, exposed
+    under ``filters`` at ``GET /stats``. A hot clause should converge to
+    hits (or cheap extensions under steady ingestion); a rising
+    full-build count means clauses churn faster than the cache width or
+    structural mutations (delete/compact/metadata-update) dominate."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._hits = 0
+        self._extensions = 0
+        self._builds = 0
+        self._rows_walked = 0
+
+    def record(self, kind: str, rows: int = 0) -> None:
+        with self._lock:
+            if kind == "hit":
+                self._hits += 1
+            elif kind == "extend":
+                self._extensions += 1
+            else:
+                self._builds += 1
+            self._rows_walked += rows
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            total = self._hits + self._extensions + self._builds
+            if not total:
+                return {"lookups": 0}
+            return {
+                "lookups": total,
+                "cache_hits": self._hits,
+                "incremental_extensions": self._extensions,
+                "full_builds": self._builds,
+                "rows_walked": self._rows_walked,
+            }
+
+
+#: Process-wide filter-cache counters (same sharing rationale).
+filter_stats = FilterRecorder()
+
+
 @contextlib.contextmanager
 def profile_span(name: str):
     """jax.profiler trace annotation around a serving step; also starts a
