@@ -72,6 +72,15 @@ SCENARIO = [
      None, 200),
     ("POST", "/collections/{name}/compact", "/collections/nope/compact",
      None, 404),
+    # listing extension: ok, filtered, bad limit, missing collection
+    ("GET", "/collections/{name}/vectors",
+     "/collections/c/vectors?limit=2", None, 200),
+    ("GET", "/collections/{name}/vectors",
+     "/collections/c/vectors?where=%7B%22x%22%3A1%7D", None, 200),
+    ("GET", "/collections/{name}/vectors",
+     "/collections/c/vectors?limit=9999", None, 400),
+    ("GET", "/collections/{name}/vectors",
+     "/collections/nope/vectors", None, 404),
     # vectors: ok + missing
     ("GET", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/0", None, 200),

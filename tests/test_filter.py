@@ -618,6 +618,65 @@ class TestHTTPFiltered:
 
         self._go(go)
 
+    def test_list_vectors_route(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            for i in range(5):
+                await tc.post(
+                    "/collections/c/text",
+                    json={"text": f"d{i}", "metadata": {"p": i % 2}},
+                )
+            resp = await tc.get("/collections/c/vectors?limit=2&offset=1")
+            body = await resp.json()
+            assert resp.status == 200
+            assert body["total"] == 5
+            assert [v["id"] for v in body["vectors"]] == [1, 2]
+            assert body["vectors"][0]["values"] == []  # light by default
+            # filtered listing
+            resp = await tc.get(
+                '/collections/c/vectors?where={"p":1}&include_values=1'
+            )
+            body = await resp.json()
+            assert body["total"] == 2
+            assert [v["id"] for v in body["vectors"]] == [1, 3]
+            assert len(body["vectors"][0]["values"]) > 0
+            # bad where JSON / bad limit
+            resp = await tc.get("/collections/c/vectors?where=notjson")
+            assert resp.status == 400
+            resp = await tc.get("/collections/c/vectors?limit=-1")
+            assert resp.status == 400
+
+        self._go(go)
+
+    def test_list_vectors_hnsw_and_index_level(self):
+        from vectorlite_tpu.errors import VectorNotFound  # noqa: F401
+
+        rng = np.random.default_rng(3)
+        data = rng.normal(size=(10, 8))
+        idx = HNSWIndex(8, COS, seed=1)
+        idx.add_batch(
+            [
+                Vector(
+                    id=i,
+                    values=[float(x) for x in data[i]],
+                    text=f"t{i}",
+                    metadata={"p": i % 2},
+                )
+                for i in range(10)
+            ]
+        )
+        idx.delete(4)
+        page, total = idx.list_vectors(0, 100, where={"p": 0})
+        assert total == 4  # 0,2,6,8 (4 deleted)
+        assert [v.id for v in page] == [0, 2, 6, 8]
+        page, total = idx.list_vectors(1, 2)
+        assert total == 9 and [v.id for v in page] == [1, 2]
+        assert page[0].values == []
+        page, _ = idx.list_vectors(0, 1, include_values=True)
+        assert len(page[0].values) == 8
+
     def test_filter_stats_exposed(self):
         async def go(tc):
             await tc.post(

@@ -114,6 +114,10 @@ class TestRemoteLifecycle:
         assert v.text == "alpha beta" and v.metadata == {"lang": "en"}
         rc.update_metadata("docs", 0, {"lang": "fr"})
         assert rc.get_vector("docs", 0).metadata == {"lang": "fr"}
+        page, total = rc.list_vectors("docs", limit=2)
+        assert total == 3 and [v.id for v in page] == [0, 1]
+        page, total = rc.list_vectors("docs", where={"lang": "en"})
+        assert total == 1 and page[0].id == 2
         rc.delete_vector("docs", 0)
         assert rc.get_collection_info("docs")["count"] == 2
 

@@ -392,6 +392,72 @@ def _parse_vector_id(request: web.Request) -> int:
         ) from None
 
 
+async def list_vectors(request: web.Request) -> web.Response:
+    """Extension route: paged vector listing, optionally where-filtered.
+    Query params: offset (default 0), limit (default 100, max 1000),
+    include_values (0/1), where (URL-encoded JSON clause)."""
+    name = request.match_info["name"]
+
+    def int_param(key: str, default: int, lo: int, hi: int) -> int:
+        raw = request.query.get(key)
+        if raw is None:
+            return default
+        try:
+            val = int(raw)
+        except ValueError:
+            val = -1
+        if not lo <= val <= hi:
+            raise web.HTTPBadRequest(
+                text=json.dumps(
+                    {
+                        "message": (
+                            f"Query param {key} must be an integer in "
+                            f"[{lo}, {hi}]"
+                        )
+                    }
+                ),
+                content_type="application/json",
+            )
+        return val
+
+    offset = int_param("offset", 0, 0, (1 << 63) - 1)
+    limit = int_param("limit", 100, 0, 1000)
+    include_values = request.query.get("include_values", "0") in (
+        "1",
+        "true",
+    )
+    where = None
+    where_raw = request.query.get("where")
+    if where_raw is not None:
+        try:
+            where = json.loads(where_raw)
+        except json.JSONDecodeError:
+            where = "<invalid>"
+        if not isinstance(where, dict):
+            raise web.HTTPBadRequest(
+                text='{"message": "Invalid filter: where clause must be '
+                'a JSON object"}',
+                content_type="application/json",
+            )
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.list_vectors_in_collection(
+                name, offset, limit, where, include_values
+            )
+
+    vectors, total = await _blocking(request, run)
+    return web.json_response(
+        {
+            "vectors": [v.to_json() for v in vectors],
+            "total": total,
+            "offset": offset,
+            "limit": limit,
+        }
+    )
+
+
 async def get_vector(request: web.Request) -> web.Response:
     name = request.match_info["name"]
     vid = _parse_vector_id(request)
@@ -604,6 +670,7 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     # batched extensions (one device program per batch)
     app.router.add_post("/collections/{name}/texts", add_texts)
     app.router.add_post("/collections/{name}/search/texts", search_texts)
+    app.router.add_get("/collections/{name}/vectors", list_vectors)
     app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
     app.router.add_delete("/collections/{name}/vectors/{id}", delete_vector)
     app.router.add_patch(

@@ -843,6 +843,42 @@ class FlatIndex:
         self._metas[slot] = metadata
         self._epoch += 1
 
+    def list_vectors(
+        self,
+        offset: int = 0,
+        limit: int = 100,
+        where: Optional[dict] = None,
+        include_values: bool = False,
+    ) -> tuple[list[Vector], int]:
+        """Page through stored vectors in insertion (slot) order,
+        optionally restricted by a ``where`` clause (TPU-native
+        extension — the reference offers only per-id GET). Returns
+        (page, total matching count); ``include_values=False`` leaves
+        ``values`` empty so listings stay light."""
+        offset = max(0, int(offset))
+        limit = max(0, int(limit))
+        if where is not None:
+            mask, total, _ = self._where_mask(where)
+            slots = np.flatnonzero(mask)
+        else:
+            slots = np.flatnonzero(self._valid[: self._size])
+            total = int(len(slots))
+        page = slots[offset : offset + limit]
+        out = [
+            Vector(
+                id=int(self._ids[s]),
+                values=(
+                    [float(x) for x in self._values64[s]]
+                    if include_values
+                    else []
+                ),
+                text=self._texts[s] or "",
+                metadata=self._metas[s],
+            )
+            for s in page
+        ]
+        return out, total
+
     @property
     def dimension(self) -> int:
         return self.dim

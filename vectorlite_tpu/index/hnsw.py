@@ -1108,6 +1108,44 @@ class HNSWIndex:
         self._metas[vid] = metadata
         self._epoch += 1
 
+    def list_vectors(
+        self,
+        offset: int = 0,
+        limit: int = 100,
+        where: Optional[dict] = None,
+        include_values: bool = False,
+    ) -> tuple:
+        """Page through live vectors in insertion (node) order,
+        optionally where-filtered (extension; see FlatIndex.list_vectors
+        for the contract). Returns (page, total matching count)."""
+        offset = max(0, int(offset))
+        limit = max(0, int(limit))
+        if where is not None:
+            nodes, _ = self._where_nodes(where)
+            node_list = [int(n) for n in nodes]
+        else:
+            node_list = sorted(self._index_to_id)
+        total = len(node_list)
+        src = self._vecs64 if self._vecs64 is not None else self._vecs
+        out = []
+        for node in node_list[offset : offset + limit]:
+            vid = self._index_to_id.get(node)
+            if vid is None:
+                continue
+            out.append(
+                Vector(
+                    id=vid,
+                    values=(
+                        [float(x) for x in src[node]]
+                        if include_values
+                        else []
+                    ),
+                    text=self._texts.get(vid, ""),
+                    metadata=self._metas.get(vid),
+                )
+            )
+        return out, total
+
     @property
     def dimension(self) -> int:
         return self.dim

@@ -253,6 +253,36 @@ class RemoteClient:
             f"/vectors/{int(id)}",
         )
 
+    def list_vectors(
+        self,
+        collection: str,
+        offset: int = 0,
+        limit: int = 100,
+        where: Optional[dict] = None,
+        include_values: bool = False,
+    ) -> tuple[list[Vector], int]:
+        """Paged listing (extension route); returns (vectors, total)."""
+        params = {"offset": str(int(offset)), "limit": str(int(limit))}
+        if include_values:
+            params["include_values"] = "1"
+        if where is not None:
+            params["where"] = json.dumps(where)
+        out = self._request(
+            "GET",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors?{urllib.parse.urlencode(params)}",
+        )
+        vectors = [
+            Vector(
+                id=int(v["id"]),
+                values=v.get("values") or [],
+                text=v.get("text") or "",
+                metadata=v.get("metadata"),
+            )
+            for v in out["vectors"]
+        ]
+        return vectors, int(out["total"])
+
     def update_metadata(
         self, collection: str, id: int, metadata: Optional[Any]
     ) -> None:

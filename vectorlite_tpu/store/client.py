@@ -188,6 +188,20 @@ class VectorLiteClient:
         """Replace one vector's metadata (TPU-native extension)."""
         self._require(collection_name).update_metadata(id, metadata)
 
+    def list_vectors_in_collection(
+        self,
+        collection_name: str,
+        offset: int = 0,
+        limit: int = 100,
+        where: Optional[dict] = None,
+        include_values: bool = False,
+    ):
+        """Paged vector listing, optionally where-filtered (extension).
+        Returns (vectors, total_matching)."""
+        return self._require(collection_name).list_vectors(
+            offset, limit, where, include_values
+        )
+
     def get_vector_from_collection(
         self, collection_name: str, id: int
     ) -> Optional[Vector]:

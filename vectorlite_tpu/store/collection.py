@@ -214,6 +214,19 @@ class Collection:
             self._index.update_metadata(id, metadata)
         self._mutations.fetch_add(1)
 
+    def list_vectors(
+        self,
+        offset: int = 0,
+        limit: int = 100,
+        where: Optional[dict] = None,
+        include_values: bool = False,
+    ):
+        """Paged listing, optionally where-filtered (extension)."""
+        with self._lock.read():
+            return self._index.list_vectors(
+                offset, limit, where, include_values
+            )
+
     def get_vector(self, id: int) -> Optional[Vector]:
         with self._lock.read():
             return self._index.get_vector(id)
