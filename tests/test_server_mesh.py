@@ -102,3 +102,52 @@ def test_sharded_matches_single_through_http():
         assert [h["id"] for h in s_row] == [h["id"] for h in m_row]
         for s_hit, m_hit in zip(s_row, m_row):
             assert abs(s_hit["score"] - m_hit["score"]) < 1e-6
+
+
+def test_filtered_routes_on_mesh():
+    """Round-3 extensions (where filters, PATCH metadata, paged listing)
+    served from a mesh-sharded collection behave identically to the
+    single-chip suite's expectations."""
+
+    def go():
+        async def run():
+            app = create_app(make_mesh_client(MockEmbeddingFunction(24)))
+            async with TestClient(TestServer(app)) as tc:
+                await tc.post(
+                    "/collections", json={"name": "c", "index_type": "flat"}
+                )
+                await tc.post(
+                    "/collections/c/texts",
+                    json={
+                        "texts": [f"doc {i}" for i in range(12)],
+                        "metadatas": [{"p": i % 3} for i in range(12)],
+                    },
+                )
+                r = await tc.post(
+                    "/collections/c/search/text",
+                    json={"query": "doc 4", "k": 12, "where": {"p": 1}},
+                )
+                hits = (await r.json())["results"]
+                assert r.status == 200
+                assert {h["id"] for h in hits} == {1, 4, 7, 10}
+                r = await tc.patch(
+                    "/collections/c/vectors/1", json={"metadata": {"p": 9}}
+                )
+                assert r.status == 200
+                r = await tc.post(
+                    "/collections/c/search/text",
+                    json={"query": "doc 4", "k": 12, "where": {"p": 1}},
+                )
+                assert {
+                    h["id"] for h in (await r.json())["results"]
+                } == {4, 7, 10}
+                r = await tc.get(
+                    '/collections/c/vectors?where={"p":9}'
+                )
+                body = await r.json()
+                assert body["total"] == 1
+                assert body["vectors"][0]["id"] == 1
+
+        asyncio.run(run())
+
+    go()
