@@ -93,6 +93,13 @@ SCENARIO = [
      "/collections/c/vectors/0", {"wrong": 1}, 400),
     ("PATCH", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/12345", {"metadata": None}, 404),
+    # bulk delete-by-filter extension: no-match ok, missing where, 404
+    ("DELETE", "/collections/{name}/vectors",
+     "/collections/c/vectors?where=%7B%22x%22%3A1%7D", None, 200),
+    ("DELETE", "/collections/{name}/vectors",
+     "/collections/c/vectors", None, 400),
+    ("DELETE", "/collections/{name}/vectors",
+     "/collections/nope/vectors?where=%7B%7D", None, 404),
     ("DELETE", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/0", None, 200),
     ("DELETE", "/collections/{name}/vectors/{id}",

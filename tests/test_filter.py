@@ -504,6 +504,87 @@ class TestUpdateMetadata:
             idx.update_metadata(5, {})
 
 
+class TestDeleteWhere:
+    """Bulk delete by metadata filter (extension) — one mask evaluation,
+    count returned, searches/listings retarget immediately."""
+
+    def test_flat_delete_where(self):
+        idx, data, metas = _flat_corpus()
+        expect = {i for i, m in enumerate(metas) if m and m["tag"] == "odd"}
+        assert idx.delete_where({"tag": "odd"}) == len(expect)
+        assert len(idx) == 64 - len(expect)
+        for i in expect:
+            assert idx.get_vector(i) is None
+        # survivors intact, searchable, and the odd filter now matches 0
+        assert idx.get_vector(0).text == "t0"
+        assert idx.search_batch([data[1]], 5, COS, where={"tag": "odd"})[0] == []
+        res = idx.search_batch([data[2]], 5, COS)[0]
+        assert all(r.id not in expect for r in res)
+        # repeat is a no-op
+        assert idx.delete_where({"tag": "odd"}) == 0
+
+    def test_flat_delete_where_match_all_and_invalid(self):
+        from vectorlite_tpu.errors import InvalidFilter
+
+        idx, _, _ = _flat_corpus(n=16)
+        with pytest.raises(InvalidFilter):
+            idx.delete_where({"$bogus": 1})
+        assert len(idx) == 16
+        assert idx.delete_where({}) == 16  # explicit match-all
+        assert idx.is_empty()
+
+    def test_flat_delete_where_triggers_compaction(self):
+        n = 4096
+        rng = np.random.default_rng(11)
+        idx = FlatIndex(4)
+        idx.add_batch_arrays(
+            np.arange(n, dtype=np.uint64),
+            rng.normal(size=(n, 4)),
+            metadatas=[{"b": i % 4} for i in range(n)],
+        )
+        assert idx.delete_where({"b": {"$in": [0, 1, 2]}}) == 3 * n // 4
+        assert len(idx) == n // 4
+        # majority-dead corpus compacts: slot array shrank to live rows
+        assert idx._size == n // 4
+        res = idx.search_batch([np.ones(4)], 5, COS)[0]
+        assert all(idx.get_vector(r.id).metadata == {"b": 3} for r in res)
+
+    def test_hnsw_delete_where_and_compact(self):
+        rng = np.random.default_rng(13)
+        data = rng.normal(size=(40, 8))
+        idx = HNSWIndex(8, COS, seed=4)
+        idx.add_batch(
+            [
+                Vector(
+                    id=i,
+                    values=[float(x) for x in data[i]],
+                    text=f"t{i}",
+                    metadata={"g": i % 4},
+                )
+                for i in range(40)
+            ]
+        )
+        assert idx.delete_where({"g": {"$gte": 2}}) == 20
+        assert len(idx) == 20
+        assert idx.search_batch([data[2]], 10, COS, where={"g": 2})[0] == []
+        res = idx.search_batch([data[0]], 10, COS)[0]
+        assert all(r.id % 4 < 2 for r in res)
+        assert idx.delete_where({"g": {"$gte": 2}}) == 0
+        # tombstones reclaimed by compact; results unchanged
+        assert idx.compact() == 20
+        res2 = idx.search_batch([data[0]], 10, COS)[0]
+        assert {r.id for r in res2} == {r.id for r in res}
+
+    def test_collection_delete_where_bumps_mutations(self):
+        from vectorlite_tpu.store.collection import Collection
+
+        idx, _, _ = _flat_corpus(n=20)
+        c = Collection("c", idx)
+        before = c.mutation_count()
+        assert c.delete_where({"tag": "even"}) > 0
+        assert c.mutation_count() > before
+
+
 class TestMeshFiltered:
     def test_mesh_flat_filtered_matches_unsharded(self):
         import jax
@@ -574,6 +655,46 @@ class TestHTTPFiltered:
             assert resp.status == 200
             batches = (await resp.json())["results"]
             assert [{r["id"] for r in b} for b in batches] == [{2}, {2}]
+
+        self._go(go)
+
+    def test_delete_where_route(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/texts",
+                json={
+                    "texts": [f"doc {i}" for i in range(6)],
+                    "metadatas": [{"p": i % 2} for i in range(6)],
+                },
+            )
+            assert resp.status == 200
+            # where is required: a bare DELETE must never wipe
+            resp = await tc.delete("/collections/c/vectors")
+            assert resp.status == 400
+            resp = await tc.delete("/collections/c/vectors?where=[1]")
+            assert resp.status == 400
+            resp = await tc.delete('/collections/c/vectors?where={"$oops":1}')
+            assert resp.status == 400
+            resp = await tc.delete('/collections/c/vectors?where={"p":1}')
+            assert resp.status == 200
+            assert (await resp.json())["deleted"] == 3
+            resp = await tc.get("/collections/c/vectors")
+            body = await resp.json()
+            assert body["total"] == 3
+            assert {v["id"] for v in body["vectors"]} == {0, 2, 4}
+            # no matches left; unknown collection is a 404
+            resp = await tc.delete('/collections/c/vectors?where={"p":1}')
+            assert (await resp.json())["deleted"] == 0
+            resp = await tc.delete('/collections/zz/vectors?where={"p":1}')
+            assert resp.status == 404
+            # explicit match-all clears the rest
+            resp = await tc.delete("/collections/c/vectors?where={}")
+            assert (await resp.json())["deleted"] == 3
+            info = await (await tc.get("/collections/c")).json()
+            assert info["info"]["count"] == 0
 
         self._go(go)
 

@@ -121,6 +121,23 @@ class TestRemoteLifecycle:
         rc.delete_vector("docs", 0)
         assert rc.get_collection_info("docs")["count"] == 2
 
+    def test_delete_where(self, rc):
+        rc.create_collection("d", "flat")
+        rc.add_texts(
+            "d",
+            [f"text {i}" for i in range(8)],
+            metadatas=[{"bucket": i % 2} for i in range(8)],
+        )
+        assert rc.delete_where("d", {"bucket": 0}) == 4
+        assert rc.get_collection_info("d")["count"] == 4
+        _, total = rc.list_vectors("d", where={"bucket": 0})
+        assert total == 0
+        assert rc.delete_where("d", {}) == 4  # explicit clear-all
+        assert rc.get_collection_info("d")["count"] == 0
+        with pytest.raises(RemoteError) as ei:
+            rc.delete_where("missing", {"a": 1})
+        assert ei.value.status_code == 404
+
     def test_save_load_compact(self, rc, tmp_path):
         rc.create_collection("p", "flat")
         rc.add_texts("p", ["one", "two", "three"])

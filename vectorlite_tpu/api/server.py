@@ -21,6 +21,7 @@ import functools
 import json
 import logging
 from pathlib import Path
+from typing import Optional
 
 from aiohttp import web
 
@@ -392,6 +393,26 @@ def _parse_vector_id(request: web.Request) -> int:
         ) from None
 
 
+def _parse_where_param(request: web.Request) -> Optional[dict]:
+    """Decode the ``where`` query param (URL-encoded JSON clause) or
+    None when absent; 400 on anything that is not a JSON object. Deep
+    clause validation happens in core/filter.compile_where."""
+    where_raw = request.query.get("where")
+    if where_raw is None:
+        return None
+    try:
+        where = json.loads(where_raw)
+    except json.JSONDecodeError:
+        where = "<invalid>"
+    if not isinstance(where, dict):
+        raise web.HTTPBadRequest(
+            text='{"message": "Invalid filter: where clause must be '
+            'a JSON object"}',
+            content_type="application/json",
+        )
+    return where
+
+
 async def list_vectors(request: web.Request) -> web.Response:
     """Extension route: paged vector listing, optionally where-filtered.
     Query params: offset (default 0), limit (default 100, max 1000),
@@ -426,19 +447,7 @@ async def list_vectors(request: web.Request) -> web.Response:
         "1",
         "true",
     )
-    where = None
-    where_raw = request.query.get("where")
-    if where_raw is not None:
-        try:
-            where = json.loads(where_raw)
-        except json.JSONDecodeError:
-            where = "<invalid>"
-        if not isinstance(where, dict):
-            raise web.HTTPBadRequest(
-                text='{"message": "Invalid filter: where clause must be '
-                'a JSON object"}',
-                content_type="application/json",
-            )
+    where = _parse_where_param(request)
     client = request.app[_CLIENT_KEY]
 
     def run():
@@ -483,6 +492,35 @@ async def delete_vector(request: web.Request) -> web.Response:
     await _blocking(request, run)
     logger.info("Deleted vector %s from collection '%s'", vid, name)
     return web.json_response({})
+
+
+async def delete_vectors_where(request: web.Request) -> web.Response:
+    """Extension route: bulk delete by metadata filter —
+    DELETE /collections/{name}/vectors?where=<url-encoded JSON clause>.
+    ``where`` is REQUIRED so a bare DELETE on the listing URL can never
+    wipe a collection by accident; ``where={}`` is an explicit
+    clear-all. Returns {"deleted": n}."""
+    name = request.match_info["name"]
+    where = _parse_where_param(request)
+    if where is None:
+        raise web.HTTPBadRequest(
+            text='{"message": "Query param where is required '
+            '(use where={} to delete every vector)"}',
+            content_type="application/json",
+        )
+    client = request.app[_CLIENT_KEY]
+
+    # off the event loop: takes the collection WRITE lock and may
+    # trigger O(N) compaction (same contract as single-id delete)
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.delete_where_in_collection(name, where)
+
+    deleted = await _blocking(request, run)
+    logger.info(
+        "Deleted %d vectors from collection '%s' by filter", deleted, name
+    )
+    return web.json_response({"deleted": deleted})
 
 
 async def update_vector_metadata(request: web.Request) -> web.Response:
@@ -672,6 +710,7 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     app.router.add_post("/collections/{name}/search/texts", search_texts)
     app.router.add_get("/collections/{name}/vectors", list_vectors)
     app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
+    app.router.add_delete("/collections/{name}/vectors", delete_vectors_where)
     app.router.add_delete("/collections/{name}/vectors/{id}", delete_vector)
     app.router.add_patch(
         "/collections/{name}/vectors/{id}", update_vector_metadata

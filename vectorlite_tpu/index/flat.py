@@ -460,6 +460,29 @@ class FlatIndex:
         if self._size > 1024 and self._count < self._size // 2:
             self._compact()
 
+    def delete_where(self, where) -> int:
+        """Bulk-delete every live vector whose metadata matches ``where``
+        (TPU-native extension — the reference deletes only by id,
+        reference: src/index/flat.rs:93-96). One mask evaluation + one
+        vectorized clear, so deleting M of N rows is O(N) once, not M
+        id-deletes. ``{}`` is an explicit match-all (full clear); raises
+        InvalidFilter on a malformed clause. Returns the count deleted."""
+        mask, count, _ = self._where_mask(where)
+        if count == 0:
+            return 0
+        slots = np.flatnonzero(mask)
+        for s in slots:
+            self._id_to_slot.pop(int(self._ids[s]), None)
+            self._texts[s] = None
+            self._metas[s] = None
+        self._valid[slots] = False
+        self._count -= int(count)
+        self._epoch += 1
+        self._mask_dirty = True
+        if self._size > 1024 and self._count < self._size // 2:
+            self._compact()
+        return int(count)
+
     def compact(self) -> int:
         """Explicit tombstone reclamation (the automatic trigger in
         ``delete`` amortizes; this is the maintenance entry point shared

@@ -617,6 +617,28 @@ class HNSWIndex:
         self._metas.pop(vid, None)
         self._epoch += 1
 
+    def delete_where(self, where) -> int:
+        """Bulk soft-tombstone every live vector whose metadata matches
+        ``where`` (TPU-native extension — the reference deletes only by
+        id, reference: src/index/hnsw.rs:400-414). Graph nodes keep
+        routing, as with single delete; ``compact()`` reclaims them.
+        ``{}`` is an explicit match-all; raises InvalidFilter on a
+        malformed clause. Returns the count deleted."""
+        _, vids = self._where_nodes(where)
+        if not vids:
+            return 0
+        # vids is the cache entry's own set: iterate a snapshot, and the
+        # epoch bump below invalidates the (now stale) entry.
+        doomed = list(vids)
+        for vid in doomed:
+            node = self._id_to_index.pop(vid, None)
+            if node is not None:
+                self._index_to_id.pop(node, None)
+            self._texts.pop(vid, None)
+            self._metas.pop(vid, None)
+        self._epoch += 1
+        return len(doomed)
+
     def compact(self) -> int:
         """Rebuild the graph from live vectors, reclaiming tombstones.
 

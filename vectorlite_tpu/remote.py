@@ -253,6 +253,18 @@ class RemoteClient:
             f"/vectors/{int(id)}",
         )
 
+    def delete_where(self, collection: str, where: dict) -> int:
+        """Bulk delete by metadata filter (extension route). ``where``
+        is required; ``{}`` is an explicit clear-all. Returns the
+        number of vectors removed."""
+        params = urllib.parse.urlencode({"where": json.dumps(where)})
+        out = self._request(
+            "DELETE",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors?{params}",
+        )
+        return int(out["deleted"])
+
     def list_vectors(
         self,
         collection: str,

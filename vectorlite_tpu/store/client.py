@@ -182,6 +182,13 @@ class VectorLiteClient:
     def delete_from_collection(self, collection_name: str, id: int) -> None:
         self._require(collection_name).delete(id)
 
+    def delete_where_in_collection(
+        self, collection_name: str, where: dict
+    ) -> int:
+        """Bulk delete by metadata filter (TPU-native extension).
+        Returns the number of vectors removed."""
+        return self._require(collection_name).delete_where(where)
+
     def update_metadata_in_collection(
         self, collection_name: str, id: int, metadata
     ) -> None:

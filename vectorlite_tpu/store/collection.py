@@ -208,6 +208,15 @@ class Collection:
             self._index.delete(id)
         self._mutations.fetch_add(1)
 
+    def delete_where(self, where) -> int:
+        """Bulk delete by metadata filter (extension). Returns the
+        number of vectors removed; ``{}`` is an explicit match-all."""
+        with self._lock.write():
+            n = self._index.delete_where(where)
+        if n:
+            self._mutations.fetch_add(n)
+        return n
+
     def update_metadata(self, id: int, metadata) -> None:
         """Replace one vector's metadata (extension; None clears)."""
         with self._lock.write():
