@@ -36,6 +36,22 @@ class TestCollectionCrud:
         assert client.has_collection("a")
         assert not client.has_collection("c")
 
+    def test_create_with_string_index_type(self, client):
+        """SDK convenience: "flat"/"hnsw" strings parse case-insensitively
+        (a raw string must never fall through the enum identity check
+        and silently build the wrong index)."""
+        from vectorlite_tpu.errors import InvalidIndexType
+
+        client.create_collection("s1", "flat")
+        client.create_collection("s2", "HNSW", SimilarityMetric.COSINE)
+        assert client.get_collection("s1").get_info().dimension == 8
+        with client.get_collection("s1").index_read() as idx:
+            assert idx.index_type == "Flat"
+        with client.get_collection("s2").index_read() as idx:
+            assert idx.index_type == "HNSW"
+        with pytest.raises(InvalidIndexType):
+            client.create_collection("s3", "btree")
+
     def test_create_duplicate(self, client):
         client.create_collection("a", IndexType.FLAT)
         with pytest.raises(CollectionAlreadyExists):

@@ -86,6 +86,11 @@ class VectorLiteClient:
         index_type: IndexType,
         metric: Optional[SimilarityMetric] = None,
     ) -> None:
+        if isinstance(index_type, str):
+            # SDK convenience: accept "flat"/"hnsw" (case-insensitive);
+            # without this, a string would miss the identity check below
+            # and silently build the wrong index type.
+            index_type = IndexType.parse(index_type)
         if name in self._collections:
             raise CollectionAlreadyExists(name)
         dimension = self._embedding_function.dimension
