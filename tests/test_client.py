@@ -88,6 +88,27 @@ class TestTextOps:
         ]
         assert ids == [0, 1, 2, 3, 4]
 
+    def test_update_text_replaces_in_place(self, client):
+        """PUT semantics on both index types: same id, re-embedded
+        values, replaced text+metadata, next_id untouched."""
+        from vectorlite_tpu.errors import VectorNotFound
+
+        client.create_collection("f", IndexType.FLAT)
+        client.create_collection("h", IndexType.HNSW, SimilarityMetric.COSINE)
+        for c in ("f", "h"):
+            client.add_text_to_collection(c, "old text", {"rev": 1})
+            client.add_text_to_collection(c, "other")
+            client.update_text_in_collection(c, 0, "new text", {"rev": 2})
+            v = client.get_vector_from_collection(c, 0)
+            assert v.text == "new text" and v.metadata == {"rev": 2}
+            # re-embedded: searching the new text hits id 0 with ~1.0
+            hits = client.search_text_in_collection(c, "new text", 1)
+            assert hits[0].id == 0 and hits[0].score > 0.999
+            # same id space: the next insert takes id 2, not 3
+            assert client.add_text_to_collection(c, "third") == 2
+            with pytest.raises(VectorNotFound):
+                client.update_text_in_collection(c, 99, "nope")
+
     def test_failed_embed_burns_id(self):
         # reference: src/client.rs:350-353
         class FailingEmbedder:

@@ -93,6 +93,13 @@ SCENARIO = [
      "/collections/c/vectors/0", {"wrong": 1}, 400),
     ("PATCH", "/collections/{name}/vectors/{id}",
      "/collections/c/vectors/12345", {"metadata": None}, 404),
+    # full replacement extension: ok, missing text, missing vector
+    ("PUT", "/collections/{name}/vectors/{id}",
+     "/collections/c/vectors/0", {"text": "replaced"}, 200),
+    ("PUT", "/collections/{name}/vectors/{id}",
+     "/collections/c/vectors/0", {"metadata": {"no": "text"}}, 400),
+    ("PUT", "/collections/{name}/vectors/{id}",
+     "/collections/c/vectors/12345", {"text": "x"}, 404),
     # bulk delete-by-filter extension: no-match ok, missing where, 404
     ("DELETE", "/collections/{name}/vectors",
      "/collections/c/vectors?where=%7B%22x%22%3A1%7D", None, 200),

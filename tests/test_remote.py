@@ -114,8 +114,13 @@ class TestRemoteLifecycle:
         assert v.text == "alpha beta" and v.metadata == {"lang": "en"}
         rc.update_metadata("docs", 0, {"lang": "fr"})
         assert rc.get_vector("docs", 0).metadata == {"lang": "fr"}
+        rc.update_text("docs", 0, "omega", {"lang": "el"})
+        v = rc.get_vector("docs", 0)
+        assert v.text == "omega" and v.metadata == {"lang": "el"}
+        assert rc.search_text("docs", "omega", k=1)[0].id == 0
+        # update_text re-inserts, so id 0 now lists last (insertion order)
         page, total = rc.list_vectors("docs", limit=2)
-        assert total == 3 and [v.id for v in page] == [0, 1]
+        assert total == 3 and [v.id for v in page] == [1, 2]
         page, total = rc.list_vectors("docs", where={"lang": "en"})
         assert total == 1 and page[0].id == 2
         rc.delete_vector("docs", 0)

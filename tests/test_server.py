@@ -303,6 +303,59 @@ class TestVectorOps:
 
         http(go)
 
+    def test_put_replaces_vector_in_place(self):
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/c/texts",
+                json={"texts": ["alpha", "beta"],
+                      "metadatas": [{"v": 1}, {"v": 1}]},
+            )
+            resp = await tc.put(
+                "/collections/c/vectors/0",
+                json={"text": "gamma", "metadata": {"v": 2}},
+            )
+            assert resp.status == 200
+            assert (await resp.json()) == {"id": 0}
+            # same id, new text/values/metadata: a search for the new
+            # text must hit id 0 exactly (mock embeddings are
+            # text-deterministic)
+            resp = await tc.post(
+                "/collections/c/search/text", json={"query": "gamma", "k": 1}
+            )
+            hit = (await resp.json())["results"][0]
+            assert hit["id"] == 0 and hit["text"] == "gamma"
+            assert hit["metadata"] == {"v": 2} and hit["score"] > 0.999
+            # metadata omitted = cleared; count unchanged
+            resp = await tc.put(
+                "/collections/c/vectors/0", json={"text": "delta"}
+            )
+            assert resp.status == 200
+            resp = await tc.get("/collections/c/vectors/0")
+            body = (await resp.json())["vector"]
+            assert body["text"] == "delta" and body["metadata"] is None
+            info = await (await tc.get("/collections/c")).json()
+            assert info["info"]["count"] == 2
+            # missing text -> 400; absent id / collection -> 404
+            resp = await tc.put(
+                "/collections/c/vectors/0", json={"metadata": {}}
+            )
+            assert resp.status == 400
+            resp = await tc.put(
+                "/collections/c/vectors/99", json={"text": "x"}
+            )
+            assert resp.status == 404
+            resp = await tc.put(
+                "/collections/zz/vectors/0", json={"text": "x"}
+            )
+            assert resp.status == 404
+
+        http(go, VectorLiteClient(MockEmbeddingFunction(16)))
+
     def test_metadata_roundtrip(self):
         async def go(tc):
             await tc.post(

@@ -549,6 +549,28 @@ async def update_vector_metadata(request: web.Request) -> web.Response:
     return web.json_response({"id": vid})
 
 
+async def replace_vector(request: web.Request) -> web.Response:
+    """Extension route: PUT full replacement under the same id — the
+    body's "text" is re-embedded and text/values/metadata are all
+    swapped (metadata omitted = cleared; use PATCH for metadata-only).
+    404 when the id is not live."""
+    name = request.match_info["name"]
+    vid = _parse_vector_id(request)
+    body = await _json_body(request)
+    text = _require_str(body, "text")
+    metadata = body.get("metadata")
+    client = request.app[_CLIENT_KEY]
+
+    # off the event loop: embeds, then takes the collection WRITE lock
+    def run():
+        with request.app[_LOCK_KEY].read():
+            client.update_text_in_collection(name, vid, text, metadata)
+
+    await _blocking(request, run)
+    logger.info("Replaced vector %s in collection '%s'", vid, name)
+    return web.json_response({"id": vid})
+
+
 async def compact_collection(request: web.Request) -> web.Response:
     """Extension route: reclaim tombstoned slots/nodes (the reference
     leaks HNSW soft deletes forever, reference: src/index/hnsw.rs:400-414).
@@ -715,6 +737,7 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     app.router.add_patch(
         "/collections/{name}/vectors/{id}", update_vector_metadata
     )
+    app.router.add_put("/collections/{name}/vectors/{id}", replace_vector)
     app.router.add_post("/collections/{name}/compact", compact_collection)
     app.router.add_post("/collections/{name}/save", save_collection)
     app.router.add_post("/collections/load", load_collection)

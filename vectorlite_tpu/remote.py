@@ -295,6 +295,22 @@ class RemoteClient:
         ]
         return vectors, int(out["total"])
 
+    def update_text(
+        self,
+        collection: str,
+        id: int,
+        text: str,
+        metadata: Optional[Any] = None,
+    ) -> None:
+        """Re-embed + replace a vector under the same id (extension
+        route; PUT semantics — metadata replaced too, omit to clear)."""
+        self._request(
+            "PUT",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors/{int(id)}",
+            {"text": text, "metadata": metadata},
+        )
+
     def update_metadata(
         self, collection: str, id: int, metadata: Optional[Any]
     ) -> None:

@@ -194,6 +194,16 @@ class VectorLiteClient:
         Returns the number of vectors removed."""
         return self._require(collection_name).delete_where(where)
 
+    def update_text_in_collection(
+        self, collection_name: str, id: int, text: str, metadata=None
+    ) -> None:
+        """Re-embed + replace a vector in place under the same id
+        (TPU-native extension; PUT semantics — metadata is replaced
+        too, omit to clear)."""
+        self._require(collection_name).update_text(
+            id, text, self._embedding_function, metadata
+        )
+
     def update_metadata_in_collection(
         self, collection_name: str, id: int, metadata
     ) -> None:

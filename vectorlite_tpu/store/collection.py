@@ -23,7 +23,7 @@ from typing import Any, Optional, Sequence
 from ..core.metrics import SimilarityMetric
 from ..core.types import SearchResult, Vector
 from ..embed.base import EmbeddingFunction
-from ..errors import EmbeddingError, VectorLiteError
+from ..errors import EmbeddingError, VectorLiteError, VectorNotFound
 from ..observability import profile_span
 from ..utils import AtomicCounter, RWLock, env_number
 
@@ -216,6 +216,37 @@ class Collection:
         if n:
             self._mutations.fetch_add(n)
         return n
+
+    def update_text(
+        self,
+        id: int,
+        text: str,
+        embedding_function: EmbeddingFunction,
+        metadata: Optional[Any] = None,
+    ) -> None:
+        """Full in-place replacement (extension): re-embed ``text`` and
+        swap the record under the SAME id — the reference can only
+        delete + re-add, burning a new id. PUT semantics: text, values
+        AND metadata are all replaced (omit metadata to clear; use
+        update_metadata for a metadata-only patch). Raises
+        VectorNotFound when the id is not live.
+
+        Implementation is tombstone + re-insert (Flat reclaims the slot
+        at the next compaction; HNSW gets a freshly-linked node, so the
+        new embedding is properly routable — overwriting the old node's
+        vector in place would leave graph links built for the old
+        geometry). Consequence: the record moves to the END of
+        insertion order, so list_vectors pages show it last."""
+        embedding = _run_embed(embedding_function, text)  # outside lock
+        vector = Vector(
+            id=int(id), values=embedding, text=text, metadata=metadata
+        )
+        with self._lock.write(), profile_span("vectorlite.index.update"):
+            if self._index.get_vector(int(id)) is None:
+                raise VectorNotFound(int(id))
+            self._index.delete(int(id))
+            self._index.add(vector)
+        self._mutations.fetch_add(1)
 
     def update_metadata(self, id: int, metadata) -> None:
         """Replace one vector's metadata (extension; None clears)."""
