@@ -19,6 +19,14 @@ def make_client():
     return VectorLiteClient(ConstantEmbeddingFunction([1.0, 2.0, 3.0]))
 
 
+def make_text_client(dim=16):
+    """Text-deterministic mock, for tests that must distinguish
+    embeddings. Patched by test_server_mesh to return a mesh client."""
+    from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+    return VectorLiteClient(MockEmbeddingFunction(dim))
+
+
 def http(coro_fn, client=None):
     async def runner():
         app = create_app(client or make_client())
@@ -304,8 +312,6 @@ class TestVectorOps:
         http(go)
 
     def test_put_replaces_vector_in_place(self):
-        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
-
         async def go(tc):
             await tc.post(
                 "/collections", json={"name": "c", "index_type": "flat"}
@@ -354,7 +360,7 @@ class TestVectorOps:
             )
             assert resp.status == 404
 
-        http(go, VectorLiteClient(MockEmbeddingFunction(16)))
+        http(go, make_text_client())
 
     def test_metadata_roundtrip(self):
         async def go(tc):

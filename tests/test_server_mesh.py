@@ -32,6 +32,11 @@ def make_mesh_client(embedder=None):
 @pytest.fixture(autouse=True)
 def _route_suite_through_mesh(monkeypatch):
     monkeypatch.setattr(test_server, "make_client", make_mesh_client)
+    monkeypatch.setattr(
+        test_server,
+        "make_text_client",
+        lambda dim=16: make_mesh_client(MockEmbeddingFunction(dim)),
+    )
 
 
 # Inherit the entire single-chip suite; the autouse fixture swaps the
@@ -147,6 +152,30 @@ def test_filtered_routes_on_mesh():
                 body = await r.json()
                 assert body["total"] == 1
                 assert body["vectors"][0]["id"] == 1
+                # PUT replacement re-embeds on the mesh collection
+                r = await tc.put(
+                    "/collections/c/vectors/2",
+                    json={"text": "doc replaced", "metadata": {"p": 7}},
+                )
+                assert r.status == 200
+                r = await tc.post(
+                    "/collections/c/search/text",
+                    json={"query": "doc replaced", "k": 1},
+                )
+                hit = (await r.json())["results"][0]
+                assert hit["id"] == 2 and hit["metadata"] == {"p": 7}
+                # bulk delete-by-filter updates the sharded validity mask
+                r = await tc.delete(
+                    '/collections/c/vectors?where={"p":{"$in":[0,2]}}'
+                )
+                assert r.status == 200
+                assert (await r.json())["deleted"] == 7
+                r = await tc.post(
+                    "/collections/c/search/text",
+                    json={"query": "doc 4", "k": 12},
+                )
+                ids = {h["id"] for h in (await r.json())["results"]}
+                assert ids == {1, 2, 4, 7, 10}
 
         asyncio.run(run())
 
