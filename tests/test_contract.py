@@ -63,6 +63,39 @@ SCENARIO = [
      "/collections/c/search/texts", {"queries": ["a"], "k": 9999}, 400),
     ("POST", "/collections/{name}/search/texts",
      "/collections/nope/search/texts", {"queries": ["a"]}, 404),
+    # raw-vector extensions: bulk add (auto ids, explicit ids, dup id,
+    # bad values, mixed ids, missing collection)
+    ("POST", "/collections/{name}/vectors", "/collections/c/vectors",
+     {"vectors": [{"values": [1.0, 0.0, 0.0], "text": "raw"},
+                  {"values": [0.0, 1.0, 0.0], "metadata": {"x": 1}}]}, 200),
+    ("POST", "/collections/{name}/vectors", "/collections/c/vectors",
+     {"vectors": [{"values": [0.5, 0.5, 0.0], "id": 500}]}, 200),
+    ("POST", "/collections/{name}/vectors", "/collections/c/vectors",
+     {"vectors": [{"values": [0.5, 0.5, 0.0], "id": 500}]}, 409),
+    ("POST", "/collections/{name}/vectors", "/collections/c/vectors",
+     {"vectors": [{"values": ["oops", 1, 2]}]}, 400),
+    ("POST", "/collections/{name}/vectors", "/collections/c/vectors",
+     {"vectors": [{"values": [1.0, 0.0, 0.0], "id": 501},
+                  {"values": [0.0, 1.0, 0.0]}]}, 400),
+    ("POST", "/collections/{name}/vectors", "/collections/nope/vectors",
+     {"vectors": [{"values": [1.0, 2.0, 3.0]}]}, 404),
+    # raw-vector search: single + batched
+    ("POST", "/collections/{name}/search/vector",
+     "/collections/c/search/vector", {"vector": [1.0, 0.0, 0.0], "k": 2},
+     200),
+    ("POST", "/collections/{name}/search/vector",
+     "/collections/c/search/vector", {"vector": []}, 400),
+    ("POST", "/collections/{name}/search/vector",
+     "/collections/nope/search/vector", {"vector": [1.0, 0.0, 0.0]}, 404),
+    ("POST", "/collections/{name}/search/vectors",
+     "/collections/c/search/vectors",
+     {"vectors": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], "k": 1}, 200),
+    ("POST", "/collections/{name}/search/vectors",
+     "/collections/c/search/vectors", {"vectors": [[1.0], [1.0, 2.0]]},
+     400),
+    ("POST", "/collections/{name}/search/vectors",
+     "/collections/nope/search/vectors", {"vectors": [[1.0, 0.0, 0.0]]},
+     404),
     # observability extensions
     ("GET", "/stats", "/stats", None, 200),
     ("POST", "/debug/trace", "/debug/trace", None, 400),  # env unset

@@ -143,6 +143,35 @@ class TestRemoteLifecycle:
             rc.delete_where("missing", {"a": 1})
         assert ei.value.status_code == 404
 
+    def test_raw_vectors(self, rc):
+        rc.create_collection("raw", "flat")
+        ids = rc.add_vectors(
+            "raw",
+            [[1, 0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0, 0]],
+            texts=["a", "b"],
+            metadatas=[{"m": 1}, None],
+        )
+        assert ids == [0, 1]
+        # explicit ids bump the counter past their max
+        assert rc.add_vectors(
+            "raw", [[0, 0, 1, 0, 0, 0, 0, 0]], ids=[50]
+        ) == [50]
+        assert rc.add_text("raw", "later") == 51
+        hits = rc.search_vector("raw", [1, 0, 0, 0, 0, 0, 0, 0], k=1)
+        assert hits[0].id == 0 and hits[0].metadata == {"m": 1}
+        rows = rc.search_vectors(
+            "raw",
+            [[0, 1, 0, 0, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0, 0, 0]],
+            k=1,
+        )
+        assert [r[0].id for r in rows] == [1, 50]
+        with pytest.raises(RemoteError) as ei:
+            rc.add_vectors("raw", [[1, 0, 0, 0, 0, 0, 0, 0]], ids=[50])
+        assert ei.value.status_code == 409
+        with pytest.raises(RemoteError) as ei:
+            rc.search_vector("raw", [1.0, 2.0], k=1)
+        assert ei.value.status_code == 400
+
     def test_save_load_compact(self, rc, tmp_path):
         rc.create_collection("p", "flat")
         rc.add_texts("p", ["one", "two", "three"])

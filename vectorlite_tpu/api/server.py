@@ -371,6 +371,203 @@ async def search_texts(request: web.Request) -> web.Response:
     )
 
 
+def _parse_number_array(value, field: str) -> list[float]:
+    """A JSON array of finite numbers (serde Vec<f64> semantics: bools,
+    strings, nulls, and NaN/Infinity — which Python's json parser
+    accepts but serde_json rejects — are all 400s, not coercions)."""
+    import math
+
+    if (
+        not isinstance(value, list)
+        or not value
+        or any(
+            isinstance(x, bool) or not isinstance(x, (int, float))
+            for x in value
+        )
+    ):
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"message": f"Field {field} must be a non-empty array "
+                 "of numbers"}
+            ),
+            content_type="application/json",
+        )
+    if any(not math.isfinite(x) for x in value):
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"message": f"Field {field} must contain only finite "
+                 "numbers"}
+            ),
+            content_type="application/json",
+        )
+    return [float(x) for x in value]
+
+
+def _reject_ragged(rows: list, field: str) -> None:
+    if rows and any(len(r) != len(rows[0]) for r in rows):
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"message": f"All {field} must share one dimension"}
+            ),
+            content_type="application/json",
+        )
+
+
+async def add_vectors(request: web.Request) -> web.Response:
+    """Extension route: bulk insert of PRECOMPUTED embeddings — no
+    embedder in the loop. Body: {"vectors": [{"values": [...],
+    "text"?, "metadata"?, "id"?}, ...]} (the Vector record shape).
+    Explicit ids are all-or-none per request and must be fresh u64s
+    (409 on reuse). Returns {"ids": [...]}."""
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    vectors = _require_field(body, "vectors")
+    if not isinstance(vectors, list) or not all(
+        isinstance(v, dict) for v in vectors
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field vectors must be a list of objects"}',
+            content_type="application/json",
+        )
+    rows: list[list[float]] = []
+    texts: list[str] = []
+    metadatas: list = []
+    ids: list = []
+    for i, v in enumerate(vectors):
+        if "values" not in v:
+            raise web.HTTPBadRequest(
+                text=json.dumps(
+                    {"message": f"Missing required field: "
+                     f"vectors[{i}].values"}
+                ),
+                content_type="application/json",
+            )
+        rows.append(_parse_number_array(v["values"], f"vectors[{i}].values"))
+        text = v.get("text", "")
+        if text is None:
+            text = ""
+        if not isinstance(text, str):
+            raise web.HTTPBadRequest(
+                text=json.dumps(
+                    {"message": f"Field vectors[{i}].text must be a string"}
+                ),
+                content_type="application/json",
+            )
+        texts.append(text)
+        metadatas.append(v.get("metadata"))
+        vid = v.get("id")
+        if vid is not None and (
+            isinstance(vid, bool)
+            or not isinstance(vid, int)
+            or vid < 0
+            or vid >= 1 << 64
+        ):
+            raise web.HTTPBadRequest(
+                text=json.dumps(
+                    {"message": f"Field vectors[{i}].id must be a u64 "
+                     "integer"}
+                ),
+                content_type="application/json",
+            )
+        ids.append(vid)
+    _reject_ragged(rows, "vectors[i].values")
+    if any(i is None for i in ids):
+        if any(i is not None for i in ids):
+            raise web.HTTPBadRequest(
+                text='{"message": "Either every vector must carry an id '
+                'or none"}',
+                content_type="application/json",
+            )
+        ids = None
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.add_vectors_to_collection(
+                name, rows, texts, metadatas, ids
+            )
+
+    try:
+        out_ids = await _blocking(request, run)
+    except ValueError as e:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"message": str(e)}),
+            content_type="application/json",
+        ) from None
+    logger.info(
+        "Added %d precomputed vectors to collection '%s'", len(out_ids), name
+    )
+    return web.json_response({"ids": out_ids})
+
+
+async def search_vector(request: web.Request) -> web.Response:
+    """Extension route: search by one raw query vector (the reference
+    only exposes this at the library level, src/lib.rs:293-298).
+    Body: {"vector": [...], "k"?, "similarity_metric"?, "where"?}."""
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    query = _parse_number_array(_require_field(body, "vector"), "vector")
+    k = _parse_k(body)
+    metric = _parse_search_metric(body)
+    where = _parse_where(body)
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.search_vector_in_collection(
+                name, query, k, metric, where=where
+            )
+
+    try:
+        results = await _blocking(request, run)
+    except ValueError as e:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"message": str(e)}),
+            content_type="application/json",
+        ) from None
+    return web.json_response({"results": [r.to_json() for r in results]})
+
+
+async def search_vectors(request: web.Request) -> web.Response:
+    """Extension route: batched raw-vector search — the whole query
+    batch rides one device program. Body: {"vectors": [[...], ...],
+    "k"?, "similarity_metric"?, "where"?}."""
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    raw = _require_field(body, "vectors")
+    if not isinstance(raw, list) or not raw:
+        raise web.HTTPBadRequest(
+            text='{"message": "Field vectors must be a non-empty list '
+            'of arrays"}',
+            content_type="application/json",
+        )
+    queries = [
+        _parse_number_array(q, f"vectors[{i}]") for i, q in enumerate(raw)
+    ]
+    _reject_ragged(queries, "vectors")
+    k = _parse_k(body)
+    metric = _parse_search_metric(body)
+    where = _parse_where(body)
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.search_vectors_in_collection(
+                name, queries, k, metric, where=where
+            )
+
+    try:
+        batches = await _blocking(request, run)
+    except ValueError as e:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"message": str(e)}),
+            content_type="application/json",
+        ) from None
+    return web.json_response(
+        {"results": [[r.to_json() for r in batch] for batch in batches]}
+    )
+
+
 def _parse_vector_id(request: web.Request) -> int:
     """Vector ids are u64 in the reference (Path<u64>, src/server.rs),
     so a negative or > 2^64-1 path segment is a parse reject (400),
@@ -730,6 +927,10 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     # batched extensions (one device program per batch)
     app.router.add_post("/collections/{name}/texts", add_texts)
     app.router.add_post("/collections/{name}/search/texts", search_texts)
+    # raw-vector extensions (precomputed embeddings in, vector queries in)
+    app.router.add_post("/collections/{name}/vectors", add_vectors)
+    app.router.add_post("/collections/{name}/search/vector", search_vector)
+    app.router.add_post("/collections/{name}/search/vectors", search_vectors)
     app.router.add_get("/collections/{name}/vectors", list_vectors)
     app.router.add_get("/collections/{name}/vectors/{id}", get_vector)
     app.router.add_delete("/collections/{name}/vectors", delete_vectors_where)

@@ -187,6 +187,85 @@ class RemoteClient:
         )
         return [int(i) for i in out["ids"]]
 
+    def add_vectors(
+        self,
+        collection: str,
+        values: Sequence[Sequence[float]],
+        texts: Optional[Sequence[str]] = None,
+        metadatas: Optional[Sequence[Any]] = None,
+        ids: Optional[Sequence[int]] = None,
+    ) -> list[int]:
+        """Bulk insert of precomputed embeddings (extension route: no
+        embedder in the loop). Explicit ``ids`` are all-or-none and
+        must be fresh u64s (RemoteError 409 on reuse)."""
+        vectors = []
+        for i, row in enumerate(values):
+            v: dict = {"values": [float(x) for x in row]}
+            if texts is not None and texts[i]:
+                v["text"] = texts[i]
+            if metadatas is not None and metadatas[i] is not None:
+                v["metadata"] = metadatas[i]
+            if ids is not None:
+                v["id"] = int(ids[i])
+            vectors.append(v)
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/vectors",
+            {"vectors": vectors},
+        )
+        return [int(i) for i in out["ids"]]
+
+    def search_vector(
+        self,
+        collection: str,
+        vector: Sequence[float],
+        k: int = 10,
+        similarity_metric=None,
+        where: Optional[dict] = None,
+    ) -> list[SearchResult]:
+        """Search by one raw query vector (extension route)."""
+        body: dict = {"vector": [float(x) for x in vector], "k": int(k)}
+        metric = _metric_str(similarity_metric)
+        if metric is not None:
+            body["similarity_metric"] = metric
+        if where is not None:
+            body["where"] = where
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/search/vector",
+            body,
+        )
+        return [_result(r) for r in out["results"]]
+
+    def search_vectors(
+        self,
+        collection: str,
+        vectors: Sequence[Sequence[float]],
+        k: int = 10,
+        similarity_metric=None,
+        where: Optional[dict] = None,
+    ) -> list[list[SearchResult]]:
+        """Batched raw-vector search (extension route: one device
+        program for the whole batch)."""
+        body: dict = {
+            "vectors": [[float(x) for x in q] for q in vectors],
+            "k": int(k),
+        }
+        metric = _metric_str(similarity_metric)
+        if metric is not None:
+            body["similarity_metric"] = metric
+        if where is not None:
+            body["where"] = where
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/search/vectors",
+            body,
+        )
+        return [[_result(r) for r in row] for row in out["results"]]
+
     def search_text(
         self,
         collection: str,

@@ -147,6 +147,53 @@ class VectorLiteClient:
             texts, self._embedding_function, metadatas
         )
 
+    def add_vectors_to_collection(
+        self,
+        collection_name: str,
+        values,
+        texts=None,
+        metadatas=None,
+        ids=None,
+    ) -> list[int]:
+        """Bulk insert of precomputed embeddings (TPU-native extension;
+        no embedder in the loop). Explicit ``ids`` must be fresh u64s
+        and advance the collection's id counter past their max."""
+        return self._require(collection_name).add_vectors(
+            values, texts, metadatas, ids
+        )
+
+    def search_vector_in_collection(
+        self,
+        collection_name: str,
+        query,
+        k: int,
+        similarity_metric: Optional[SimilarityMetric] = None,
+        where: Optional[dict] = None,
+    ) -> list[SearchResult]:
+        """Search by one raw query vector (TPU-native extension)."""
+        return self.search_vectors_in_collection(
+            collection_name, [query], k, similarity_metric, where=where
+        )[0]
+
+    def search_vectors_in_collection(
+        self,
+        collection_name: str,
+        queries,
+        k: int,
+        similarity_metric: Optional[SimilarityMetric] = None,
+        where: Optional[dict] = None,
+    ) -> list[list[SearchResult]]:
+        """Batched search by raw query vectors (TPU-native extension).
+        Metric auto-detect matches text search: HNSW -> its metric,
+        Flat -> cosine (reference: src/client.rs:143-155)."""
+        collection = self._require(collection_name)
+        metric = (
+            similarity_metric
+            if similarity_metric is not None
+            else collection.detected_metric()
+        )
+        return collection.search_vectors(queries, k, metric, where=where)
+
     def search_text_in_collection(
         self,
         collection_name: str,

@@ -140,6 +140,85 @@ class Collection:
             self._mutations.fetch_add(1)
         return ids
 
+    def add_vectors(
+        self,
+        values,
+        texts: Optional[Sequence[str]] = None,
+        metadatas: Optional[Sequence[Any]] = None,
+        ids: Optional[Sequence[int]] = None,
+    ) -> list[int]:
+        """Bulk insert of PRECOMPUTED embeddings (extension): no embedder
+        in the loop. The reference only offers this at the library level
+        by hand-building ``Vector`` records against ``VectorIndex::add``
+        (reference: src/lib.rs:224-245, the pattern its own integration
+        test uses at tests/integration_test.rs:39-66); here it is a
+        first-class Collection/HTTP path so exports, migrations from
+        other engines, and re-ingestion skip the embedder entirely.
+
+        ``ids=None`` allocates from the atomic counter (same semantics
+        as text adds); explicit ids must be fresh u64s
+        (DuplicateVectorId on reuse) and push the counter past their
+        max so later auto ids never collide. All-or-nothing: validation
+        failures leave the index untouched. Returns the assigned ids.
+        """
+        values = _as_matrix(values, self._index.dimension, "values")
+        n = int(values.shape[0])
+        if ids is None:
+            int_ids = [self._next_id.fetch_add(1) for _ in range(n)]
+        else:
+            int_ids = [int(i) for i in ids]
+            for vid in int_ids:
+                if vid < 0 or vid >= 1 << 64:
+                    raise ValueError(
+                        f"vector id {vid} is outside the u64 range"
+                    )
+        with self._lock.write(), profile_span("vectorlite.index.add_batch"):
+            if hasattr(self._index, "add_batch_arrays"):
+                self._index.add_batch_arrays(int_ids, values, texts, metadatas)
+            else:
+                if texts is not None and len(texts) != n:
+                    raise ValueError(
+                        f"ids/texts length mismatch: {n} ids, "
+                        f"{len(texts)} texts"
+                    )
+                if metadatas is not None and len(metadatas) != n:
+                    raise ValueError(
+                        f"ids/metadatas length mismatch: {n} ids, "
+                        f"{len(metadatas)} metadatas"
+                    )
+                for i, vid in enumerate(int_ids):
+                    self._index.add(
+                        Vector(
+                            id=vid,
+                            values=values[i],
+                            text=texts[i] if texts is not None else "",
+                            metadata=(
+                                metadatas[i] if metadatas is not None else None
+                            ),
+                        )
+                    )
+        if ids is not None and int_ids:
+            self._next_id.bump_to(max(int_ids) + 1)
+        if int_ids:
+            self._mutations.fetch_add(1)
+        return int_ids
+
+    def search_vectors(
+        self,
+        queries,
+        k: int,
+        metric: SimilarityMetric,
+        where: Optional[dict] = None,
+    ) -> list[list[SearchResult]]:
+        """Search by RAW query vectors, batched (extension): the
+        reference exposes ``VectorIndex::search(&[f64], k)`` only at the
+        library level (reference: src/lib.rs:293-298); here precomputed
+        queries ride the same batched device program as text search,
+        with the same metric/filter semantics."""
+        queries = _as_matrix(queries, self._index.dimension, "queries")
+        with self._lock.read(), profile_span("vectorlite.index.search_batch"):
+            return self._index.search_batch(queries, k, metric, where=where)
+
     def search_text(
         self,
         query_text: str,
@@ -328,6 +407,29 @@ class _IndexReadGuard:
 
     def __exit__(self, *exc):
         return self._cm.__exit__(*exc)
+
+
+def _as_matrix(values, dim: int, field: str):
+    """Coerce raw-vector input to a finite f64 [B, D] matrix; ValueError
+    (HTTP 400) on ragged/non-numeric/non-finite input. An empty batch
+    normalizes to shape (0, dim) so downstream width checks don't trip.
+    Width mismatches against a NON-empty index are left to the index's
+    own DimensionMismatch check, which carries the canonical message."""
+    import numpy as np
+
+    try:
+        values = np.asarray(values, dtype=np.float64)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{field} must be a rectangular numeric [B, D] matrix"
+        ) from None
+    if values.size == 0:
+        return values.reshape(0, dim)
+    if values.ndim != 2:
+        raise ValueError(f"{field} must be a [B, D] matrix")
+    if not np.all(np.isfinite(values)):
+        raise ValueError(f"{field} must contain only finite numbers")
+    return values
 
 
 def _run_embed(embedding_function: EmbeddingFunction, text: str) -> list:

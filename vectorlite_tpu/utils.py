@@ -68,6 +68,15 @@ class AtomicCounter:
         with self._lock:
             return self._value
 
+    def bump_to(self, floor: int) -> None:
+        """Raise the counter to at least ``floor`` (fetch_max semantics).
+        Used after inserts with caller-chosen explicit ids so later
+        auto-allocated ids can never collide with them."""
+        floor = int(floor)
+        with self._lock:
+            if self._value < floor:
+                self._value = floor
+
 
 def env_number(name: str, default, cast=int):
     """Parse a numeric env override, falling back on absence or garbage.
