@@ -96,6 +96,80 @@ class TestAddVectorsSDK:
         with pytest.raises(CollectionNotFound):
             client.add_vectors_to_collection("nope", [_unit(0)])
 
+    def test_zero_width_rows_rejected(self, client):
+        # a batch of B empty rows must error, not silently insert nothing
+        client.create_collection("c", IndexType.FLAT)
+        with pytest.raises(ValueError):
+            client.add_vectors_to_collection("c", [[], []], texts=["a", "b"])
+        assert client.get_collection_info("c").count == 0
+
+    def test_float_ids_rejected_not_truncated(self, client):
+        client.create_collection("c", IndexType.FLAT)
+        with pytest.raises(ValueError):
+            client.add_vectors_to_collection("c", [_unit(0)], ids=[5.5])
+        assert client.get_collection_info("c").count == 0
+        # np.integer is fine
+        ids = client.add_vectors_to_collection(
+            "c", [_unit(0)], ids=[np.int64(5)]
+        )
+        assert ids == [5]
+
+    def test_ids_rows_mismatch(self, client):
+        client.create_collection("c", IndexType.FLAT)
+        with pytest.raises(ValueError):
+            client.add_vectors_to_collection(
+                "c", [_unit(0), _unit(1)], ids=[1]
+            )
+        with pytest.raises(ValueError):
+            client.add_vectors_to_collection("c", [_unit(0)], ids=[1, 2])
+        assert client.get_collection_info("c").count == 0
+
+    def test_failed_explicit_insert_still_burns_id_range(self, client):
+        # ids are burned BEFORE the insert (same semantics as text adds,
+        # reference: src/client.rs:350-353) so a concurrent auto-id add
+        # can never be handed a colliding id mid-flight
+        client.create_collection("c", IndexType.FLAT)
+        with pytest.raises(DimensionMismatch):
+            client.add_vectors_to_collection(
+                "c", [[1.0, 2.0, 3.0]], ids=[100]
+            )
+        assert client.add_text_to_collection("c", "after") == 101
+
+    def test_generic_index_fallback_is_all_or_nothing(self, client):
+        # an index without add_batch_arrays (third-party VectorIndex
+        # implementations) must get the same all-or-nothing validation
+        from vectorlite_tpu.index.flat import FlatIndex
+        from vectorlite_tpu.store.collection import Collection
+
+        class MinimalIndex:
+            """Protocol-only index: delegates to Flat, hides the batch API."""
+
+            def __init__(self, dim):
+                self._f = FlatIndex(dim)
+                self.dimension = dim
+
+            def __getattr__(self, name):
+                if name == "add_batch_arrays":
+                    raise AttributeError(name)
+                return getattr(self._f, name)
+
+            def __len__(self):
+                return len(self._f)
+
+        col = Collection("m", MinimalIndex(DIM))
+        col.add_vectors([_unit(0)], ids=[3])
+        with pytest.raises(DuplicateVectorId):
+            # 2nd row collides with the stored id: NOTHING may land
+            col.add_vectors([_unit(1), _unit(2)], ids=[4, 3])
+        assert col.get_vector(4) is None
+        with pytest.raises(DuplicateVectorId):
+            # in-batch duplicate
+            col.add_vectors([_unit(1), _unit(2)], ids=[5, 5])
+        assert col.get_vector(5) is None
+        with pytest.raises(ValueError):
+            col.add_vectors([_unit(1), _unit(2)], texts=["only-one"])
+        assert len(col.list_vectors()[0]) == 1
+
     def test_hnsw_add_and_search(self, client):
         client.create_collection(
             "h", IndexType.HNSW, SimilarityMetric.EUCLIDEAN
@@ -174,6 +248,15 @@ class TestSearchVectorsSDK:
             client.search_vector_in_collection("c", [float("inf")] * DIM, 1)
         with pytest.raises(DimensionMismatch):
             client.search_vector_in_collection("c", [1.0, 2.0], 1)
+
+    def test_empty_query_vector_is_value_error(self, client):
+        # must be ValueError, not IndexError from an empty batch
+        client.create_collection("c", IndexType.FLAT)
+        client.add_vectors_to_collection("c", [_unit(0)])
+        with pytest.raises(ValueError):
+            client.search_vector_in_collection("c", [], 3)
+        with pytest.raises(ValueError):
+            client.search_vectors_in_collection("c", [[], []], 3)
 
     def test_empty_index_search_is_empty(self, client):
         # reference quirk: dim check only applies when non-empty

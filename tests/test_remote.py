@@ -171,6 +171,11 @@ class TestRemoteLifecycle:
         with pytest.raises(RemoteError) as ei:
             rc.search_vector("raw", [1.0, 2.0], k=1)
         assert ei.value.status_code == 400
+        # client-side validation: clear errors before any request is sent
+        with pytest.raises(ValueError):
+            rc.add_vectors("raw", [[1, 0], [0, 1]], texts=["only-one"])
+        with pytest.raises(ValueError):
+            rc.add_vectors("raw", [[1, 0]], ids=[5.5])
 
     def test_save_load_compact(self, rc, tmp_path):
         rc.create_collection("p", "flat")

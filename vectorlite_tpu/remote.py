@@ -18,6 +18,7 @@ except-clause across local and remote clients.
 from __future__ import annotations
 
 import json
+import operator
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -198,6 +199,15 @@ class RemoteClient:
         """Bulk insert of precomputed embeddings (extension route: no
         embedder in the loop). Explicit ``ids`` are all-or-none and
         must be fresh u64s (RemoteError 409 on reuse)."""
+        values = [list(row) for row in values]
+        n = len(values)
+        for name, seq in (("texts", texts), ("metadatas", metadatas),
+                          ("ids", ids)):
+            if seq is not None and len(seq) != n:
+                raise ValueError(
+                    f"values/{name} length mismatch: {n} rows, "
+                    f"{len(seq)} {name}"
+                )
         vectors = []
         for i, row in enumerate(values):
             v: dict = {"values": [float(x) for x in row]}
@@ -206,7 +216,18 @@ class RemoteClient:
             if metadatas is not None and metadatas[i] is not None:
                 v["metadata"] = metadatas[i]
             if ids is not None:
-                v["id"] = int(ids[i])
+                vid = ids[i]
+                # strict: int(5.5) would silently truncate client-side;
+                # __index__ accepts int/np.integer, rejects float/bool
+                if isinstance(vid, bool):
+                    raise ValueError("vector ids must be integers, got bool")
+                try:
+                    v["id"] = operator.index(vid)
+                except TypeError:
+                    raise ValueError(
+                        f"vector ids must be integers, got "
+                        f"{type(vid).__name__}"
+                    ) from None
             vectors.append(v)
         out = self._request(
             "POST",

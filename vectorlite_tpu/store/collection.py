@@ -161,31 +161,59 @@ class Collection:
         max so later auto ids never collide. All-or-nothing: validation
         failures leave the index untouched. Returns the assigned ids.
         """
+        import numpy as np
+
         values = _as_matrix(values, self._index.dimension, "values")
         n = int(values.shape[0])
         if ids is None:
             int_ids = [self._next_id.fetch_add(1) for _ in range(n)]
         else:
-            int_ids = [int(i) for i in ids]
-            for vid in int_ids:
+            int_ids = []
+            for i in ids:
+                # strict: a float id would silently truncate (5.5 -> 5)
+                if isinstance(i, bool) or not isinstance(
+                    i, (int, np.integer)
+                ):
+                    raise ValueError(
+                        "vector ids must be integers, got "
+                        f"{type(i).__name__}"
+                    )
+                vid = int(i)
                 if vid < 0 or vid >= 1 << 64:
                     raise ValueError(
                         f"vector id {vid} is outside the u64 range"
                     )
+                int_ids.append(vid)
+            if len(int_ids) != n:
+                raise ValueError(
+                    f"ids/values row mismatch: {len(int_ids)} ids, {n} rows"
+                )
+            if int_ids:
+                # burn the id range BEFORE inserting (same semantics as
+                # text adds, reference: src/client.rs:350-353): bumping
+                # after the write lock dropped would let a concurrent
+                # auto-id add allocate a colliding id and fail with a
+                # spurious DuplicateVectorId
+                self._next_id.bump_to(max(int_ids) + 1)
         with self._lock.write(), profile_span("vectorlite.index.add_batch"):
             if hasattr(self._index, "add_batch_arrays"):
                 self._index.add_batch_arrays(int_ids, values, texts, metadatas)
             else:
-                if texts is not None and len(texts) != n:
-                    raise ValueError(
-                        f"ids/texts length mismatch: {n} ids, "
-                        f"{len(texts)} texts"
-                    )
-                if metadatas is not None and len(metadatas) != n:
-                    raise ValueError(
-                        f"ids/metadatas length mismatch: {n} ids, "
-                        f"{len(metadatas)} metadatas"
-                    )
+                # generic-protocol fallback: run the SAME all-or-nothing
+                # validation the array path gets from validate_batch_arrays
+                # before any mutation (in-tree indexes never take this
+                # branch; third-party VectorIndex implementations do)
+                from ..index.base import validate_batch_arrays
+
+                existing = {
+                    vid
+                    for vid in int_ids
+                    if self._index.get_vector(vid) is not None
+                }
+                validate_batch_arrays(
+                    int_ids, values, self._index.dimension, existing,
+                    texts=texts, metadatas=metadatas,
+                )
                 for i, vid in enumerate(int_ids):
                     self._index.add(
                         Vector(
@@ -197,8 +225,6 @@ class Collection:
                             ),
                         )
                     )
-        if ids is not None and int_ids:
-            self._next_id.bump_to(max(int_ids) + 1)
         if int_ids:
             self._mutations.fetch_add(1)
         return int_ids
@@ -423,10 +449,14 @@ def _as_matrix(values, dim: int, field: str):
         raise ValueError(
             f"{field} must be a rectangular numeric [B, D] matrix"
         ) from None
-    if values.size == 0:
+    if values.ndim == 1 and values.size == 0:
+        # genuinely empty batch ([] / shape (0,)); NOT (B, 0) — a batch
+        # of B zero-length rows must error below, not silently vanish
         return values.reshape(0, dim)
     if values.ndim != 2:
         raise ValueError(f"{field} must be a [B, D] matrix")
+    if values.shape[0] > 0 and values.shape[1] == 0:
+        raise ValueError(f"{field} rows must be non-empty")
     if not np.all(np.isfinite(values)):
         raise ValueError(f"{field} must contain only finite numbers")
     return values
