@@ -717,6 +717,107 @@ class TestBatchedEndpoints:
         http(go)
 
 
+class TestRawVectorEndpoints:
+    """Raw-vector extension routes: bulk precomputed-embedding insert +
+    search-by-vector. Uses the module factory so test_server_mesh can
+    route the whole class through the 8-device sharded client."""
+
+    def test_add_and_search_roundtrip(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "r", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/r/vectors",
+                json={
+                    "vectors": [
+                        {"values": [1.0, 0.0, 0.0], "text": "a",
+                         "metadata": {"i": 0}},
+                        {"values": [0.0, 1.0, 0.0], "text": "b"},
+                        {"values": [0.0, 0.0, 1.0]},
+                    ]
+                },
+            )
+            assert resp.status == 200
+            assert (await resp.json())["ids"] == [0, 1, 2]
+            resp = await tc.post(
+                "/collections/r/search/vector",
+                json={"vector": [0.0, 1.0, 0.0], "k": 1},
+            )
+            assert resp.status == 200
+            hit = (await resp.json())["results"][0]
+            assert hit["id"] == 1 and hit["text"] == "b"
+            resp = await tc.post(
+                "/collections/r/search/vectors",
+                json={"vectors": [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]],
+                      "k": 1},
+            )
+            assert resp.status == 200
+            rows = (await resp.json())["results"]
+            assert [row[0]["id"] for row in rows] == [2, 0]
+            # where filter rides the same path
+            resp = await tc.post(
+                "/collections/r/search/vector",
+                json={"vector": [0.0, 1.0, 0.0], "k": 3,
+                      "where": {"i": 0}},
+            )
+            assert [h["id"] for h in (await resp.json())["results"]] == [0]
+
+        http(go)
+
+    def test_explicit_ids_and_conflicts(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "r", "index_type": "flat"}
+            )
+            body = {"vectors": [{"values": [0.5, 0.5, 0.0], "id": 77}]}
+            resp = await tc.post("/collections/r/vectors", json=body)
+            assert resp.status == 200
+            assert (await resp.json())["ids"] == [77]
+            resp = await tc.post("/collections/r/vectors", json=body)
+            assert resp.status == 409
+            # auto ids continue past the explicit max
+            resp = await tc.post(
+                "/collections/r/vectors",
+                json={"vectors": [{"values": [0.0, 1.0, 0.0]}]},
+            )
+            assert (await resp.json())["ids"] == [78]
+            resp = await tc.get("/collections/r/vectors/77")
+            assert resp.status == 200
+            got = (await resp.json())["vector"]
+            assert got["values"] == [0.5, 0.5, 0.0]
+
+        http(go)
+
+    def test_validation_statuses(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "r", "index_type": "flat"}
+            )
+            for body in (
+                {"vectors": "nope"},
+                {"vectors": [{"text": "no values"}]},
+                {"vectors": [{"values": [1, "x", 3]}]},
+                {"vectors": [{"values": [1, 2, 3], "id": 1},
+                             {"values": [1, 2, 3]}]},  # mixed ids
+                {"vectors": [{"values": [1, 2]}, {"values": [1, 2, 3]}]},
+            ):
+                resp = await tc.post("/collections/r/vectors", json=body)
+                assert resp.status == 400, body
+                assert "message" in (await resp.json())
+            resp = await tc.post(
+                "/collections/r/search/vector", json={"vector": []}
+            )
+            assert resp.status == 400
+            resp = await tc.post(
+                "/collections/nope/search/vectors",
+                json={"vectors": [[1.0, 2.0, 3.0]]},
+            )
+            assert resp.status == 404
+
+        http(go)
+
+
 def test_flat_with_metric_allowed():
     # reference: metric is optional and unused for Flat collections
     async def go(tc):

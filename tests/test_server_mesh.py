@@ -57,6 +57,10 @@ class TestBatchedEndpointsMesh(test_server.TestBatchedEndpoints):
     pass
 
 
+class TestRawVectorEndpointsMesh(test_server.TestRawVectorEndpoints):
+    pass
+
+
 def test_mesh_env_var_wires_through(monkeypatch):
     monkeypatch.setenv("VECTORLITE_MESH", "8")
     cfg = VectorLiteConfig.from_env()
