@@ -98,6 +98,7 @@ SCENARIO = [
      404),
     # observability extensions
     ("GET", "/stats", "/stats", None, 200),
+    ("GET", "/metrics", "/metrics", None, 200),
     ("POST", "/debug/trace", "/debug/trace", None, 400),  # env unset
     ("GET", "/openapi.yaml", "/openapi.yaml", None, 200),
     # compact extension

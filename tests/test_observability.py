@@ -79,3 +79,79 @@ class TestProfileSpan:
             "vectorlite.index.add",
         ):
             assert f'profile_span("{span}"' in src, span
+
+
+class TestPrometheusExposition:
+    def test_render_format_and_escaping(self):
+        from vectorlite_tpu.observability import render_prometheus
+
+        rec = LatencyRecorder()
+        rec.record('POST /collections/{name}/search/text', 0.002)
+        rec.record('POST /collections/{name}/search/text', 0.004, ok=False)
+        text = render_prometheus(
+            rec.snapshot(),
+            {"batches": 3, "requests": 9},
+            {"cache_hits": 5, "incremental_extensions": 1, "full_builds": 2},
+            {'we"ird\nname': 7, "plain": 0},
+            {"saves": 4, "failures": 0, "last_flush_ts": 1700000000.0},
+        )
+        lines = text.splitlines()
+        assert ('vectorlite_requests_total{route="POST /collections/{name}'
+                '/search/text"} 2') in lines
+        assert ('vectorlite_request_errors_total{route="POST /collections/'
+                '{name}/search/text"} 1') in lines
+        # quantile gauges in seconds
+        assert any(
+            line.startswith("vectorlite_request_latency_seconds{")
+            and 'quantile="0.5"' in line and line.endswith("0.004000")
+            for line in lines
+        )
+        # label escaping: quote and newline
+        assert (
+            'vectorlite_collection_vectors{collection="we\\"ird\\nname"} 7'
+            in lines
+        )
+        assert "vectorlite_collections 2" in lines
+        assert "vectorlite_coalesce_requests_total 9" in lines
+        assert 'vectorlite_filter_cache_lookups_total{result="hit"} 5' in lines
+        assert "vectorlite_autosave_saves_total 4" in lines
+        # every metric has HELP+TYPE heads, no stray blank lines
+        names = {
+            line.split("{")[0].split(" ")[0]
+            for line in lines
+            if line and not line.startswith("#")
+        }
+        for n in names:
+            assert any(
+                line.startswith(f"# TYPE {n} ") for line in lines
+            ), n
+        assert "" not in lines and text.endswith("\n")
+
+    def test_http_scrape(self):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.api.server import create_app
+        from vectorlite_tpu.embed.mock import ConstantEmbeddingFunction
+
+        async def go():
+            app = create_app(
+                VectorLiteClient(ConstantEmbeddingFunction([1.0, 2.0]))
+            )
+            async with TestClient(TestServer(app)) as tc:
+                await tc.post(
+                    "/collections", json={"name": "m", "index_type": "flat"}
+                )
+                await tc.post(
+                    "/collections/m/text", json={"text": "hello"}
+                )
+                resp = await tc.get("/metrics")
+                assert resp.status == 200
+                assert "text/plain" in resp.headers["Content-Type"]
+                body = await resp.text()
+                assert 'vectorlite_collection_vectors{collection="m"} 1' in body
+                assert "vectorlite_requests_total" in body
+
+        asyncio.run(go())

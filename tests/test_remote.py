@@ -79,6 +79,9 @@ class TestRemoteLifecycle:
     def test_health_and_stats(self, rc):
         assert rc.health()["status"] == "healthy"
         assert isinstance(rc.stats(), dict)
+        metrics = rc.metrics()
+        assert isinstance(metrics, str)
+        assert "vectorlite_collections" in metrics
 
     def test_collection_crud(self, rc):
         rc.create_collection("a", "flat")

@@ -848,6 +848,35 @@ async def get_stats(request: web.Request) -> web.Response:
     return web.json_response(body)
 
 
+async def get_metrics(request: web.Request) -> web.Response:
+    """Prometheus text-format scrape endpoint (extension; the reference
+    has logs only, SURVEY §5). Same counters as /stats plus live
+    per-collection gauges."""
+    from ..observability import (
+        coalesce_stats,
+        filter_stats,
+        render_prometheus,
+    )
+
+    client = request.app[_CLIENT_KEY]
+    with request.app[_LOCK_KEY].read():
+        collections = {
+            name: client.get_collection_info(name).count
+            for name in client.list_collections()
+        }
+    autosave = request.app.get(_AUTOSAVE_KEY)
+    body = render_prometheus(
+        request.app[_STATS_KEY].snapshot(),
+        coalesce_stats.snapshot(),
+        filter_stats.snapshot(),
+        collections,
+        autosave.stats() if autosave is not None else None,
+    )
+    return web.Response(
+        text=body, content_type="text/plain", charset="utf-8"
+    )
+
+
 async def debug_trace(request: web.Request) -> web.Response:
     """Capture a jax.profiler device trace (extension; gated by env)."""
     import os
@@ -916,6 +945,7 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
         app.on_cleanup.append(_stop_autosave)
     app.router.add_get("/openapi.yaml", openapi_spec)
     app.router.add_get("/stats", get_stats)
+    app.router.add_get("/metrics", get_metrics)
     app.router.add_post("/debug/trace", debug_trace)
     app.router.add_get("/health", health_check)
     app.router.add_get("/collections", list_collections)

@@ -169,6 +169,119 @@ class FilterRecorder:
 filter_stats = FilterRecorder()
 
 
+def _prom_escape(value: str) -> str:
+    """Escape a Prometheus label value (text exposition format 0.0.4):
+    backslash, double-quote, and newline."""
+    return (
+        value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
+
+
+def render_prometheus(
+    latency: dict,
+    coalesce: dict,
+    filters: dict,
+    collections: dict[str, int],
+    autosave: "dict | None" = None,
+) -> str:
+    """Render the /stats counters in the Prometheus text exposition
+    format (extension; the reference has logs only, SURVEY §5). Inputs
+    are the snapshot() dicts so one lock acquisition feeds both /stats
+    and /metrics. Latency quantiles are exported as gauges (the ring
+    keeps no running sum, so a true summary type would be misleading)."""
+    lines: list[str] = []
+
+    def head(name: str, mtype: str, help_: str) -> None:
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+
+    head("vectorlite_requests_total", "counter",
+         "HTTP requests served, by route")
+    for route, s in sorted(latency.items()):
+        lines.append(
+            f'vectorlite_requests_total{{route="{_prom_escape(route)}"}} '
+            f'{s["count"]}'
+        )
+    head("vectorlite_request_errors_total", "counter",
+         "HTTP 5xx responses, by route")
+    for route, s in sorted(latency.items()):
+        lines.append(
+            "vectorlite_request_errors_total"
+            f'{{route="{_prom_escape(route)}"}} {s["errors"]}'
+        )
+    head("vectorlite_request_latency_seconds", "gauge",
+         "Sliding-window latency quantiles, by route")
+    for route, s in sorted(latency.items()):
+        r = _prom_escape(route)
+        for q, key in (("0.5", "p50_ms"), ("0.99", "p99_ms")):
+            lines.append(
+                "vectorlite_request_latency_seconds"
+                f'{{route="{r}",quantile="{q}"}} {s[key] / 1e3:.6f}'
+            )
+    head("vectorlite_request_latency_seconds_max", "gauge",
+         "All-time max request latency, by route")
+    for route, s in sorted(latency.items()):
+        lines.append(
+            "vectorlite_request_latency_seconds_max"
+            f'{{route="{_prom_escape(route)}"}} {s["max_ms"] / 1e3:.6f}'
+        )
+
+    head("vectorlite_collections", "gauge", "Registered collections")
+    lines.append(f"vectorlite_collections {len(collections)}")
+    head("vectorlite_collection_vectors", "gauge",
+         "Live vectors per collection")
+    for name, count in sorted(collections.items()):
+        lines.append(
+            "vectorlite_collection_vectors"
+            f'{{collection="{_prom_escape(name)}"}} {count}'
+        )
+
+    head("vectorlite_coalesce_batches_total", "counter",
+         "Coalesced search dispatches")
+    lines.append(
+        f"vectorlite_coalesce_batches_total {coalesce.get('batches', 0)}"
+    )
+    head("vectorlite_coalesce_requests_total", "counter",
+         "Single-query searches that rode a coalesced dispatch")
+    lines.append(
+        f"vectorlite_coalesce_requests_total {coalesce.get('requests', 0)}"
+    )
+
+    head("vectorlite_filter_cache_lookups_total", "counter",
+         "Metadata-filter mask lookups, by outcome")
+    for label, key in (
+        ("hit", "cache_hits"),
+        ("extend", "incremental_extensions"),
+        ("build", "full_builds"),
+    ):
+        lines.append(
+            "vectorlite_filter_cache_lookups_total"
+            f'{{result="{label}"}} {filters.get(key, 0)}'
+        )
+
+    if autosave is not None:
+        head("vectorlite_autosave_saves_total", "counter",
+             "Autosave snapshot writes")
+        lines.append(
+            f"vectorlite_autosave_saves_total {autosave.get('saves', 0)}"
+        )
+        head("vectorlite_autosave_failures_total", "counter",
+             "Autosave snapshot failures")
+        lines.append(
+            "vectorlite_autosave_failures_total "
+            f"{autosave.get('failures', 0)}"
+        )
+        ts = autosave.get("last_flush_ts")
+        if ts:
+            head("vectorlite_autosave_last_flush_timestamp_seconds",
+                 "gauge", "Unix time of the last completed flush")
+            lines.append(
+                "vectorlite_autosave_last_flush_timestamp_seconds "
+                f"{ts:.3f}"
+            )
+    return "\n".join(lines) + "\n"
+
+
 @contextlib.contextmanager
 def profile_span(name: str):
     """jax.profiler trace annotation around a serving step; also starts a

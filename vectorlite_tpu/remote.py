@@ -92,7 +92,12 @@ class RemoteClient:
     # ------------------------------------------------------------ plumbing
 
     def _request(
-        self, method: str, path: str, body: Optional[dict] = None
+        self,
+        method: str,
+        path: str,
+        body: Optional[dict] = None,
+        *,
+        raw: bool = False,
     ) -> Any:
         url = self.base_url + path
         data = None
@@ -107,13 +112,13 @@ class RemoteClient:
 
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                raw = resp.read()
+                raw_body = resp.read()
         except urllib.error.HTTPError as e:
-            raw = e.read()
+            err_body = e.read()
             try:
-                message = json.loads(raw.decode("utf-8"))["message"]
+                message = json.loads(err_body.decode("utf-8"))["message"]
             except Exception:
-                message = raw.decode("utf-8", "replace") or str(e)
+                message = err_body.decode("utf-8", "replace") or str(e)
             raise RemoteError(e.code, message) from None
         except urllib.error.URLError as e:
             raise RemoteConnectionError(str(e.reason)) from None
@@ -121,9 +126,11 @@ class RemoteClient:
             # mid-body failures (read timeout, reset, IncompleteRead)
             # surface after urlopen returned — same transport contract
             raise RemoteConnectionError(str(e) or type(e).__name__) from None
-        if not raw:
+        if raw:
+            return raw_body.decode("utf-8")
+        if not raw_body:
             return None
-        return json.loads(raw.decode("utf-8"))
+        return json.loads(raw_body.decode("utf-8"))
 
     # --------------------------------------------------------- collections
 
@@ -453,3 +460,7 @@ class RemoteClient:
 
     def stats(self) -> dict:
         return self._request("GET", "/stats")
+
+    def metrics(self) -> str:
+        """Prometheus text-format exposition (extension route)."""
+        return self._request("GET", "/metrics", raw=True)
