@@ -818,6 +818,23 @@ class TestRawVectorEndpoints:
         http(go)
 
 
+def test_body_size_limit_is_canonical_413(monkeypatch):
+    """Over-size bodies must be a 413 with the {"message": ...} shape,
+    not a misleading 400 "Invalid JSON body"; VECTORLITE_MAX_BODY_MB
+    configures the cap (default 256 MiB — bulk routes carry multi-MB
+    JSON)."""
+    monkeypatch.setenv("VECTORLITE_MAX_BODY_MB", "0.001")
+
+    async def go(tc):
+        resp = await tc.post(
+            "/collections/c/texts", json={"texts": ["x" * 10000]}
+        )
+        assert resp.status == 413
+        assert "too large" in (await resp.json())["message"]
+
+    http(go)
+
+
 def test_flat_with_metric_allowed():
     # reference: metric is optional and unused for Flat collections
     async def go(tc):

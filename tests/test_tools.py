@@ -1,0 +1,183 @@
+"""JSONL import/export tools (vectorlite_tpu/tools.py).
+
+Productizes the reference's hand-rolled dataset loader
+(reference: tests/integration_test.rs:20-36) in both directions, local
+(.vlc) and remote (raw-vector HTTP routes).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from vectorlite_tpu.store.collection import Collection
+from vectorlite_tpu.tools import export_jsonl, import_jsonl, main
+
+DIM = 6
+
+
+def _write_jsonl(path, rows):
+    with path.open("w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+def _dataset(n, with_ids=True, field="embedding"):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        emb = rng.standard_normal(DIM)
+        emb /= np.linalg.norm(emb)
+        row = {"text": f"doc {i}", field: [float(x) for x in emb]}
+        if with_ids:
+            row["id"] = i * 10
+        if i % 2 == 0:
+            row["metadata"] = {"even": True}
+        rows.append(row)
+    return rows
+
+
+class TestLocalVlc:
+    def test_roundtrip_with_explicit_ids(self, tmp_path):
+        src = tmp_path / "in.jsonl"
+        rows = _dataset(25)
+        _write_jsonl(src, rows)
+        vlc = tmp_path / "out.vlc"
+        n = import_jsonl(str(src), "ds", vlc=str(vlc), batch_size=8)
+        assert n == 25
+
+        col = Collection.load_from_file(vlc)
+        assert col.get_info().count == 25
+        v = col.get_vector(240)
+        assert v.text == "doc 24" and v.metadata == {"even": True}
+        # file ids preserved; next_id past the max
+        assert col.next_id() == 241
+
+        out = tmp_path / "out.jsonl"
+        m = export_jsonl(str(out), "ds", vlc=str(vlc), batch_size=7)
+        assert m == 25
+        got = [json.loads(line) for line in out.read_text().splitlines()]
+        assert [g["id"] for g in got] == [r["id"] for r in rows]
+        assert got[3]["text"] == "doc 3"
+        np.testing.assert_allclose(
+            got[3]["embedding"], rows[3]["embedding"], rtol=0, atol=0
+        )
+        assert "metadata" not in got[3] and got[4]["metadata"] == {
+            "even": True
+        }
+
+    def test_auto_ids_when_file_has_none(self, tmp_path):
+        src = tmp_path / "in.jsonl"
+        _write_jsonl(src, _dataset(5, with_ids=False))
+        vlc = tmp_path / "out.vlc"
+        import_jsonl(str(src), "ds", vlc=str(vlc))
+        col = Collection.load_from_file(vlc)
+        assert sorted(v.id for v in col.list_vectors(0, 100)[0]) == list(
+            range(5)
+        )
+
+    def test_values_field_fallback(self, tmp_path):
+        src = tmp_path / "in.jsonl"
+        _write_jsonl(src, _dataset(3, field="values"))
+        vlc = tmp_path / "out.vlc"
+        assert import_jsonl(str(src), "ds", vlc=str(vlc)) == 3
+
+    def test_append(self, tmp_path):
+        src1, src2 = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+        _write_jsonl(src1, _dataset(4, with_ids=False))
+        _write_jsonl(
+            src2,
+            [{"text": "late", "embedding": [1.0] + [0.0] * (DIM - 1)}],
+        )
+        vlc = tmp_path / "out.vlc"
+        import_jsonl(str(src1), "ds", vlc=str(vlc))
+        import_jsonl(str(src2), "ds", vlc=str(vlc), append=True)
+        col = Collection.load_from_file(vlc)
+        assert col.get_info().count == 5
+        assert col.get_vector(4).text == "late"
+
+    def test_mixed_ids_rejected(self, tmp_path):
+        src = tmp_path / "in.jsonl"
+        rows = _dataset(3)
+        del rows[2]["id"]
+        _write_jsonl(src, rows)
+        with pytest.raises(ValueError, match="all-or-none"):
+            import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"),
+                         batch_size=2)
+
+    def test_malformed_line_has_lineno(self, tmp_path):
+        src = tmp_path / "in.jsonl"
+        src.write_text('{"embedding": [1, 2]}\nnot json\n')
+        with pytest.raises(ValueError, match=":2:"):
+            import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"))
+        src.write_text('{"text": "no embedding"}\n')
+        with pytest.raises(ValueError, match="embedding"):
+            import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"))
+
+    def test_url_xor_vlc(self, tmp_path):
+        with pytest.raises(ValueError):
+            import_jsonl("x.jsonl", "ds")
+        with pytest.raises(ValueError):
+            export_jsonl("x.jsonl", "ds", url="http://x", vlc="y.vlc")
+
+
+class TestCli:
+    def test_import_export_via_main(self, tmp_path, capsys):
+        src = tmp_path / "in.jsonl"
+        _write_jsonl(src, _dataset(10))
+        vlc = tmp_path / "c.vlc"
+        assert main([
+            "import", str(src), "-c", "ds", "--vlc", str(vlc),
+            "--batch", "4",
+        ]) == 0
+        assert "imported 10 records" in capsys.readouterr().out
+        out = tmp_path / "out.jsonl"
+        assert main(["export", str(out), "-c", "ds", "--vlc", str(vlc)]) == 0
+        assert "exported 10 records" in capsys.readouterr().out
+        assert len(out.read_text().splitlines()) == 10
+
+
+class TestRemote:
+    def test_remote_import_export(self, tmp_path):
+        from test_remote import _ServerThread
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(DIM)))
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            src = tmp_path / "in.jsonl"
+            rows = _dataset(12)
+            _write_jsonl(src, rows)
+            n = import_jsonl(str(src), "ds", url=url, batch_size=5)
+            assert n == 12
+
+            out = tmp_path / "out.jsonl"
+            m = export_jsonl(str(out), "ds", url=url, batch_size=5)
+            assert m == 12
+            got = [json.loads(line) for line in out.read_text().splitlines()]
+            assert [g["id"] for g in got] == [r["id"] for r in rows]
+            np.testing.assert_allclose(
+                got[0]["embedding"], rows[0]["embedding"], atol=1e-12
+            )
+        finally:
+            srv.stop()
+
+    def test_remote_dim_mismatch_fails_fast(self, tmp_path):
+        from test_remote import _ServerThread
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+        from vectorlite_tpu.remote import RemoteClient
+
+        # server embedder is 16-d; the dataset is 6-d: one clear error,
+        # and the auto-created collection must not be left behind
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(16)))
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            src = tmp_path / "in.jsonl"
+            _write_jsonl(src, _dataset(3))
+            with pytest.raises(ValueError, match="dimension is 16"):
+                import_jsonl(str(src), "ds", url=url)
+            assert not RemoteClient(url).has_collection("ds")
+        finally:
+            srv.stop()

@@ -96,6 +96,18 @@ async def error_middleware(request: web.Request, handler):
 async def _json_body(request: web.Request) -> dict:
     try:
         body = await request.json()
+    except web.HTTPRequestEntityTooLarge:
+        # keep the 413 (don't mislabel an over-size body as bad JSON),
+        # but give it the canonical {"message": ...} shape
+        raise web.HTTPRequestEntityTooLarge(
+            max_size=getattr(request, "_client_max_size", 0),
+            actual_size=request.content_length or 0,
+            text=json.dumps(
+                {"message": "Request body too large (raise "
+                 "VECTORLITE_MAX_BODY_MB or shrink the batch)"}
+            ),
+            content_type="application/json",
+        ) from None
     except Exception:  # noqa: BLE001
         raise web.HTTPBadRequest(
             text='{"message": "Invalid JSON body"}',
@@ -932,7 +944,15 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     /stats, /debug/trace, and /openapi.yaml extensions. ``autosave`` is
     an optional started ``store.autosave.AutosaveDaemon``; the app owns
     its shutdown (final flush) and surfaces its counters at /stats."""
-    app = web.Application(middlewares=[error_middleware])
+    # bulk routes (/texts, /vectors) carry multi-MB JSON bodies; aiohttp's
+    # 1 MiB default would bounce them. VECTORLITE_MAX_BODY_MB overrides.
+    from ..utils import env_number
+
+    max_body_mb = env_number("VECTORLITE_MAX_BODY_MB", 256, float)
+    app = web.Application(
+        middlewares=[error_middleware],
+        client_max_size=int(max_body_mb * 1024**2),
+    )
     app[_CLIENT_KEY] = client
     app[_LOCK_KEY] = RWLock()
     app[_STATS_KEY] = LatencyRecorder()

@@ -1,0 +1,350 @@
+"""JSONL dataset import/export tools.
+
+The reference's integration test hand-rolls a loader for a JSONL file of
+precomputed embeddings (``{"id", "text", "embedding": [...]}`` per line,
+reference: tests/integration_test.rs:20-36) directly against the library.
+This module productizes that workflow in both directions:
+
+* ``import_jsonl`` streams a JSONL file into a collection — either a
+  local ``.vlc`` snapshot (no server, no embedder needed) or a running
+  server over the raw-vector HTTP route (``RemoteClient.add_vectors``) —
+  in batches, so multi-GB datasets never materialize in memory.
+* ``export_jsonl`` writes a collection back out as JSONL (same record
+  shape), paging through the listing route / index.
+
+CLI::
+
+    python -m vectorlite_tpu.tools import data.jsonl -c docs --vlc out.vlc
+    python -m vectorlite_tpu.tools import data.jsonl -c docs \
+        --url http://127.0.0.1:3001
+    python -m vectorlite_tpu.tools export out.jsonl -c docs --vlc in.vlc
+    python -m vectorlite_tpu.tools export out.jsonl -c docs --url ...
+
+Field names are configurable (``--id-field/--text-field/
+--embedding-field/--metadata-field``); the embedding field defaults to
+``embedding`` with a fallback to ``values`` (both shapes exist in the
+wild). If the first record carries an id every record must (explicit-id
+ingestion keeps the file's ids); otherwise ids are auto-allocated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+from typing import Iterator, Optional
+
+__all__ = ["import_jsonl", "export_jsonl", "main"]
+
+_DEFAULT_BATCH = 1024
+
+
+def _iter_records(
+    path: Path,
+    *,
+    id_field: str,
+    text_field: str,
+    embedding_field: Optional[str],
+    metadata_field: str,
+) -> Iterator[tuple]:
+    """Yield ``(id_or_None, values, text, metadata)`` per JSONL line.
+    Blank lines are skipped; malformed lines raise ValueError with the
+    1-based line number."""
+    with path.open("r", encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"{path}:{lineno}: invalid JSON: {e}") from None
+            if not isinstance(row, dict):
+                raise ValueError(f"{path}:{lineno}: expected a JSON object")
+            if embedding_field is not None:
+                values = row.get(embedding_field)
+            else:
+                values = row.get("embedding", row.get("values"))
+            if not isinstance(values, list) or not values:
+                raise ValueError(
+                    f"{path}:{lineno}: missing/empty embedding field"
+                )
+            vid = row.get(id_field)
+            text = row.get(text_field, "")
+            if text is None:
+                text = ""
+            yield vid, values, str(text), row.get(metadata_field)
+
+
+def _batches(records, batch_size: int):
+    ids: list = []
+    values: list = []
+    texts: list = []
+    metas: list = []
+    for vid, vals, text, meta in records:
+        ids.append(vid)
+        values.append(vals)
+        texts.append(text)
+        metas.append(meta)
+        if len(ids) >= batch_size:
+            yield ids, values, texts, metas
+            ids, values, texts, metas = [], [], [], []
+    if ids:
+        yield ids, values, texts, metas
+
+
+class _LocalTarget:
+    """A collection inside a .vlc snapshot: created fresh (Flat) or
+    appended to, saved atomically on close."""
+
+    def __init__(self, vlc_path: Path, collection: str, append: bool):
+        from .store.collection import Collection
+
+        self._path = vlc_path
+        if append and vlc_path.exists():
+            self._col = Collection.load_from_file(vlc_path)
+        else:
+            self._col = None  # created lazily once the dimension is known
+        self._name = collection
+
+    def add(self, ids, values, texts, metas) -> list[int]:
+        if self._col is None:
+            from .index.flat import FlatIndex
+            from .store.collection import Collection
+
+            self._col = Collection(self._name, FlatIndex(len(values[0])))
+        return self._col.add_vectors(values, texts, metas, ids)
+
+    def finish(self) -> None:
+        if self._col is not None:
+            self._col.save_to_file(self._path)
+
+    def page(self, offset: int, limit: int):
+        vectors, total = self._col.list_vectors(
+            offset, limit, include_values=True
+        )
+        return vectors, total
+
+    @classmethod
+    def for_export(cls, vlc_path: Path, collection: str) -> "_LocalTarget":
+        from .store.collection import Collection
+
+        t = cls.__new__(cls)
+        t._path = vlc_path
+        t._col = Collection.load_from_file(vlc_path)
+        t._name = collection
+        return t
+
+
+class _RemoteTarget:
+    """A collection on a running server, over the raw-vector routes."""
+
+    def __init__(self, url: str, collection: str, create: bool):
+        from .remote import RemoteClient
+
+        self._rc = RemoteClient(url)
+        self._name = collection
+        self._create = create
+        self._checked = False
+
+    def _ensure(self, dim: int) -> None:
+        """Fail fast on a dimension mismatch: a server collection's width
+        comes from ITS embedder (reference: src/client.rs:88), so a
+        dataset of a different width could never insert — surface that
+        as one clear error instead of a per-batch rejection, and don't
+        leave behind an auto-created collection that can't take the data."""
+        if self._rc.has_collection(self._name):
+            got = int(self._rc.get_collection_info(self._name)["dimension"])
+            if got != dim:
+                raise ValueError(
+                    f"collection '{self._name}' has dimension {got} but "
+                    f"the dataset rows have {dim}"
+                )
+            return
+        if not self._create:
+            return  # let the server 404 with its canonical message
+        self._rc.create_collection(self._name, "flat")
+        got = int(self._rc.get_collection_info(self._name)["dimension"])
+        if got != dim:
+            self._rc.delete_collection(self._name)
+            raise ValueError(
+                f"the server's embedder dimension is {got} but the dataset "
+                f"rows have {dim}; create collection '{self._name}' against "
+                "a matching embedder first"
+            )
+
+    def add(self, ids, values, texts, metas) -> list[int]:
+        if not self._checked:
+            self._ensure(len(values[0]))
+            self._checked = True
+        return self._rc.add_vectors(self._name, values, texts, metas, ids)
+
+    def finish(self) -> None:
+        pass
+
+    def page(self, offset: int, limit: int):
+        return self._rc.list_vectors(
+            self._name, offset, limit, include_values=True
+        )
+
+
+def import_jsonl(
+    file: str,
+    collection: str,
+    *,
+    url: Optional[str] = None,
+    vlc: Optional[str] = None,
+    append: bool = False,
+    batch_size: int = _DEFAULT_BATCH,
+    id_field: str = "id",
+    text_field: str = "text",
+    embedding_field: Optional[str] = None,
+    metadata_field: str = "metadata",
+    progress=None,
+) -> int:
+    """Stream a JSONL file of precomputed embeddings into ``collection``.
+    Exactly one of ``url`` (running server) or ``vlc`` (snapshot file)
+    must be given. Returns the number of records imported."""
+    if (url is None) == (vlc is None):
+        raise ValueError("exactly one of url= or vlc= is required")
+    target = (
+        _RemoteTarget(url, collection, create=True)
+        if url is not None
+        else _LocalTarget(Path(vlc), collection, append)
+    )
+    records = _iter_records(
+        Path(file),
+        id_field=id_field,
+        text_field=text_field,
+        embedding_field=embedding_field,
+        metadata_field=metadata_field,
+    )
+    total = 0
+    explicit: Optional[bool] = None
+    for ids, values, texts, metas in _batches(records, batch_size):
+        if explicit is None:
+            # all-or-none: the file's first record decides whether the
+            # dataset keeps its own ids (then every record needs one)
+            explicit = ids[0] is not None
+        if explicit and any(i is None for i in ids):
+            raise ValueError(
+                "record missing an id after earlier records carried ids "
+                "(explicit ids are all-or-none)"
+            )
+        target.add(ids if explicit else None, values, texts, metas)
+        total += len(values)
+        if progress:
+            progress(total)
+    target.finish()
+    return total
+
+
+def export_jsonl(
+    file: str,
+    collection: str,
+    *,
+    url: Optional[str] = None,
+    vlc: Optional[str] = None,
+    batch_size: int = _DEFAULT_BATCH,
+    progress=None,
+) -> int:
+    """Write ``collection`` out as JSONL (``{"id", "text", "embedding",
+    "metadata"?}`` per line, insertion order). Returns the record count."""
+    if (url is None) == (vlc is None):
+        raise ValueError("exactly one of url= or vlc= is required")
+    target = (
+        _RemoteTarget(url, collection, create=False)
+        if url is not None
+        else _LocalTarget.for_export(Path(vlc), collection)
+    )
+    out_path = Path(file)
+    total = 0
+    with out_path.open("w", encoding="utf-8") as out:
+        offset = 0
+        while True:
+            vectors, _ = target.page(offset, batch_size)
+            if not vectors:
+                break
+            for v in vectors:
+                row = {
+                    "id": v.id,
+                    "text": v.text,
+                    "embedding": [float(x) for x in v.values],
+                }
+                if v.metadata is not None:
+                    row["metadata"] = v.metadata
+                out.write(json.dumps(row) + "\n")
+            total += len(vectors)
+            offset += len(vectors)
+            if progress:
+                progress(total)
+    return total
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m vectorlite_tpu.tools",
+        description="JSONL dataset import/export for vectorlite-tpu",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, help_ in (
+        ("import", "stream a JSONL file into a collection"),
+        ("export", "write a collection out as JSONL"),
+    ):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("file", help="JSONL file path")
+        p.add_argument("-c", "--collection", required=True)
+        group = p.add_mutually_exclusive_group(required=True)
+        group.add_argument("--url", help="running server base URL")
+        group.add_argument("--vlc", help=".vlc snapshot path (no server)")
+        p.add_argument("--batch", type=int, default=_DEFAULT_BATCH)
+        if name == "import":
+            p.add_argument(
+                "--append", action="store_true",
+                help="append to an existing .vlc instead of replacing",
+            )
+            p.add_argument("--id-field", default="id")
+            p.add_argument("--text-field", default="text")
+            p.add_argument(
+                "--embedding-field", default=None,
+                help="default: 'embedding', falling back to 'values'",
+            )
+            p.add_argument("--metadata-field", default="metadata")
+    args = parser.parse_args(argv)
+
+    def progress(n, _last=[0]):
+        if n - _last[0] >= 10 * args.batch:
+            _last[0] = n
+            print(f"  ... {n} records", file=sys.stderr)
+
+    if args.cmd == "import":
+        n = import_jsonl(
+            args.file,
+            args.collection,
+            url=args.url,
+            vlc=args.vlc,
+            append=args.append,
+            batch_size=args.batch,
+            id_field=args.id_field,
+            text_field=args.text_field,
+            embedding_field=args.embedding_field,
+            metadata_field=args.metadata_field,
+            progress=progress,
+        )
+        print(f"imported {n} records into '{args.collection}'")
+    else:
+        n = export_jsonl(
+            args.file,
+            args.collection,
+            url=args.url,
+            vlc=args.vlc,
+            batch_size=args.batch,
+            progress=progress,
+        )
+        print(f"exported {n} records from '{args.collection}'")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
