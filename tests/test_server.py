@@ -835,6 +835,26 @@ def test_body_size_limit_is_canonical_413(monkeypatch):
     http(go)
 
 
+def test_body_size_limit_invalid_env_falls_back(monkeypatch):
+    """aiohttp treats client_max_size=0 as *unlimited* and a negative
+    cap 413s every request with a body; neither is a sane reading of
+    VECTORLITE_MAX_BODY_MB=0/-1, so non-positive values fall back to
+    the 256 MiB default (loudly, via a warning log)."""
+    for bad in ("0", "-1"):
+        monkeypatch.setenv("VECTORLITE_MAX_BODY_MB", bad)
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            resp = await tc.post(
+                "/collections/c/texts", json={"texts": ["x" * 10000]}
+            )
+            assert resp.status == 200  # normal body accepted
+
+        http(go)
+
+
 def test_flat_with_metric_allowed():
     # reference: metric is optional and unused for Flat collections
     async def go(tc):

@@ -181,3 +181,90 @@ class TestRemote:
             assert not RemoteClient(url).has_collection("ds")
         finally:
             srv.stop()
+
+    def test_default_batch_size_survives_server_limit_cap(self, tmp_path):
+        """The listing route rejects (not clamps) limit > 1000; the
+        remote export pager must clamp _DEFAULT_BATCH=1024 itself or the
+        documented default command fails with a 400."""
+        from test_remote import _ServerThread
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(DIM)))
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            src = tmp_path / "in.jsonl"
+            _write_jsonl(src, _dataset(7))
+            import_jsonl(str(src), "ds", url=url)  # default batch
+            out = tmp_path / "out.jsonl"
+            assert export_jsonl(str(out), "ds", url=url) == 7  # default
+            assert len(out.read_text().splitlines()) == 7
+        finally:
+            srv.stop()
+
+    def test_failed_export_preserves_existing_file(self, tmp_path):
+        """A re-run that fails early (missing collection here) must not
+        truncate the previous export: writes go to a tmp file that is
+        atomically renamed only on success."""
+        from test_remote import _ServerThread
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+        from vectorlite_tpu.remote import RemoteError
+
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(DIM)))
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            out = tmp_path / "backup.jsonl"
+            out.write_text("precious old backup\n")
+            with pytest.raises(RemoteError):
+                export_jsonl(str(out), "missing-collection", url=url)
+            assert out.read_text() == "precious old backup\n"
+            assert not (tmp_path / "backup.jsonl.tmp").exists()
+        finally:
+            srv.stop()
+
+
+class TestStrictness:
+    def test_mixed_ids_rejected_idless_first(self, tmp_path):
+        """Ids after an id-less first record must raise, not be silently
+        discarded and re-allocated (external references by id would
+        point at the wrong vectors)."""
+        src = tmp_path / "in.jsonl"
+        rows = _dataset(3)
+        del rows[0]["id"]
+        _write_jsonl(src, rows)
+        with pytest.raises(ValueError, match="all-or-none"):
+            import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"),
+                         batch_size=2)
+
+    def test_vlc_collection_name_checked(self, tmp_path):
+        """-c/--collection against a .vlc must match the snapshot's own
+        collection name (export and append), not be silently ignored."""
+        src = tmp_path / "in.jsonl"
+        _write_jsonl(src, _dataset(4))
+        vlc = tmp_path / "snap.vlc"
+        import_jsonl(str(src), "ds", vlc=str(vlc))
+        with pytest.raises(ValueError, match="contains collection 'ds'"):
+            export_jsonl(str(tmp_path / "o.jsonl"), "wrong", vlc=str(vlc))
+        with pytest.raises(ValueError, match="contains collection 'ds'"):
+            import_jsonl(str(src), "wrong", vlc=str(vlc), append=True)
+        # matching name still works (fresh ids to avoid duplicates)
+        src2 = tmp_path / "more.jsonl"
+        rows2 = _dataset(4)
+        for r in rows2:
+            r["id"] += 1000
+        _write_jsonl(src2, rows2)
+        assert import_jsonl(
+            str(src2), "ds", vlc=str(vlc), append=True
+        ) == 4
+
+    def test_non_numeric_embedding_elements_rejected(self, tmp_path):
+        """Local .vlc import must agree with the HTTP route: bools and
+        strings in the embedding are errors, not silently coerced."""
+        src = tmp_path / "in.jsonl"
+        src.write_text('{"text": "t", "embedding": [true, false, 1]}\n')
+        with pytest.raises(ValueError, match="must be numbers"):
+            import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"))
+        src.write_text('{"text": "t", "embedding": [1.0, "2", 3.0]}\n')
+        with pytest.raises(ValueError, match="must be numbers"):
+            import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"))

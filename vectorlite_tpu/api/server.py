@@ -173,8 +173,15 @@ async def health_check(request: web.Request) -> web.Response:
 
 async def list_collections(request: web.Request) -> web.Response:
     client = request.app[_CLIENT_KEY]
-    with request.app[_LOCK_KEY].read():
-        collections = client.list_collections()
+
+    # acquire the (writer-preferring) app lock off the event loop: a
+    # load/create holding the write lock for seconds would otherwise
+    # park the loop thread and stall every request incl. /health
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.list_collections()
+
+    collections = await _blocking(request, run)
     return web.json_response({"collections": collections})
 
 
@@ -871,11 +878,17 @@ async def get_metrics(request: web.Request) -> web.Response:
     )
 
     client = request.app[_CLIENT_KEY]
-    with request.app[_LOCK_KEY].read():
-        collections = {
-            name: client.get_collection_info(name).count
-            for name in client.list_collections()
-        }
+
+    # off-loop: a periodic scraper must not park the event loop behind
+    # a long-held write lock (load/create build collections for seconds)
+    def snapshot():
+        with request.app[_LOCK_KEY].read():
+            return {
+                name: client.get_collection_info(name).count
+                for name in client.list_collections()
+            }
+
+    collections = await _blocking(request, snapshot)
     autosave = request.app.get(_AUTOSAVE_KEY)
     body = render_prometheus(
         request.app[_STATS_KEY].snapshot(),
@@ -949,6 +962,15 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
     from ..utils import env_number
 
     max_body_mb = env_number("VECTORLITE_MAX_BODY_MB", 256, float)
+    if max_body_mb <= 0:
+        # aiohttp treats 0 as "no limit" and a negative cap 413s every
+        # request with a body — neither is a sane operator intent
+        logger.warning(
+            "VECTORLITE_MAX_BODY_MB=%s is not a positive number; "
+            "using the 256 MiB default",
+            max_body_mb,
+        )
+        max_body_mb = 256
     app = web.Application(
         middlewares=[error_middleware],
         client_max_size=int(max_body_mb * 1024**2),

@@ -70,6 +70,16 @@ def _iter_records(
                 raise ValueError(
                     f"{path}:{lineno}: missing/empty embedding field"
                 )
+            # strict numeric elements, matching the HTTP route's parsing
+            # (bools/strings/nulls are 400s there — the two import
+            # targets must agree on what a valid dataset is)
+            if any(
+                isinstance(x, bool) or not isinstance(x, (int, float))
+                for x in values
+            ):
+                raise ValueError(
+                    f"{path}:{lineno}: embedding elements must be numbers"
+                )
             vid = row.get(id_field)
             text = row.get(text_field, "")
             if text is None:
@@ -94,6 +104,18 @@ def _batches(records, batch_size: int):
         yield ids, values, texts, metas
 
 
+def _check_vlc_name(col, collection: str, vlc_path: Path) -> None:
+    """A .vlc snapshot holds exactly one collection; silently operating
+    on a different one than the user named would hide typos (and append
+    would re-save under the file's original name, not the requested
+    one)."""
+    if col.name != collection:
+        raise ValueError(
+            f"{vlc_path} contains collection '{col.name}', "
+            f"not '{collection}'"
+        )
+
+
 class _LocalTarget:
     """A collection inside a .vlc snapshot: created fresh (Flat) or
     appended to, saved atomically on close."""
@@ -104,6 +126,7 @@ class _LocalTarget:
         self._path = vlc_path
         if append and vlc_path.exists():
             self._col = Collection.load_from_file(vlc_path)
+            _check_vlc_name(self._col, collection, vlc_path)
         else:
             self._col = None  # created lazily once the dimension is known
         self._name = collection
@@ -133,6 +156,7 @@ class _LocalTarget:
         t = cls.__new__(cls)
         t._path = vlc_path
         t._col = Collection.load_from_file(vlc_path)
+        _check_vlc_name(t._col, collection, vlc_path)
         t._name = collection
         return t
 
@@ -184,8 +208,9 @@ class _RemoteTarget:
         pass
 
     def page(self, offset: int, limit: int):
+        # the server's listing route rejects (not clamps) limit > 1000
         return self._rc.list_vectors(
-            self._name, offset, limit, include_values=True
+            self._name, offset, min(limit, 1000), include_values=True
         )
 
 
@@ -232,6 +257,12 @@ def import_jsonl(
                 "record missing an id after earlier records carried ids "
                 "(explicit ids are all-or-none)"
             )
+        if not explicit and any(i is not None for i in ids):
+            raise ValueError(
+                "record carries an id after earlier records had none "
+                "(explicit ids are all-or-none; auto-allocation would "
+                "silently discard the file's ids)"
+            )
         target.add(ids if explicit else None, values, texts, metas)
         total += len(values)
         if progress:
@@ -258,27 +289,36 @@ def export_jsonl(
         if url is not None
         else _LocalTarget.for_export(Path(vlc), collection)
     )
+    # write via tmp + atomic rename (same posture as .vlc save): a
+    # re-run that fails early (missing collection, server down) must
+    # not have already truncated the previous export
     out_path = Path(file)
+    tmp_path = out_path.with_name(out_path.name + ".tmp")
     total = 0
-    with out_path.open("w", encoding="utf-8") as out:
-        offset = 0
-        while True:
-            vectors, _ = target.page(offset, batch_size)
-            if not vectors:
-                break
-            for v in vectors:
-                row = {
-                    "id": v.id,
-                    "text": v.text,
-                    "embedding": [float(x) for x in v.values],
-                }
-                if v.metadata is not None:
-                    row["metadata"] = v.metadata
-                out.write(json.dumps(row) + "\n")
-            total += len(vectors)
-            offset += len(vectors)
-            if progress:
-                progress(total)
+    try:
+        with tmp_path.open("w", encoding="utf-8") as out:
+            offset = 0
+            while True:
+                vectors, _ = target.page(offset, batch_size)
+                if not vectors:
+                    break
+                for v in vectors:
+                    row = {
+                        "id": v.id,
+                        "text": v.text,
+                        "embedding": [float(x) for x in v.values],
+                    }
+                    if v.metadata is not None:
+                        row["metadata"] = v.metadata
+                    out.write(json.dumps(row) + "\n")
+                total += len(vectors)
+                offset += len(vectors)
+                if progress:
+                    progress(total)
+    except BaseException:
+        tmp_path.unlink(missing_ok=True)
+        raise
+    tmp_path.replace(out_path)
     return total
 
 
