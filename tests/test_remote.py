@@ -26,8 +26,9 @@ from vectorlite_tpu.store.client import IndexType
 class _ServerThread:
     """aiohttp app on 127.0.0.1:<ephemeral> inside its own event loop."""
 
-    def __init__(self, client):
+    def __init__(self, client, api_key=None):
         self._client = client
+        self._api_key = api_key
         self._loop = asyncio.new_event_loop()
         self._started = threading.Event()
         self.port = None
@@ -41,7 +42,7 @@ class _ServerThread:
         from aiohttp import web
 
         asyncio.set_event_loop(self._loop)
-        app = create_app(self._client)
+        app = create_app(self._client, api_key=self._api_key)
         self._runner = web.AppRunner(app)
         self._loop.run_until_complete(self._runner.setup())
         site = web.TCPSite(self._runner, "127.0.0.1", 0)
@@ -214,3 +215,24 @@ class TestRemoteLifecycle:
         with pytest.raises(RemoteConnectionError) as e:
             dead.health()
         assert e.value.status_code == 503
+
+
+class TestRemoteApiKey:
+    def test_client_sends_bearer(self):
+        srv = _ServerThread(
+            VectorLiteClient(MockEmbeddingFunction(8)), api_key="k123"
+        )
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            # without the key: typed 401
+            with pytest.raises(RemoteError) as ei:
+                RemoteClient(url).list_collections()
+            assert ei.value.status_code == 401
+            # with the key: full round-trip
+            rc = RemoteClient(url, api_key="k123")
+            rc.create_collection("docs", "flat")
+            rc.add_text("docs", "hello world")
+            hits = rc.search_text("docs", "hello world", k=1)
+            assert hits and hits[0].text == "hello world"
+        finally:
+            srv.stop()

@@ -895,3 +895,82 @@ class TestCompactRoute:
             assert "not found" in body["message"]
 
         http(go)
+
+
+class TestApiKeyAuth:
+    """Opt-in bearer-token auth (extension; the reference server is
+    unauthenticated). Enabled via create_app(api_key=...) or
+    $VECTORLITE_API_KEY; GET /health stays open for healthchecks."""
+
+    def _app(self, key="sekrit"):
+        return create_app(make_client(), api_key=key)
+
+    def test_requires_key(self):
+        async def runner():
+            async with TestClient(TestServer(self._app())) as tc:
+                # no credentials -> 401 with the canonical body
+                resp = await tc.get("/collections")
+                assert resp.status == 401
+                assert (await resp.json())["message"] == (
+                    "Invalid or missing API key"
+                )
+                # wrong key -> 401
+                resp = await tc.get(
+                    "/collections",
+                    headers={"Authorization": "Bearer nope"},
+                )
+                assert resp.status == 401
+                # 401s still carry CORS headers (error middleware wraps)
+                assert resp.headers["Access-Control-Allow-Origin"] == "*"
+                # bearer works
+                resp = await tc.get(
+                    "/collections",
+                    headers={"Authorization": "Bearer sekrit"},
+                )
+                assert resp.status == 200
+                # X-API-Key alternative works
+                resp = await tc.post(
+                    "/collections",
+                    json={"name": "c", "index_type": "flat"},
+                    headers={"X-API-Key": "sekrit"},
+                )
+                assert resp.status == 200
+                # writes really went through
+                resp = await tc.get(
+                    "/collections", headers={"X-API-Key": "sekrit"}
+                )
+                assert (await resp.json())["collections"] == ["c"]
+
+        asyncio.run(runner())
+
+    def test_health_exempt_and_preflight_open(self):
+        async def runner():
+            async with TestClient(TestServer(self._app())) as tc:
+                resp = await tc.get("/health")
+                assert resp.status == 200
+                # CORS preflight must not demand credentials
+                resp = await tc.options("/collections")
+                assert resp.status == 204
+
+        asyncio.run(runner())
+
+    def test_env_var_enables(self, monkeypatch):
+        monkeypatch.setenv("VECTORLITE_API_KEY", "envkey")
+
+        async def go(tc):
+            resp = await tc.get("/collections")
+            assert resp.status == 401
+            resp = await tc.get(
+                "/collections", headers={"Authorization": "Bearer envkey"}
+            )
+            assert resp.status == 200
+
+        http(go)
+
+    def test_default_is_open(self):
+        # no key set anywhere -> reference behavior (no auth)
+        async def go(tc):
+            resp = await tc.get("/collections")
+            assert resp.status == 200
+
+        http(go)

@@ -57,6 +57,36 @@ _CORS_HEADERS = {
 }
 
 
+def _auth_middleware(api_key: str):
+    """Opt-in bearer-token auth (extension; the reference server is
+    unauthenticated). When VECTORLITE_API_KEY / create_app(api_key=...)
+    is set, every route except GET /health (container healthchecks
+    probe it unauthenticated) requires ``Authorization: Bearer <key>``
+    or ``X-API-Key: <key>``. Comparison is constant-time."""
+    import hmac
+
+    key_bytes = api_key.encode("utf-8")
+
+    @web.middleware
+    async def auth(request: web.Request, handler):
+        if request.path == "/health":
+            return await handler(request)
+        supplied = ""
+        header = request.headers.get("Authorization", "")
+        if header.startswith("Bearer "):
+            supplied = header[len("Bearer "):]
+        elif "X-API-Key" in request.headers:
+            supplied = request.headers["X-API-Key"]
+        if not hmac.compare_digest(supplied.encode("utf-8"), key_bytes):
+            raise web.HTTPUnauthorized(
+                text='{"message": "Invalid or missing API key"}',
+                content_type="application/json",
+            )
+        return await handler(request)
+
+    return auth
+
+
 @web.middleware
 async def error_middleware(request: web.Request, handler):
     import time as _time
@@ -952,11 +982,19 @@ def _openapi_spec_text():
     return None
 
 
-def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
+def create_app(
+    client: VectorLiteClient, *, autosave=None, api_key=None
+) -> web.Application:
     """Router mirror of reference: src/server.rs:361-377, plus the
     /stats, /debug/trace, and /openapi.yaml extensions. ``autosave`` is
     an optional started ``store.autosave.AutosaveDaemon``; the app owns
-    its shutdown (final flush) and surfaces its counters at /stats."""
+    its shutdown (final flush) and surfaces its counters at /stats.
+    ``api_key`` (default: $VECTORLITE_API_KEY) enables bearer-token
+    auth on every route except GET /health."""
+    import os as _os
+
+    if api_key is None:
+        api_key = _os.environ.get("VECTORLITE_API_KEY") or None
     # bulk routes (/texts, /vectors) carry multi-MB JSON bodies; aiohttp's
     # 1 MiB default would bounce them. VECTORLITE_MAX_BODY_MB overrides.
     from ..utils import env_number
@@ -971,8 +1009,15 @@ def create_app(client: VectorLiteClient, *, autosave=None) -> web.Application:
             max_body_mb,
         )
         max_body_mb = 256
+    # error_middleware is outermost so 401s still get CORS headers and
+    # show up in the /stats counters; OPTIONS preflight short-circuits
+    # there, so auth never blocks CORS preflight
+    middlewares = [error_middleware]
+    if api_key:
+        middlewares.append(_auth_middleware(api_key))
+        logger.info("API-key auth enabled (all routes except GET /health)")
     app = web.Application(
-        middlewares=[error_middleware],
+        middlewares=middlewares,
         client_max_size=int(max_body_mb * 1024**2),
     )
     app[_CLIENT_KEY] = client
@@ -1023,8 +1068,9 @@ def start_server(
     port: int = 3001,
     *,
     autosave=None,
+    api_key=None,
 ) -> None:
     """Blocking serve loop (reference: src/server.rs:379-392)."""
-    app = create_app(client, autosave=autosave)
+    app = create_app(client, autosave=autosave, api_key=api_key)
     logger.info("VectorLite server starting on %s:%s", host, port)
     web.run_app(app, host=host, port=port, print=None)

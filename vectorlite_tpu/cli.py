@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
         help="Use the deterministic mock embedder (no model files needed)",
     )
     parser.add_argument(
+        "--api-key",
+        default=os.environ.get("VECTORLITE_API_KEY"),
+        help="Require 'Authorization: Bearer <key>' (or X-API-Key) on "
+        "every route except GET /health (extension; the reference "
+        "server is unauthenticated). Defaults to $VECTORLITE_API_KEY",
+    )
+    parser.add_argument(
         "--autosave-dir",
         default=os.environ.get("VECTORLITE_AUTOSAVE_DIR"),
         help="Directory for periodic crash-resume snapshots; collections "
@@ -121,7 +128,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from .api.server import start_server
 
-    start_server(client, args.host, args.port, autosave=autosave)
+    start_server(
+        client, args.host, args.port, autosave=autosave,
+        api_key=args.api_key or None,
+    )
     return 0
 
 

@@ -85,9 +85,16 @@ class RemoteClient:
     [SearchResult(id=0, ...)]
     """
 
-    def __init__(self, base_url: str, *, timeout: float = 30.0):
+    def __init__(
+        self,
+        base_url: str,
+        *,
+        timeout: float = 30.0,
+        api_key: Optional[str] = None,
+    ):
         self.base_url = base_url.rstrip("/")
         self.timeout = float(timeout)
+        self.api_key = api_key
 
     # ------------------------------------------------------------ plumbing
 
@@ -102,6 +109,8 @@ class RemoteClient:
         url = self.base_url + path
         data = None
         headers = {"accept": "application/json"}
+        if self.api_key:
+            headers["authorization"] = f"Bearer {self.api_key}"
         if body is not None:
             data = json.dumps(body).encode("utf-8")
             headers["content-type"] = "application/json"

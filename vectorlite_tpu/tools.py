@@ -164,10 +164,12 @@ class _LocalTarget:
 class _RemoteTarget:
     """A collection on a running server, over the raw-vector routes."""
 
-    def __init__(self, url: str, collection: str, create: bool):
+    def __init__(
+        self, url: str, collection: str, create: bool, api_key=None
+    ):
         from .remote import RemoteClient
 
-        self._rc = RemoteClient(url)
+        self._rc = RemoteClient(url, api_key=api_key)
         self._name = collection
         self._create = create
         self._checked = False
@@ -226,6 +228,7 @@ def import_jsonl(
     text_field: str = "text",
     embedding_field: Optional[str] = None,
     metadata_field: str = "metadata",
+    api_key: Optional[str] = None,
     progress=None,
 ) -> int:
     """Stream a JSONL file of precomputed embeddings into ``collection``.
@@ -234,7 +237,7 @@ def import_jsonl(
     if (url is None) == (vlc is None):
         raise ValueError("exactly one of url= or vlc= is required")
     target = (
-        _RemoteTarget(url, collection, create=True)
+        _RemoteTarget(url, collection, create=True, api_key=api_key)
         if url is not None
         else _LocalTarget(Path(vlc), collection, append)
     )
@@ -278,6 +281,7 @@ def export_jsonl(
     url: Optional[str] = None,
     vlc: Optional[str] = None,
     batch_size: int = _DEFAULT_BATCH,
+    api_key: Optional[str] = None,
     progress=None,
 ) -> int:
     """Write ``collection`` out as JSONL (``{"id", "text", "embedding",
@@ -285,7 +289,7 @@ def export_jsonl(
     if (url is None) == (vlc is None):
         raise ValueError("exactly one of url= or vlc= is required")
     target = (
-        _RemoteTarget(url, collection, create=False)
+        _RemoteTarget(url, collection, create=False, api_key=api_key)
         if url is not None
         else _LocalTarget.for_export(Path(vlc), collection)
     )
@@ -339,6 +343,12 @@ def main(argv=None) -> int:
         group.add_argument("--url", help="running server base URL")
         group.add_argument("--vlc", help=".vlc snapshot path (no server)")
         p.add_argument("--batch", type=int, default=_DEFAULT_BATCH)
+        p.add_argument(
+            "--api-key",
+            default=None,
+            help="bearer token for an auth-enabled server "
+            "(default: $VECTORLITE_API_KEY)",
+        )
         if name == "import":
             p.add_argument(
                 "--append", action="store_true",
@@ -352,6 +362,10 @@ def main(argv=None) -> int:
             )
             p.add_argument("--metadata-field", default="metadata")
     args = parser.parse_args(argv)
+    if args.api_key is None:
+        import os
+
+        args.api_key = os.environ.get("VECTORLITE_API_KEY") or None
 
     def progress(n, _last=[0]):
         if n - _last[0] >= 10 * args.batch:
@@ -370,6 +384,7 @@ def main(argv=None) -> int:
             text_field=args.text_field,
             embedding_field=args.embedding_field,
             metadata_field=args.metadata_field,
+            api_key=args.api_key,
             progress=progress,
         )
         print(f"imported {n} records into '{args.collection}'")
@@ -380,6 +395,7 @@ def main(argv=None) -> int:
             url=args.url,
             vlc=args.vlc,
             batch_size=args.batch,
+            api_key=args.api_key,
             progress=progress,
         )
         print(f"exported {n} records from '{args.collection}'")
