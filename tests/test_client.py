@@ -206,3 +206,59 @@ class TestCollectionNextId:
         client.add_text_to_collection("a", "x")
         v = client.get_vector_from_collection("a", 0)
         assert v.values == [1.0, 2.0, 3.0]
+
+
+class TestEfPlumbing:
+    """Per-request ef must actually reach the HNSW index (and never be
+    forwarded to Flat, whose search methods don't take it)."""
+
+    def test_ef_reaches_hnsw_index(self, client, monkeypatch):
+        # direct path (the coalescer batches asynchronously, which
+        # would race the spy; ef-carrying requests bypass it anyway)
+        monkeypatch.setenv("VECTORLITE_COALESCE", "0")
+        client.create_collection(
+            "h", IndexType.HNSW, SimilarityMetric.COSINE
+        )
+        client.add_texts_to_collection("h", [f"t{i}" for i in range(12)])
+        col = client.get_collection("h")
+        seen = {}
+        orig_search = col._index.search
+        orig_batch = col._index.search_batch
+
+        def spy_search(q, k, metric, **kw):
+            seen["search"] = kw.get("ef", "absent")
+            return orig_search(q, k, metric, **kw)
+
+        def spy_batch(q, k, metric, **kw):
+            seen["batch"] = kw.get("ef", "absent")
+            return orig_batch(q, k, metric, **kw)
+
+        col._index.search = spy_search
+        col._index.search_batch = spy_batch
+        try:
+            client.search_text_in_collection("h", "t3", 2, ef=7)
+            assert seen["search"] == 7
+            client.search_texts_in_collection("h", ["t1", "t2"], 2, ef=9)
+            assert seen["batch"] == 9
+            # ef=0 (reference-exact beam) must pass through, not be
+            # dropped as falsy
+            client.search_text_in_collection("h", "t3", 2, ef=0)
+            assert seen["search"] == 0
+            # absent -> the index's own default (no kwarg at all)
+            client.search_text_in_collection("h", "t3", 2)
+            assert seen["search"] == "absent"
+        finally:
+            col._index.search = orig_search
+            col._index.search_batch = orig_batch
+
+    def test_ef_ignored_on_flat(self, client):
+        client.create_collection("f", IndexType.FLAT)
+        client.add_texts_to_collection("f", ["a", "b", "c"])
+        # FlatIndex.search has no ef parameter; this not raising IS the
+        # assertion that collection-level dispatch drops it for Flat
+        hits = client.search_text_in_collection("f", "a", 2, ef=64)
+        assert hits and hits[0].text == "a"
+        hits = client.search_vectors_in_collection(
+            "f", [[1.0] * 8], 1, ef=64
+        )
+        assert len(hits) == 1

@@ -236,3 +236,21 @@ class TestRemoteApiKey:
             assert hits and hits[0].text == "hello world"
         finally:
             srv.stop()
+
+
+class TestRemoteEf:
+    def test_search_ef_roundtrip(self):
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(8)))
+        try:
+            rc = RemoteClient(f"http://127.0.0.1:{srv.port}")
+            rc.create_collection("h", "hnsw", SimilarityMetric.COSINE)
+            rc.add_texts("h", [f"t{i}" for i in range(10)])
+            hits = rc.search_text("h", "t4", k=2, ef=32)
+            assert hits and hits[0].text == "t4"
+            rows = rc.search_texts("h", ["t1", "t2"], k=1, ef=0)
+            assert [r[0].text for r in rows] == ["t1", "t2"]
+            with pytest.raises(RemoteError) as ei:
+                rc.search_text("h", "t4", k=2, ef=-3)
+            assert ei.value.status_code == 400
+        finally:
+            srv.stop()

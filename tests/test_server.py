@@ -974,3 +974,73 @@ class TestApiKeyAuth:
             assert resp.status == 200
 
         http(go)
+
+
+class TestEfOverride:
+    """Per-request HNSW beam width (extension): "ef" in any search
+    body. 0 = reference-exact beam (min(k, len),
+    reference: src/index/hnsw.rs:437-448); absent = the collection's
+    configured ef_search; Flat accepts and ignores it (exact search
+    trivially satisfies any recall request)."""
+
+    def _mk(self, tc):
+        return tc.post(
+            "/collections",
+            json={
+                "name": "h",
+                "index_type": "hnsw",
+                "metric": "cosine",
+            },
+        )
+
+    def test_ef_accepted_on_hnsw_and_flat(self):
+        client = make_text_client()
+
+        async def go(tc):
+            await self._mk(tc)
+            await tc.post(
+                "/collections", json={"name": "f", "index_type": "flat"}
+            )
+            for name in ("h", "f"):
+                await tc.post(
+                    f"/collections/{name}/texts",
+                    json={"texts": [f"doc {i}" for i in range(20)]},
+                )
+                for ef in (0, 4, 65536):
+                    resp = await tc.post(
+                        f"/collections/{name}/search/text",
+                        json={"query": "doc 3", "k": 3, "ef": ef},
+                    )
+                    assert resp.status == 200, (name, ef)
+                    results = (await resp.json())["results"]
+                    assert results and results[0]["text"] == "doc 3"
+            # batched + raw-vector routes take it too
+            resp = await tc.post(
+                "/collections/h/search/texts",
+                json={"queries": ["doc 1", "doc 2"], "k": 2, "ef": 8},
+            )
+            assert resp.status == 200
+            assert len((await resp.json())["results"]) == 2
+
+        http(go, client=client)
+
+    def test_ef_validation(self):
+        async def go(tc):
+            await self._mk(tc)
+            for bad in (-1, 65537, True, 1.5, "8", {}):
+                resp = await tc.post(
+                    "/collections/h/search/text",
+                    json={"query": "x", "ef": bad},
+                )
+                assert resp.status == 400, bad
+                assert (await resp.json())["message"] == (
+                    "Field ef must be an integer between 0 and 65536"
+                )
+            # null = absent (serde Option semantics)
+            resp = await tc.post(
+                "/collections/h/search/text",
+                json={"query": "x", "ef": None},
+            )
+            assert resp.status == 200
+
+        http(go, client=make_text_client())

@@ -299,6 +299,28 @@ def _parse_k(body: dict) -> int:
     return k
 
 
+def _parse_ef(body: dict):
+    """Optional per-request HNSW beam width (extension): absent/null
+    means the collection's configured ef_search; 0 means the
+    reference-exact beam (ef == min(k, len), src/index/hnsw.rs:437-448);
+    larger trades latency for recall. Exact Flat search accepts and
+    ignores it (any recall request is trivially satisfied)."""
+    ef = body.get("ef", None)
+    if ef is None:
+        return None
+    if (
+        not isinstance(ef, int)
+        or isinstance(ef, bool)
+        or not 0 <= ef <= 65536
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field ef must be an integer between 0 '
+            'and 65536"}',
+            content_type="application/json",
+        )
+    return ef
+
+
 def _parse_search_metric(body: dict):
     """Search-side metric parsing: absent/null means auto-detect, but a
     PRESENT string — including "" — must parse or 400. The reference's
@@ -335,12 +357,13 @@ async def search_text(request: web.Request) -> web.Response:
     k = _parse_k(body)
     metric = _parse_search_metric(body)
     where = _parse_where(body)
+    ef = _parse_ef(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_text_in_collection(
-                name, query, k, metric, where=where
+                name, query, k, metric, where=where, ef=ef
             )
 
     results = await _blocking(request, run)
@@ -402,12 +425,13 @@ async def search_texts(request: web.Request) -> web.Response:
     k = _parse_k(body)
     metric = _parse_search_metric(body)
     where = _parse_where(body)
+    ef = _parse_ef(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_texts_in_collection(
-                name, queries, k, metric, where=where
+                name, queries, k, metric, where=where, ef=ef
             )
 
     batches = await _blocking(request, run)
@@ -559,12 +583,13 @@ async def search_vector(request: web.Request) -> web.Response:
     k = _parse_k(body)
     metric = _parse_search_metric(body)
     where = _parse_where(body)
+    ef = _parse_ef(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_vector_in_collection(
-                name, query, k, metric, where=where
+                name, query, k, metric, where=where, ef=ef
             )
 
     try:
@@ -597,12 +622,13 @@ async def search_vectors(request: web.Request) -> web.Response:
     k = _parse_k(body)
     metric = _parse_search_metric(body)
     where = _parse_where(body)
+    ef = _parse_ef(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_vectors_in_collection(
-                name, queries, k, metric, where=where
+                name, queries, k, metric, where=where, ef=ef
             )
 
     try:

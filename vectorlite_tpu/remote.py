@@ -260,9 +260,12 @@ class RemoteClient:
         k: int = 10,
         similarity_metric=None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[SearchResult]:
         """Search by one raw query vector (extension route)."""
         body: dict = {"vector": [float(x) for x in vector], "k": int(k)}
+        if ef is not None:
+            body["ef"] = int(ef)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric
@@ -283,6 +286,7 @@ class RemoteClient:
         k: int = 10,
         similarity_metric=None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[list[SearchResult]]:
         """Batched raw-vector search (extension route: one device
         program for the whole batch)."""
@@ -290,6 +294,8 @@ class RemoteClient:
             "vectors": [[float(x) for x in q] for q in vectors],
             "k": int(k),
         }
+        if ef is not None:
+            body["ef"] = int(ef)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric
@@ -310,8 +316,11 @@ class RemoteClient:
         k: int = 10,
         similarity_metric=None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[SearchResult]:
         body: dict = {"query": query, "k": int(k)}
+        if ef is not None:
+            body["ef"] = int(ef)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric
@@ -332,9 +341,12 @@ class RemoteClient:
         k: int = 10,
         similarity_metric=None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[list[SearchResult]]:
         """Batched search (extension route: one device program)."""
         body: dict = {"queries": list(queries), "k": int(k)}
+        if ef is not None:
+            body["ef"] = int(ef)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric

@@ -169,10 +169,12 @@ class VectorLiteClient:
         k: int,
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[SearchResult]:
         """Search by one raw query vector (TPU-native extension)."""
         return self.search_vectors_in_collection(
-            collection_name, [query], k, similarity_metric, where=where
+            collection_name, [query], k, similarity_metric, where=where,
+            ef=ef,
         )[0]
 
     def search_vectors_in_collection(
@@ -182,6 +184,7 @@ class VectorLiteClient:
         k: int,
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[list[SearchResult]]:
         """Batched search by raw query vectors (TPU-native extension).
         Metric auto-detect matches text search: HNSW -> its metric,
@@ -192,7 +195,9 @@ class VectorLiteClient:
             if similarity_metric is not None
             else collection.detected_metric()
         )
-        return collection.search_vectors(queries, k, metric, where=where)
+        return collection.search_vectors(
+            queries, k, metric, where=where, ef=ef
+        )
 
     def search_text_in_collection(
         self,
@@ -201,6 +206,7 @@ class VectorLiteClient:
         k: int,
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[SearchResult]:
         collection = self._require(collection_name)
         metric = (
@@ -209,7 +215,8 @@ class VectorLiteClient:
             else collection.detected_metric()
         )
         return collection.search_text(
-            query_text, k, metric, self._embedding_function, where=where
+            query_text, k, metric, self._embedding_function, where=where,
+            ef=ef,
         )
 
     def search_texts_in_collection(
@@ -219,6 +226,7 @@ class VectorLiteClient:
         k: int,
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[list[SearchResult]]:
         """Batched search (TPU-native extension)."""
         collection = self._require(collection_name)
@@ -228,7 +236,8 @@ class VectorLiteClient:
             else collection.detected_metric()
         )
         return collection.search_texts(
-            query_texts, k, metric, self._embedding_function, where=where
+            query_texts, k, metric, self._embedding_function, where=where,
+            ef=ef,
         )
 
     def delete_from_collection(self, collection_name: str, id: int) -> None:

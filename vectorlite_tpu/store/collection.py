@@ -229,12 +229,23 @@ class Collection:
             self._mutations.fetch_add(1)
         return int_ids
 
+    def _search_kwargs(self, where, ef) -> dict:
+        """Per-request search options. ``ef`` (beam width) only applies
+        to HNSW; exact Flat search trivially satisfies any recall
+        request, so it's accepted and ignored there (the knob means
+        "at least this good", not "exactly this work")."""
+        kwargs: dict = {"where": where}
+        if ef is not None and getattr(self._index, "ef_search", None) is not None:
+            kwargs["ef"] = int(ef)
+        return kwargs
+
     def search_vectors(
         self,
         queries,
         k: int,
         metric: SimilarityMetric,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[list[SearchResult]]:
         """Search by RAW query vectors, batched (extension): the
         reference exposes ``VectorIndex::search(&[f64], k)`` only at the
@@ -243,7 +254,9 @@ class Collection:
         with the same metric/filter semantics."""
         queries = _as_matrix(queries, self._index.dimension, "queries")
         with self._lock.read(), profile_span("vectorlite.index.search_batch"):
-            return self._index.search_batch(queries, k, metric, where=where)
+            return self._index.search_batch(
+                queries, k, metric, **self._search_kwargs(where, ef)
+            )
 
     def search_text(
         self,
@@ -252,8 +265,12 @@ class Collection:
         metric: SimilarityMetric,
         embedding_function: EmbeddingFunction,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[SearchResult]:
-        if env_number("VECTORLITE_COALESCE", 1):
+        # ef-carrying requests take the direct path: coalescing groups
+        # by (k, metric, where) and a per-request beam width would
+        # either fragment the groups or silently widen neighbors'
+        if ef is None and env_number("VECTORLITE_COALESCE", 1):
             # Concurrent single-text searches merge into one embedder
             # forward + one batched dispatch (see store/coalesce.py);
             # both indexes define search(q) == search_batch([q])[0], so
@@ -272,7 +289,9 @@ class Collection:
         # embed outside the lock (reference: src/client.rs:393-401)
         query = _run_embed(embedding_function, query_text)
         with self._lock.read(), profile_span("vectorlite.index.search"):
-            return self._index.search(query, k, metric, where=where)
+            return self._index.search(
+                query, k, metric, **self._search_kwargs(where, ef)
+            )
 
     def _get_coalescer(self):
         co = self._coalescer
@@ -301,12 +320,15 @@ class Collection:
         metric: SimilarityMetric,
         embedding_function: EmbeddingFunction,
         where: Optional[dict] = None,
+        ef: Optional[int] = None,
     ) -> list[list[SearchResult]]:
         """Batched search — TPU-native extension."""
         with profile_span("vectorlite.embed.batch"):
             queries = _embed_arrays(embedding_function, list(query_texts))
         with self._lock.read(), profile_span("vectorlite.index.search_batch"):
-            return self._index.search_batch(queries, k, metric, where=where)
+            return self._index.search_batch(
+                queries, k, metric, **self._search_kwargs(where, ef)
+            )
 
     def delete(self, id: int) -> None:
         with self._lock.write():
