@@ -254,3 +254,24 @@ class TestRemoteEf:
             assert ei.value.status_code == 400
         finally:
             srv.stop()
+
+
+class TestRemoteMinScore:
+    def test_min_score_roundtrip(self):
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(8)))
+        try:
+            rc = RemoteClient(f"http://127.0.0.1:{srv.port}")
+            rc.create_collection("m", "flat")
+            rc.add_texts("m", ["one", "two", "three"])
+            assert len(rc.search_text("m", "one", k=3)) == 3
+            hits = rc.search_text("m", "one", k=3, min_score=0.999)
+            assert [h.text for h in hits] == ["one"]
+            rows = rc.search_vectors(
+                "m",
+                [[1, 0, 0, 0, 0, 0, 0, 0]],
+                k=3,
+                min_score=2.0,
+            )
+            assert rows == [[]]
+        finally:
+            srv.stop()

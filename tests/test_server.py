@@ -1044,3 +1044,89 @@ class TestEfOverride:
             assert resp.status == 200
 
         http(go, client=make_text_client())
+
+
+class TestMinScore:
+    """Similarity floor (extension): "min_score" in any search body
+    drops hits scoring below it — fewer than k results can return."""
+
+    def test_min_score_filters(self):
+        client = make_text_client()
+
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/c/texts",
+                json={"texts": ["alpha", "beta", "gamma"]},
+            )
+            # self-match scores ~1.0; others score well below
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "alpha", "k": 3, "min_score": 0.999},
+            )
+            results = (await resp.json())["results"]
+            assert [r["text"] for r in results] == ["alpha"]
+            # floor above everything -> empty, not an error
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "alpha", "k": 3, "min_score": 1.5},
+            )
+            assert (await resp.json())["results"] == []
+            # negative floors pass everything (cosine can be negative)
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "alpha", "k": 3, "min_score": -10},
+            )
+            assert len((await resp.json())["results"]) == 3
+            # batched route honors it per row
+            resp = await tc.post(
+                "/collections/c/search/texts",
+                json={
+                    "queries": ["alpha", "beta"],
+                    "k": 3,
+                    "min_score": 0.999,
+                },
+            )
+            rows = (await resp.json())["results"]
+            assert [[r["text"] for r in row] for row in rows] == [
+                ["alpha"],
+                ["beta"],
+            ]
+
+        http(go, client=client)
+
+    def test_min_score_validation(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            for bad in (True, "0.5", float("nan"), {}, []):
+                body = {"query": "x", "min_score": bad}
+                # NaN can't ride json.dumps by default; build raw
+                import math
+
+                if isinstance(bad, float) and math.isnan(bad):
+                    raw = '{"query": "x", "min_score": NaN}'
+                    resp = await tc.post(
+                        "/collections/c/search/text",
+                        data=raw,
+                        headers={"content-type": "application/json"},
+                    )
+                else:
+                    resp = await tc.post(
+                        "/collections/c/search/text", json=body
+                    )
+                assert resp.status == 400, bad
+                assert (await resp.json())["message"] == (
+                    "Field min_score must be a finite number"
+                )
+            # null = absent
+            resp = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "x", "min_score": None},
+            )
+            assert resp.status == 200
+
+        http(go, client=make_text_client())

@@ -299,6 +299,29 @@ def _parse_k(body: dict) -> int:
     return k
 
 
+def _parse_min_score(body: dict):
+    """Optional similarity floor (extension): absent/null means no
+    floor; a present value must be a finite JSON number. All four
+    metrics are similarities (higher = better), so results with
+    score < min_score are dropped (post-truncation of the sorted list,
+    so fewer than k hits can come back)."""
+    import math
+
+    v = body.get("min_score", None)
+    if v is None:
+        return None
+    if (
+        isinstance(v, bool)
+        or not isinstance(v, (int, float))
+        or not math.isfinite(v)
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field min_score must be a finite number"}',
+            content_type="application/json",
+        )
+    return float(v)
+
+
 def _parse_ef(body: dict):
     """Optional per-request HNSW beam width (extension): absent/null
     means the collection's configured ef_search; 0 means the
@@ -358,12 +381,14 @@ async def search_text(request: web.Request) -> web.Response:
     metric = _parse_search_metric(body)
     where = _parse_where(body)
     ef = _parse_ef(body)
+    min_score = _parse_min_score(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_text_in_collection(
-                name, query, k, metric, where=where, ef=ef
+                name, query, k, metric, where=where, ef=ef,
+                min_score=min_score,
             )
 
     results = await _blocking(request, run)
@@ -426,12 +451,14 @@ async def search_texts(request: web.Request) -> web.Response:
     metric = _parse_search_metric(body)
     where = _parse_where(body)
     ef = _parse_ef(body)
+    min_score = _parse_min_score(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_texts_in_collection(
-                name, queries, k, metric, where=where, ef=ef
+                name, queries, k, metric, where=where, ef=ef,
+                min_score=min_score,
             )
 
     batches = await _blocking(request, run)
@@ -584,12 +611,14 @@ async def search_vector(request: web.Request) -> web.Response:
     metric = _parse_search_metric(body)
     where = _parse_where(body)
     ef = _parse_ef(body)
+    min_score = _parse_min_score(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_vector_in_collection(
-                name, query, k, metric, where=where, ef=ef
+                name, query, k, metric, where=where, ef=ef,
+                min_score=min_score,
             )
 
     try:
@@ -623,12 +652,14 @@ async def search_vectors(request: web.Request) -> web.Response:
     metric = _parse_search_metric(body)
     where = _parse_where(body)
     ef = _parse_ef(body)
+    min_score = _parse_min_score(body)
     client = request.app[_CLIENT_KEY]
 
     def run():
         with request.app[_LOCK_KEY].read():
             return client.search_vectors_in_collection(
-                name, queries, k, metric, where=where, ef=ef
+                name, queries, k, metric, where=where, ef=ef,
+                min_score=min_score,
             )
 
     try:

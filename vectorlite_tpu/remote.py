@@ -261,11 +261,14 @@ class RemoteClient:
         similarity_metric=None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[SearchResult]:
         """Search by one raw query vector (extension route)."""
         body: dict = {"vector": [float(x) for x in vector], "k": int(k)}
         if ef is not None:
             body["ef"] = int(ef)
+        if min_score is not None:
+            body["min_score"] = float(min_score)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric
@@ -287,6 +290,7 @@ class RemoteClient:
         similarity_metric=None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[list[SearchResult]]:
         """Batched raw-vector search (extension route: one device
         program for the whole batch)."""
@@ -296,6 +300,8 @@ class RemoteClient:
         }
         if ef is not None:
             body["ef"] = int(ef)
+        if min_score is not None:
+            body["min_score"] = float(min_score)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric
@@ -317,10 +323,13 @@ class RemoteClient:
         similarity_metric=None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[SearchResult]:
         body: dict = {"query": query, "k": int(k)}
         if ef is not None:
             body["ef"] = int(ef)
+        if min_score is not None:
+            body["min_score"] = float(min_score)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric
@@ -342,11 +351,14 @@ class RemoteClient:
         similarity_metric=None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[list[SearchResult]]:
         """Batched search (extension route: one device program)."""
         body: dict = {"queries": list(queries), "k": int(k)}
         if ef is not None:
             body["ef"] = int(ef)
+        if min_score is not None:
+            body["min_score"] = float(min_score)
         metric = _metric_str(similarity_metric)
         if metric is not None:
             body["similarity_metric"] = metric

@@ -170,11 +170,12 @@ class VectorLiteClient:
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[SearchResult]:
         """Search by one raw query vector (TPU-native extension)."""
         return self.search_vectors_in_collection(
             collection_name, [query], k, similarity_metric, where=where,
-            ef=ef,
+            ef=ef, min_score=min_score,
         )[0]
 
     def search_vectors_in_collection(
@@ -185,6 +186,7 @@ class VectorLiteClient:
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[list[SearchResult]]:
         """Batched search by raw query vectors (TPU-native extension).
         Metric auto-detect matches text search: HNSW -> its metric,
@@ -196,7 +198,7 @@ class VectorLiteClient:
             else collection.detected_metric()
         )
         return collection.search_vectors(
-            queries, k, metric, where=where, ef=ef
+            queries, k, metric, where=where, ef=ef, min_score=min_score
         )
 
     def search_text_in_collection(
@@ -207,6 +209,7 @@ class VectorLiteClient:
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[SearchResult]:
         collection = self._require(collection_name)
         metric = (
@@ -216,7 +219,7 @@ class VectorLiteClient:
         )
         return collection.search_text(
             query_text, k, metric, self._embedding_function, where=where,
-            ef=ef,
+            ef=ef, min_score=min_score,
         )
 
     def search_texts_in_collection(
@@ -227,6 +230,7 @@ class VectorLiteClient:
         similarity_metric: Optional[SimilarityMetric] = None,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[list[SearchResult]]:
         """Batched search (TPU-native extension)."""
         collection = self._require(collection_name)
@@ -237,7 +241,7 @@ class VectorLiteClient:
         )
         return collection.search_texts(
             query_texts, k, metric, self._embedding_function, where=where,
-            ef=ef,
+            ef=ef, min_score=min_score,
         )
 
     def delete_from_collection(self, collection_name: str, id: int) -> None:

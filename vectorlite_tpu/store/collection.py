@@ -229,6 +229,16 @@ class Collection:
             self._mutations.fetch_add(1)
         return int_ids
 
+    @staticmethod
+    def _apply_min_score(rows: list, min_score) -> list:
+        """Post-filter: drop hits below a similarity floor (extension).
+        Results are already sorted descending, so this is a prefix
+        truncation per row; all four metrics are similarities
+        (higher = better), so one floor works everywhere."""
+        if min_score is None:
+            return rows
+        return [r for r in rows if r.score >= min_score]
+
     def _search_kwargs(self, where, ef) -> dict:
         """Per-request search options. ``ef`` (beam width) only applies
         to HNSW; exact Flat search trivially satisfies any recall
@@ -246,6 +256,7 @@ class Collection:
         metric: SimilarityMetric,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[list[SearchResult]]:
         """Search by RAW query vectors, batched (extension): the
         reference exposes ``VectorIndex::search(&[f64], k)`` only at the
@@ -254,9 +265,12 @@ class Collection:
         with the same metric/filter semantics."""
         queries = _as_matrix(queries, self._index.dimension, "queries")
         with self._lock.read(), profile_span("vectorlite.index.search_batch"):
-            return self._index.search_batch(
+            rows = self._index.search_batch(
                 queries, k, metric, **self._search_kwargs(where, ef)
             )
+        if min_score is None:
+            return rows
+        return [self._apply_min_score(row, min_score) for row in rows]
 
     def search_text(
         self,
@@ -266,6 +280,7 @@ class Collection:
         embedding_function: EmbeddingFunction,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[SearchResult]:
         # ef-carrying requests take the direct path: coalescing groups
         # by (k, metric, where) and a per-request beam width would
@@ -283,15 +298,20 @@ class Collection:
             from ..core.filter import where_cache_key
 
             if where is None or where_cache_key(where) is not None:
-                return self._get_coalescer().submit(
-                    query_text, k, metric, embedding_function, where=where
+                return self._apply_min_score(
+                    self._get_coalescer().submit(
+                        query_text, k, metric, embedding_function,
+                        where=where,
+                    ),
+                    min_score,
                 )
         # embed outside the lock (reference: src/client.rs:393-401)
         query = _run_embed(embedding_function, query_text)
         with self._lock.read(), profile_span("vectorlite.index.search"):
-            return self._index.search(
+            results = self._index.search(
                 query, k, metric, **self._search_kwargs(where, ef)
             )
+        return self._apply_min_score(results, min_score)
 
     def _get_coalescer(self):
         co = self._coalescer
@@ -321,14 +341,18 @@ class Collection:
         embedding_function: EmbeddingFunction,
         where: Optional[dict] = None,
         ef: Optional[int] = None,
+        min_score: Optional[float] = None,
     ) -> list[list[SearchResult]]:
         """Batched search — TPU-native extension."""
         with profile_span("vectorlite.embed.batch"):
             queries = _embed_arrays(embedding_function, list(query_texts))
         with self._lock.read(), profile_span("vectorlite.index.search_batch"):
-            return self._index.search_batch(
+            rows = self._index.search_batch(
                 queries, k, metric, **self._search_kwargs(where, ef)
             )
+        if min_score is None:
+            return rows
+        return [self._apply_min_score(row, min_score) for row in rows]
 
     def delete(self, id: int) -> None:
         with self._lock.write():
