@@ -275,3 +275,27 @@ class TestRemoteMinScore:
             assert rows == [[]]
         finally:
             srv.stop()
+
+
+class TestRemoteBulkGet:
+    def test_get_vectors(self):
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(8)))
+        try:
+            rc = RemoteClient(f"http://127.0.0.1:{srv.port}")
+            rc.create_collection("g", "flat")
+            rc.add_texts(
+                "g",
+                [f"t{i}" for i in range(5)],
+                metadatas=[{"i": i} for i in range(5)],
+            )
+            got = rc.get_vectors("g", [3, 1, 77])
+            assert [v.id for v in got] == [3, 1]
+            assert len(got[0].values) == 8  # values on by default
+            got = rc.get_vectors(
+                "g", [4, 3, 2], where={"i": {"$gte": 3}},
+                include_values=False,
+            )
+            assert [v.id for v in got] == [4, 3]
+            assert got[0].values == []
+        finally:
+            srv.stop()

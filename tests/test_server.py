@@ -1130,3 +1130,65 @@ class TestMinScore:
             assert resp.status == 200
 
         http(go, client=make_text_client())
+
+
+class TestBulkGetByIds:
+    """ids= on the listing route (extension): explicit-id bulk get,
+    requested order, missing ids skipped, where/include_values honored."""
+
+    def test_bulk_get(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            await tc.post(
+                "/collections/c/texts",
+                json={
+                    "texts": [f"t{i}" for i in range(6)],
+                    "metadatas": [{"even": i % 2 == 0} for i in range(6)],
+                },
+            )
+            resp = await tc.get("/collections/c/vectors?ids=4,0,99,2")
+            assert resp.status == 200
+            body = await resp.json()
+            # requested order, missing 99 skipped
+            assert [v["id"] for v in body["vectors"]] == [4, 0, 2]
+            assert body["total"] == 3
+            # values included by default on bulk get? include_values
+            # governs it, same as listing
+            assert body["vectors"][0]["values"] == []
+            resp = await tc.get(
+                "/collections/c/vectors?ids=4,0,2&include_values=1"
+            )
+            body = await resp.json()
+            assert len(body["vectors"][0]["values"]) == 3
+            # where post-filters
+            import urllib.parse
+
+            w = urllib.parse.quote('{"even": true}')
+            resp = await tc.get(
+                f"/collections/c/vectors?ids=4,3,2,1&where={w}"
+            )
+            body = await resp.json()
+            assert [v["id"] for v in body["vectors"]] == [4, 2]
+
+        http(go)
+
+    def test_bulk_get_validation(self):
+        async def go(tc):
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            for bad in ("", "1,-2", "1,x", "1, 2", "1_0", "2**70",
+                        str(1 << 64)):
+                resp = await tc.get(f"/collections/c/vectors?ids={bad}")
+                assert resp.status == 400, bad
+                assert "comma-separated" in (await resp.json())["message"]
+            resp = await tc.get(
+                "/collections/c/vectors?ids=" + ",".join(["1"] * 1001)
+            )
+            assert resp.status == 400
+            resp = await tc.get("/collections/missing/vectors?ids=1")
+            assert resp.status == 404
+
+        http(go)

@@ -753,6 +753,45 @@ async def list_vectors(request: web.Request) -> web.Response:
     where = _parse_where_param(request)
     client = request.app[_CLIENT_KEY]
 
+    ids_raw = request.query.get("ids")
+    if ids_raw is not None:
+        # bulk get by explicit ids (extension): ids=1,2,3 — found
+        # vectors in the requested order, missing ids skipped; combines
+        # with where= and include_values=, ignores offset/limit
+        def bad_ids():
+            return web.HTTPBadRequest(
+                text='{"message": "Query param ids must be a '
+                'comma-separated list of at most 1000 u64 ids"}',
+                content_type="application/json",
+            )
+
+        tokens = ids_raw.split(",")
+        if not ids_raw or len(tokens) > 1000:
+            raise bad_ids()
+        ids = []
+        for tok in tokens:
+            # strict u64 (no sign, no whitespace, no 1_0 separators)
+            if not tok.isascii() or not tok.isdigit():
+                raise bad_ids()
+            vid = int(tok)
+            if vid >= 1 << 64:
+                raise bad_ids()
+            ids.append(vid)
+
+        def run_ids():
+            with request.app[_LOCK_KEY].read():
+                return client.get_vectors_from_collection(
+                    name, ids, where, include_values
+                )
+
+        vectors = await _blocking(request, run_ids)
+        return web.json_response(
+            {
+                "vectors": [v.to_json() for v in vectors],
+                "total": len(vectors),
+            }
+        )
+
     def run():
         with request.app[_LOCK_KEY].read():
             return client.list_vectors_in_collection(

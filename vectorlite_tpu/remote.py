@@ -435,6 +435,36 @@ class RemoteClient:
         ]
         return vectors, int(out["total"])
 
+    def get_vectors(
+        self,
+        collection: str,
+        ids: Sequence[int],
+        where: Optional[dict] = None,
+        include_values: bool = True,
+    ) -> list[Vector]:
+        """Bulk get by explicit ids (extension): found vectors in the
+        requested order, missing ids skipped; optional ``where``
+        post-filter."""
+        params = {"ids": ",".join(str(int(i)) for i in ids)}
+        if include_values:
+            params["include_values"] = "1"
+        if where is not None:
+            params["where"] = json.dumps(where)
+        out = self._request(
+            "GET",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            f"/vectors?{urllib.parse.urlencode(params)}",
+        )
+        return [
+            Vector(
+                id=int(v["id"]),
+                values=v.get("values") or [],
+                text=v.get("text") or "",
+                metadata=v.get("metadata"),
+            )
+            for v in out["vectors"]
+        ]
+
     def update_text(
         self,
         collection: str,

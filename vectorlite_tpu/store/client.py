@@ -270,6 +270,19 @@ class VectorLiteClient:
         """Replace one vector's metadata (TPU-native extension)."""
         self._require(collection_name).update_metadata(id, metadata)
 
+    def get_vectors_from_collection(
+        self,
+        collection_name: str,
+        ids,
+        where: Optional[dict] = None,
+        include_values: bool = True,
+    ):
+        """Bulk get by explicit ids (extension): found vectors in the
+        requested order; missing ids are skipped."""
+        return self._require(collection_name).get_vectors(
+            ids, where, include_values
+        )
+
     def list_vectors_in_collection(
         self,
         collection_name: str,

@@ -422,6 +422,38 @@ class Collection:
         with self._lock.read():
             return self._index.get_vector(id)
 
+    def get_vectors(
+        self,
+        ids: Sequence[int],
+        where: Optional[dict] = None,
+        include_values: bool = True,
+    ) -> list[Vector]:
+        """Bulk get by explicit ids (extension; the reference offers
+        only per-id GET): found vectors come back in the REQUESTED
+        order, missing ids are skipped (no error — callers diff the id
+        sets). One read lock for the whole batch. An optional ``where``
+        clause post-filters by stored metadata (InvalidFilter on a
+        malformed clause, same dialect as search)."""
+        pred = None
+        if where is not None:
+            from ..core.filter import compile_where
+
+            pred = compile_where(where)
+        out: list[Vector] = []
+        with self._lock.read():
+            for vid in ids:
+                v = self._index.get_vector(int(vid))
+                if v is None:
+                    continue
+                if pred is not None and not pred(v.metadata):
+                    continue
+                if not include_values:
+                    v = Vector(
+                        id=v.id, values=[], text=v.text, metadata=v.metadata
+                    )
+                out.append(v)
+        return out
+
     def get_info(self) -> CollectionInfo:
         with self._lock.read():
             return CollectionInfo(
