@@ -73,8 +73,9 @@ def _auth_middleware(api_key: str):
             return await handler(request)
         supplied = ""
         header = request.headers.get("Authorization", "")
-        if header.startswith("Bearer "):
-            supplied = header[len("Bearer "):]
+        # auth-scheme is case-insensitive (RFC 7235 §2.1)
+        if header[:7].lower() == "bearer ":
+            supplied = header[7:]
         elif "X-API-Key" in request.headers:
             supplied = request.headers["X-API-Key"]
         if not hmac.compare_digest(supplied.encode("utf-8"), key_bytes):
@@ -310,16 +311,21 @@ def _parse_min_score(body: dict):
     v = body.get("min_score", None)
     if v is None:
         return None
-    if (
-        isinstance(v, bool)
-        or not isinstance(v, (int, float))
-        or not math.isfinite(v)
-    ):
-        raise web.HTTPBadRequest(
+    def bad():
+        return web.HTTPBadRequest(
             text='{"message": "Field min_score must be a finite number"}',
             content_type="application/json",
         )
-    return float(v)
+
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise bad()
+    try:
+        f = float(v)  # a ~10^400 JSON int overflows float conversion
+    except OverflowError:
+        raise bad()
+    if not math.isfinite(f):
+        raise bad()
+    return f
 
 
 def _parse_ef(body: dict):
@@ -770,8 +776,9 @@ async def list_vectors(request: web.Request) -> web.Response:
             raise bad_ids()
         ids = []
         for tok in tokens:
-            # strict u64 (no sign, no whitespace, no 1_0 separators)
-            if not tok.isascii() or not tok.isdigit():
+            # strict u64 (no sign, no whitespace, no 1_0 separators);
+            # length-capped so int() never hits CPython's 4300-digit limit
+            if not tok.isascii() or not tok.isdigit() or len(tok) > 20:
                 raise bad_ids()
             vid = int(tok)
             if vid >= 1 << 64:
@@ -1086,7 +1093,9 @@ def create_app(
     an optional started ``store.autosave.AutosaveDaemon``; the app owns
     its shutdown (final flush) and surfaces its counters at /stats.
     ``api_key`` (default: $VECTORLITE_API_KEY) enables bearer-token
-    auth on every route except GET /health."""
+    auth on every route except GET /health; pass ``""`` to force an
+    unauthenticated server even when the env var is set (only ``None``
+    falls back to the environment)."""
     import os as _os
 
     if api_key is None:

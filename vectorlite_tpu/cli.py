@@ -65,7 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("VECTORLITE_API_KEY"),
         help="Require 'Authorization: Bearer <key>' (or X-API-Key) on "
         "every route except GET /health (extension; the reference "
-        "server is unauthenticated). Defaults to $VECTORLITE_API_KEY",
+        "server is unauthenticated). Defaults to $VECTORLITE_API_KEY; "
+        "pass --api-key '' to serve unauthenticated even when the env "
+        "var is set",
     )
     parser.add_argument(
         "--autosave-dir",
@@ -128,9 +130,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from .api.server import start_server
 
+    # pass '' through unchanged: an explicit --api-key '' must disable
+    # auth (create_app only falls back to the env var on None)
     start_server(
         client, args.host, args.port, autosave=autosave,
-        api_key=args.api_key or None,
+        api_key=args.api_key,
     )
     return 0
 

@@ -844,13 +844,19 @@ class FlatIndex:
     def is_empty(self) -> bool:
         return self._count == 0
 
-    def get_vector(self, id: int) -> Optional[Vector]:
+    def get_vector(
+        self, id: int, *, include_values: bool = True
+    ) -> Optional[Vector]:
         slot = self._id_to_slot.get(int(id))
         if slot is None:
             return None
         return Vector(
             id=int(self._ids[slot]),
-            values=[float(x) for x in self._values64[slot]],
+            values=(
+                [float(x) for x in self._values64[slot]]
+                if include_values
+                else []
+            ),
             text=self._texts[slot] or "",
             metadata=self._metas[slot],
         )

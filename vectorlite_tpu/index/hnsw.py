@@ -1104,12 +1104,16 @@ class HNSWIndex:
     def is_empty(self) -> bool:
         return not self._id_to_index
 
-    def get_vector(self, id: int) -> Optional[Vector]:
+    def get_vector(
+        self, id: int, *, include_values: bool = True
+    ) -> Optional[Vector]:
         vid = int(id)
         node = self._id_to_index.get(vid)
         if node is None:
             return None
-        if self._vecs64 is not None:
+        if not include_values:
+            values = []
+        elif self._vecs64 is not None:
             values = [float(x) for x in self._vecs64[node]]
         else:
             values = [float(x) for x in self._vecs[node]]

@@ -30,6 +30,18 @@ from .errors import VectorLiteError
 __all__ = ["RemoteClient", "RemoteError", "RemoteConnectionError"]
 
 
+def _vector_from_json(v: dict) -> Vector:
+    """Vector from a /vectors response element (shared by the listing
+    and bulk-get paths; values/text may be omitted or null when
+    include_values is off)."""
+    return Vector(
+        id=int(v["id"]),
+        values=v.get("values") or [],
+        text=v.get("text") or "",
+        metadata=v.get("metadata"),
+    )
+
+
 class RemoteError(VectorLiteError):
     """A typed error returned by the server (4xx/5xx with the canonical
     ``{"message": ...}`` body). ``status_code`` carries the HTTP status
@@ -424,15 +436,7 @@ class RemoteClient:
             f"/collections/{urllib.parse.quote(collection, safe='')}"
             f"/vectors?{urllib.parse.urlencode(params)}",
         )
-        vectors = [
-            Vector(
-                id=int(v["id"]),
-                values=v.get("values") or [],
-                text=v.get("text") or "",
-                metadata=v.get("metadata"),
-            )
-            for v in out["vectors"]
-        ]
+        vectors = [_vector_from_json(v) for v in out["vectors"]]
         return vectors, int(out["total"])
 
     def get_vectors(
@@ -444,7 +448,11 @@ class RemoteClient:
     ) -> list[Vector]:
         """Bulk get by explicit ids (extension): found vectors in the
         requested order, missing ids skipped; optional ``where``
-        post-filter."""
+        post-filter. An empty ids list returns [] without a request,
+        matching the local SDK (the server rejects a bare ids=)."""
+        ids = list(ids)
+        if not ids:
+            return []
         params = {"ids": ",".join(str(int(i)) for i in ids)}
         if include_values:
             params["include_values"] = "1"
@@ -455,15 +463,7 @@ class RemoteClient:
             f"/collections/{urllib.parse.quote(collection, safe='')}"
             f"/vectors?{urllib.parse.urlencode(params)}",
         )
-        return [
-            Vector(
-                id=int(v["id"]),
-                values=v.get("values") or [],
-                text=v.get("text") or "",
-                metadata=v.get("metadata"),
-            )
-            for v in out["vectors"]
-        ]
+        return [_vector_from_json(v) for v in out["vectors"]]
 
     def update_text(
         self,

@@ -442,15 +442,15 @@ class Collection:
         out: list[Vector] = []
         with self._lock.read():
             for vid in ids:
-                v = self._index.get_vector(int(vid))
+                # skip value materialization at the index when the
+                # caller doesn't want them (D floats per hit otherwise)
+                v = self._index.get_vector(
+                    int(vid), include_values=include_values
+                )
                 if v is None:
                     continue
                 if pred is not None and not pred(v.metadata):
                     continue
-                if not include_values:
-                    v = Vector(
-                        id=v.id, values=[], text=v.text, metadata=v.metadata
-                    )
                 out.append(v)
         return out
 
