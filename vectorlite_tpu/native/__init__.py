@@ -63,6 +63,7 @@ def _compile() -> None:
         "-shared",
         "-fPIC",
         "-funroll-loops",
+        "-fopenmp-simd",
         "-pthread",
         str(_SRC),
         "-o",
@@ -169,6 +170,22 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hnsw_drain_dirty.argtypes = [c.c_void_p, p(c.c_int32), c.c_int64]
     lib.hnsw_dirty_count.restype = c.c_int64
     lib.hnsw_dirty_count.argtypes = [c.c_void_p]
+    try:
+        # absent only from a pre-round-3 cached .so (mtime staleness
+        # recompiles those); don't lose the whole lib over it
+        lib.flat_rescore_f64.argtypes = [
+            p(c.c_double),  # vals [cap, D]
+            p(c.c_double),  # norms [cap] (cosine only; else null)
+            p(c.c_double),  # q [B, D]
+            p(c.c_int64),  # slots [B, K]
+            p(c.c_double),  # out [B, K]
+            c.c_int64,  # D
+            c.c_int64,  # B
+            c.c_int64,  # K
+            c.c_int32,  # metric: 0=cos 1=euc 2=dot 3=l1
+        ]
+    except AttributeError:
+        pass
     return lib
 
 

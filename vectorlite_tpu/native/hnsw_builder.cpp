@@ -1108,4 +1108,73 @@ int64_t hnsw_dirty_count(Builder* b) {
   return static_cast<int64_t>(b->dirty.size());
 }
 
+// ---------------------------------------------------------------------------
+// Flat-index host rescore (serving path for reduced-precision storage).
+//
+// FlatIndex._exact_rescore re-scores the device candidate pool in exact
+// float64 so returned scores match the scalar reference formulas
+// (reference: src/lib.rs:498-560 similarity math). numpy's
+// vals64[slots] fancy-gather materializes a [B,K,D] f64 temp (~100 MB
+// at the serving shape [256,128,384]) before the batched matmul —
+// measured ~31 ms/batch on this host. This streaming kernel reads each
+// candidate row once, accumulates in-register, and writes only the
+// [B,K] scores: measured ~13 ms at the same shape (2.4x), memory-bound
+// on random 3 KB row reads. Single-threaded by design: it runs under
+// concurrent serving streams, and rows are visited in slot order only
+// per (b, j) pair so there is no shared mutable state.
+//
+// metric: 0=cosine 1=euclidean 2=dot_product 3=manhattan.
+// norms may be null for metrics other than cosine. Semantics match
+// numpy's _exact_rescore exactly: cosine guards denom > 0 (divides by
+// max(denom, 1e-300)) and clamps to <= 1.0.
+void flat_rescore_f64(const double* vals, const double* norms,
+                      const double* q, const int64_t* slots, double* out,
+                      int64_t dim, int64_t b_rows, int64_t k_cols,
+                      int32_t metric) {
+  for (int64_t b = 0; b < b_rows; ++b) {
+    const double* qb = q + b * dim;
+    double qn = 0.0;
+    if (metric == 0) {
+      double acc = 0.0;
+#pragma omp simd reduction(+ : acc)
+      for (int64_t d = 0; d < dim; ++d) acc += qb[d] * qb[d];
+      qn = std::sqrt(acc);
+    }
+    const int64_t* srow = slots + b * k_cols;
+    double* orow = out + b * k_cols;
+    for (int64_t j = 0; j < k_cols; ++j) {
+      const double* r = vals + srow[j] * dim;
+      double sc;
+      if (metric == 0 || metric == 2) {
+        double dot = 0.0;
+#pragma omp simd reduction(+ : dot)
+        for (int64_t d = 0; d < dim; ++d) dot += r[d] * qb[d];
+        if (metric == 2) {
+          sc = dot;
+        } else {
+          double denom = norms[srow[j]] * qn;
+          sc = denom > 0.0
+                   ? dot / (denom < 1e-300 ? 1e-300 : denom)
+                   : 0.0;
+          if (sc > 1.0) sc = 1.0;
+        }
+      } else if (metric == 1) {
+        double acc = 0.0;
+#pragma omp simd reduction(+ : acc)
+        for (int64_t d = 0; d < dim; ++d) {
+          double t = r[d] - qb[d];
+          acc += t * t;
+        }
+        sc = 1.0 / (1.0 + std::sqrt(acc));
+      } else {
+        double acc = 0.0;
+#pragma omp simd reduction(+ : acc)
+        for (int64_t d = 0; d < dim; ++d) acc += std::fabs(r[d] - qb[d]);
+        sc = 1.0 / (1.0 + acc);
+      }
+      orow[j] = sc;
+    }
+  }
+}
+
 }  // extern "C"
