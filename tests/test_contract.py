@@ -156,6 +156,19 @@ SCENARIO = [
      {"file_path": "__TMP__/c.vlc"}, 409),  # name "c" already exists
     ("POST", "/collections/load", "/collections/load",
      {"file_path": "__TMP__/c.vlc", "collection_name": "c2"}, 200),
+    # snapshot-over-HTTP extension: download (ok + 404), restore
+    # ("__SNAPSHOT__" = the bytes captured from the GET above: 409 on
+    # an existing name, 200 restored-as, 500 on a garbage document)
+    ("GET", "/collections/{name}/snapshot", "/collections/c/snapshot",
+     None, 200),
+    ("GET", "/collections/{name}/snapshot", "/collections/nope/snapshot",
+     None, 404),
+    ("POST", "/collections/{name}/snapshot", "/collections/c/snapshot",
+     "__SNAPSHOT__", 409),
+    ("POST", "/collections/{name}/snapshot", "/collections/c3/snapshot",
+     "__SNAPSHOT__", 200),
+    ("POST", "/collections/{name}/snapshot", "/collections/bad/snapshot",
+     b"{not a snapshot", 500),
     ("DELETE", "/collections/{name}", "/collections/c", None, 200),
     ("DELETE", "/collections/{name}", "/collections/c", None, 404),
 ]
@@ -187,14 +200,27 @@ def test_every_documented_route_conforms(spec, tmp_path):
             VectorLiteClient(ConstantEmbeddingFunction([1.0, 2.0, 3.0]))
         )
         async with TestClient(TestServer(app)) as tc:
+            snapshot_doc = b""
             for method, template, path, body, want in SCENARIO:
-                if body:
-                    body = {
-                        k: (v.replace("__TMP__", str(tmp_path))
-                            if isinstance(v, str) else v)
-                        for k, v in body.items()
-                    }
-                resp = await tc.request(method, path, json=body)
+                if body == "__SNAPSHOT__" or isinstance(
+                    body, (bytes, bytearray)
+                ):
+                    raw = snapshot_doc if body == "__SNAPSHOT__" else body
+                    resp = await tc.request(method, path, data=raw)
+                else:
+                    if body:
+                        body = {
+                            k: (v.replace("__TMP__", str(tmp_path))
+                                if isinstance(v, str) else v)
+                            for k, v in body.items()
+                        }
+                    resp = await tc.request(method, path, json=body)
+                if (
+                    method == "GET"
+                    and template.endswith("/snapshot")
+                    and resp.status == 200
+                ):
+                    snapshot_doc = await resp.read()
                 assert resp.status == want, (
                     f"{method} {path}: got {resp.status}, want {want}: "
                     f"{await resp.text()}"

@@ -299,3 +299,39 @@ class TestRemoteBulkGet:
             assert got[0].values == []
         finally:
             srv.stop()
+
+
+class TestRemoteSnapshot:
+    def test_snapshot_roundtrip(self, rc, tmp_path):
+        import io
+
+        rc.create_collection("src", "flat")
+        rc.add_texts(
+            "src",
+            [f"t{i}" for i in range(5)],
+            metadatas=[{"i": i} for i in range(5)],
+        )
+        path = tmp_path / "src.vlc"
+        n = rc.download_snapshot("src", str(path))
+        assert n == path.stat().st_size > 0
+        # restore from path, under a new name
+        assert rc.restore_snapshot("dst", str(path)) == 5
+        assert rc.get_collection_info("dst")["count"] == 5
+        got = rc.get_vectors("dst", [0, 3])
+        assert [v.metadata for v in got] == [{"i": 0}, {"i": 3}]
+        # conflict surfaces as a typed 409
+        with pytest.raises(RemoteError) as ei:
+            rc.restore_snapshot("dst", path.read_bytes())
+        assert ei.value.status_code == 409
+        # download into a file object; restore from a file object
+        buf = io.BytesIO()
+        rc.download_snapshot("dst", buf)
+        assert buf.getvalue()
+        buf.seek(0)
+        assert rc.restore_snapshot("dst2", buf) == 5
+
+    def test_snapshot_missing_collection(self, rc, tmp_path):
+        with pytest.raises(RemoteError) as ei:
+            rc.download_snapshot("ghost", str(tmp_path / "x.vlc"))
+        assert ei.value.status_code == 404
+        assert not (tmp_path / "x.vlc").exists()

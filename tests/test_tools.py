@@ -268,3 +268,33 @@ class TestStrictness:
         src.write_text('{"text": "t", "embedding": [1.0, "2", 3.0]}\n')
         with pytest.raises(ValueError, match="must be numbers"):
             import_jsonl(str(src), "ds", vlc=str(tmp_path / "o.vlc"))
+
+
+class TestSnapshotCli:
+    def test_snapshot_restore_roundtrip(self, tmp_path, capsys):
+        from test_remote import _ServerThread
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+        from vectorlite_tpu.remote import RemoteClient
+        from vectorlite_tpu.tools import main
+
+        srv = _ServerThread(VectorLiteClient(MockEmbeddingFunction(DIM)))
+        try:
+            url = f"http://127.0.0.1:{srv.port}"
+            rc = RemoteClient(url)
+            rc.create_collection("snapcli", "flat")
+            rc.add_texts("snapcli", [f"t{i}" for i in range(4)])
+            path = tmp_path / "snapcli.vlc"
+            rv = main([
+                "snapshot", str(path), "-c", "snapcli", "--url", url,
+            ])
+            assert rv == 0 and path.stat().st_size > 0
+            assert "downloaded snapshot" in capsys.readouterr().out
+            rv = main([
+                "restore", str(path), "-c", "snapcli2", "--url", url,
+            ])
+            assert rv == 0
+            assert "4 vectors" in capsys.readouterr().out
+            assert rc.get_collection_info("snapcli2")["count"] == 4
+        finally:
+            srv.stop()

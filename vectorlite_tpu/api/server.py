@@ -984,6 +984,146 @@ async def load_collection(request: web.Request) -> web.Response:
     return web.json_response({"collection_name": name})
 
 
+async def download_snapshot(request: web.Request) -> web.StreamResponse:
+    """GET /collections/{name}/snapshot (extension): stream the
+    collection's .vlc document — byte-identical to what POST /save
+    writes — over HTTP, so operators can back up a collection without
+    filesystem access to the server. The payload is built under the
+    read lock (index_to_json copies rows), then rendered incrementally
+    in the executor and streamed in ~1 MB chunks with backpressure: a
+    1M x 384 corpus renders to ~12 GB of JSON, so neither the rendered
+    document nor more than a few chunks are ever resident."""
+    import threading
+
+    from ..persist import vlc as _vlc
+
+    name = request.match_info["name"]
+    client = request.app[_CLIENT_KEY]
+
+    def build_payload():
+        with request.app[_LOCK_KEY].read():
+            collection = client.get_collection(name)
+            if collection is None:
+                raise CollectionNotFound(name)
+            return _vlc.collection_to_json(collection)
+
+    payload = await _blocking(request, build_payload)
+
+    resp = web.StreamResponse()
+    resp.content_type = "application/json"
+    from urllib.parse import quote as _q
+
+    resp.headers["Content-Disposition"] = (
+        f"attachment; filename*=UTF-8''{_q(name, safe='')}.vlc"
+    )
+    for h, v in _CORS_HEADERS.items():
+        resp.headers[h] = v
+    await resp.prepare(request)
+
+    loop = asyncio.get_running_loop()
+    queue: asyncio.Queue = asyncio.Queue(maxsize=4)
+    aborted = threading.Event()
+
+    class _QueueSink:
+        """_emit-compatible sink: batches fragments to ~1 MB chunks and
+        hands them to the event loop, blocking (backpressure) when the
+        client reads slower than the renderer emits."""
+
+        def __init__(self):
+            self._buf: list = []
+            self._n = 0
+
+        def append(self, s: str) -> None:
+            self._buf.append(s)
+            self._n += len(s)
+            if self._n >= (1 << 20):
+                self.flush()
+
+        def flush(self) -> None:
+            if aborted.is_set():
+                raise ConnectionResetError("client disconnected")
+            if self._buf:
+                chunk = "".join(self._buf).encode("utf-8")
+                self._buf.clear()
+                self._n = 0
+                asyncio.run_coroutine_threadsafe(
+                    queue.put(chunk), loop
+                ).result()
+
+    def render():
+        try:
+            sink = _QueueSink()
+            _vlc._emit(payload, 0, sink)
+            sink.flush()
+            asyncio.run_coroutine_threadsafe(queue.put(b""), loop).result()
+        except BaseException as e:  # noqa: BLE001 - forwarded to the loop
+            try:
+                asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
+            except Exception:  # loop gone: nothing left to notify
+                pass
+
+    render_task = loop.run_in_executor(None, render)
+    try:
+        while True:
+            item = await queue.get()
+            if isinstance(item, BaseException):
+                if not isinstance(item, ConnectionResetError):
+                    logger.error("snapshot render failed: %s", item)
+                break
+            if item == b"":
+                break
+            try:
+                await resp.write(item)
+            except (ConnectionResetError, ConnectionError):
+                aborted.set()
+    finally:
+        aborted.set()
+        # drain so the renderer never blocks forever on a full queue
+        while not render_task.done():
+            try:
+                queue.get_nowait()
+            except asyncio.QueueEmpty:
+                await asyncio.sleep(0.01)
+        await resp.write_eof()
+    logger.info("Streamed snapshot of collection '%s'", name)
+    return resp
+
+
+async def restore_snapshot(request: web.Request) -> web.Response:
+    """POST /collections/{name}/snapshot (extension): body is a raw
+    .vlc document (e.g. a previous snapshot download); creates
+    collection ``{name}`` from it — the upload twin of the download
+    route, with /collections/load's conflict/validation semantics. The
+    URL name wins over the document's embedded metadata name
+    (restore-as). Subject to the configured request-body cap
+    (--max-body-mb) like every other route."""
+    name = request.match_info["name"]
+    raw = await request.read()
+    client = request.app[_CLIENT_KEY]
+
+    from ..persist.vlc import load_collection_from_bytes
+
+    def run():
+        loaded = load_collection_from_bytes(
+            raw, **client.flat_index_kwargs()
+        )
+        with request.app[_LOCK_KEY].write():
+            if client.has_collection(name):
+                raise CollectionAlreadyExists(name)
+            with loaded.index_read() as index:
+                client.add_collection(Collection(name, index))
+                count = len(index)
+        return count
+
+    count = await _blocking(request, run)
+    logger.info(
+        "Restored collection '%s' from snapshot (%d vectors)", name, count
+    )
+    return web.json_response(
+        {"collection_name": name, "vector_count": int(count)}
+    )
+
+
 # --------------------------------------------------------------------- app
 
 
@@ -1164,6 +1304,8 @@ def create_app(
     app.router.add_post("/collections/{name}/compact", compact_collection)
     app.router.add_post("/collections/{name}/save", save_collection)
     app.router.add_post("/collections/load", load_collection)
+    app.router.add_get("/collections/{name}/snapshot", download_snapshot)
+    app.router.add_post("/collections/{name}/snapshot", restore_snapshot)
     return app
 
 

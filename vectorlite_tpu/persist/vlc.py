@@ -669,15 +669,11 @@ def _native_parse(raw: bytes):
     return obj
 
 
-def load_collection_from_file(path, **index_kwargs) -> Collection:
-    """``index_kwargs`` (e.g. ``device_dtype``, ``mesh``) are forwarded to
-    the Flat index constructor so loaded collections adopt the serving
-    profile (sharded placement, dtype) of the loading client."""
-    path = Path(path)
-    try:
-        raw = path.read_bytes()
-    except FileNotFoundError:
-        raise FileNotFound(str(path)) from None
+def load_collection_from_bytes(raw: bytes, **index_kwargs) -> Collection:
+    """Parse a .vlc document from memory (the HTTP snapshot-restore
+    body path; file loads delegate here). Same native-parser-first,
+    json.loads-fallback pipeline and typed-error contract as loading
+    from disk."""
     obj = None
     if os.environ.get("VECTORLITE_NO_NATIVE") != "1":
         obj = _native_parse(raw)
@@ -692,3 +688,15 @@ def load_collection_from_file(path, **index_kwargs) -> Collection:
             # error too (its default limit is 128 levels)
             raise SerializationError(str(e)) from None
     return collection_from_json(obj, **index_kwargs)
+
+
+def load_collection_from_file(path, **index_kwargs) -> Collection:
+    """``index_kwargs`` (e.g. ``device_dtype``, ``mesh``) are forwarded to
+    the Flat index constructor so loaded collections adopt the serving
+    profile (sharded placement, dtype) of the loading client."""
+    path = Path(path)
+    try:
+        raw = path.read_bytes()
+    except FileNotFoundError:
+        raise FileNotFound(str(path)) from None
+    return load_collection_from_bytes(raw, **index_kwargs)

@@ -510,6 +510,115 @@ class RemoteClient:
         out = self._request("POST", "/collections/load", body)
         return out["collection_name"]
 
+    def download_snapshot(self, collection: str, dest) -> int:
+        """Stream ``GET /collections/{name}/snapshot`` into ``dest`` — a
+        path (written via tmp + atomic rename, like the server's own
+        save) or a binary file object. Returns bytes written. The
+        document is the same .vlc content ``save_collection`` writes
+        server-side, so it round-trips through ``restore_snapshot``,
+        ``load_collection``, and the reference engine alike."""
+        import http.client
+        import os
+
+        url = (
+            self.base_url
+            + f"/collections/{urllib.parse.quote(collection, safe='')}"
+            + "/snapshot"
+        )
+        headers = {"accept": "application/json"}
+        if self.api_key:
+            headers["authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            resp = urllib.request.urlopen(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:
+            err_body = e.read()
+            try:
+                message = json.loads(err_body.decode("utf-8"))["message"]
+            except Exception:
+                message = err_body.decode("utf-8", "replace") or str(e)
+            raise RemoteError(e.code, message) from None
+        except urllib.error.URLError as e:
+            raise RemoteConnectionError(str(e.reason)) from None
+        except (TimeoutError, OSError, http.client.HTTPException) as e:
+            raise RemoteConnectionError(
+                str(e) or type(e).__name__
+            ) from None
+
+        def pump(f) -> int:
+            written = 0
+            with resp:
+                while True:
+                    try:
+                        chunk = resp.read(1 << 20)
+                    except (
+                        TimeoutError, OSError, http.client.HTTPException,
+                    ) as e:
+                        raise RemoteConnectionError(
+                            str(e) or type(e).__name__
+                        ) from None
+                    if not chunk:
+                        return written
+                    f.write(chunk)
+                    written += len(chunk)
+
+        if hasattr(dest, "write"):
+            return pump(dest)
+        tmp = f"{dest}.{os.getpid()}.tmp"
+        try:
+            with open(tmp, "wb") as f:
+                written = pump(f)
+            os.replace(tmp, dest)
+            return written
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def restore_snapshot(self, name: str, src) -> int:
+        """Upload a .vlc document (path, bytes, or binary file object)
+        as ``POST /collections/{name}/snapshot``, creating collection
+        ``name`` server-side. Returns the restored vector count."""
+        import http.client
+
+        if isinstance(src, (bytes, bytearray)):
+            data = bytes(src)
+        elif hasattr(src, "read"):
+            data = src.read()
+        else:
+            with open(src, "rb") as f:
+                data = f.read()
+        url = (
+            self.base_url
+            + f"/collections/{urllib.parse.quote(name, safe='')}"
+            + "/snapshot"
+        )
+        headers = {
+            "accept": "application/json",
+            "content-type": "application/json",
+        }
+        if self.api_key:
+            headers["authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            url, data=data, method="POST", headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            err_body = e.read()
+            try:
+                message = json.loads(err_body.decode("utf-8"))["message"]
+            except Exception:
+                message = err_body.decode("utf-8", "replace") or str(e)
+            raise RemoteError(e.code, message) from None
+        except urllib.error.URLError as e:
+            raise RemoteConnectionError(str(e.reason)) from None
+        except (TimeoutError, OSError, http.client.HTTPException) as e:
+            raise RemoteConnectionError(
+                str(e) or type(e).__name__
+            ) from None
+        return int(out["vector_count"])
+
     def compact(self, collection: str) -> int:
         out = self._request(
             "POST",

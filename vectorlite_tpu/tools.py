@@ -361,6 +361,20 @@ def main(argv=None) -> int:
                 help="default: 'embedding', falling back to 'values'",
             )
             p.add_argument("--metadata-field", default="metadata")
+    for name, help_ in (
+        ("snapshot", "download a collection's .vlc over HTTP"),
+        ("restore", "upload a .vlc to create a collection over HTTP"),
+    ):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("file", help=".vlc file path")
+        p.add_argument("-c", "--collection", required=True)
+        p.add_argument("--url", required=True, help="server base URL")
+        p.add_argument(
+            "--api-key",
+            default=None,
+            help="bearer token for an auth-enabled server "
+            "(default: $VECTORLITE_API_KEY)",
+        )
     args = parser.parse_args(argv)
     if args.api_key is None:
         import os
@@ -371,6 +385,24 @@ def main(argv=None) -> int:
         if n - _last[0] >= 10 * args.batch:
             _last[0] = n
             print(f"  ... {n} records", file=sys.stderr)
+
+    if args.cmd in ("snapshot", "restore"):
+        from .remote import RemoteClient
+
+        rc = RemoteClient(args.url, api_key=args.api_key)
+        if args.cmd == "snapshot":
+            n = rc.download_snapshot(args.collection, args.file)
+            print(
+                f"downloaded snapshot of '{args.collection}' "
+                f"({n} bytes) to {args.file}"
+            )
+        else:
+            n = rc.restore_snapshot(args.collection, args.file)
+            print(
+                f"restored '{args.collection}' from {args.file} "
+                f"({n} vectors)"
+            )
+        return 0
 
     if args.cmd == "import":
         n = import_jsonl(
