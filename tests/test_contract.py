@@ -63,6 +63,14 @@ SCENARIO = [
      "/collections/c/search/texts", {"queries": ["a"], "k": 9999}, 400),
     ("POST", "/collections/{name}/search/texts",
      "/collections/nope/search/texts", {"queries": ["a"]}, 404),
+    # hybrid search extension
+    ("POST", "/collections/{name}/search/hybrid",
+     "/collections/c/search/hybrid",
+     {"query": "hello", "k": 3, "alpha": 0.5}, 200),
+    ("POST", "/collections/{name}/search/hybrid",
+     "/collections/c/search/hybrid", {"query": "hello", "alpha": 7}, 400),
+    ("POST", "/collections/{name}/search/hybrid",
+     "/collections/nope/search/hybrid", {"query": "hello"}, 404),
     # raw-vector extensions: bulk add (auto ids, explicit ids, dup id,
     # bad values, mixed ids, missing collection)
     ("POST", "/collections/{name}/vectors", "/collections/c/vectors",

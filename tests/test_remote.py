@@ -335,3 +335,24 @@ class TestRemoteSnapshot:
             rc.download_snapshot("ghost", str(tmp_path / "x.vlc"))
         assert ei.value.status_code == 404
         assert not (tmp_path / "x.vlc").exists()
+
+
+class TestRemoteHybrid:
+    def test_hybrid_route(self, rc):
+        rc.create_collection("hy", "flat")
+        rc.add_texts(
+            "hy",
+            ["quick brown fox", "lazy dog", "zebra crossing"],
+            metadatas=[{"i": i} for i in range(3)],
+        )
+        hits = rc.search_hybrid("hy", "zebra", k=2, alpha=0.0)
+        assert hits and hits[0].text == "zebra crossing"
+        assert 0 < hits[0].score <= 1 / 61 + 1e-12
+        hits = rc.search_hybrid(
+            "hy", "fox", k=3, alpha=0.5, pool=10,
+            where={"i": {"$lte": 1}},
+        )
+        assert all(h.text != "zebra crossing" for h in hits)
+        with pytest.raises(RemoteError) as ei:
+            rc.search_hybrid("hy", "x", alpha=3.0)
+        assert ei.value.status_code == 400

@@ -406,6 +406,71 @@ async def search_text(request: web.Request) -> web.Response:
     return web.json_response({"results": [r.to_json() for r in results]})
 
 
+def _parse_alpha(body: dict) -> float:
+    """Hybrid fusion weight: the dense leg's share, in [0, 1]."""
+    v = body.get("alpha", 0.5)
+    if (
+        isinstance(v, bool)
+        or not isinstance(v, (int, float))
+        or not (0.0 <= float(v) <= 1.0)
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field alpha must be a number in [0, 1]"}',
+            content_type="application/json",
+        )
+    return float(v)
+
+
+def _parse_pool(body: dict):
+    """Per-leg candidate pool for hybrid fusion (optional)."""
+    v = body.get("pool", None)
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, int) or not (
+        1 <= v <= 1000
+    ):
+        raise web.HTTPBadRequest(
+            text='{"message": "Field pool must be an integer in '
+            '[1, 1000]"}',
+            content_type="application/json",
+        )
+    return int(v)
+
+
+async def search_hybrid(request: web.Request) -> web.Response:
+    """Hybrid dense + BM25 search with reciprocal-rank fusion
+    (extension; the reference is dense-only). Body: {"query",
+    "k"?, "alpha"? (dense weight, default 0.5), "pool"? (per-leg
+    candidates), "similarity_metric"?, "where"?, "ef"?, "min_score"?}.
+    Scores in the response are fused RRF scores, not similarities."""
+    name = request.match_info["name"]
+    body = await _json_body(request)
+    query = _require_str(body, "query")
+    k = _parse_k(body)
+    metric = _parse_search_metric(body)
+    where = _parse_where(body)
+    ef = _parse_ef(body)
+    min_score = _parse_min_score(body)
+    alpha = _parse_alpha(body)
+    pool = _parse_pool(body)
+    client = request.app[_CLIENT_KEY]
+
+    def run():
+        with request.app[_LOCK_KEY].read():
+            return client.search_hybrid_in_collection(
+                name, query, k, metric, where=where, ef=ef,
+                min_score=min_score, alpha=alpha, pool=pool,
+            )
+
+    results = await _blocking(request, run)
+    logger.info(
+        "Hybrid search completed for collection '%s' with %d results",
+        name,
+        len(results),
+    )
+    return web.json_response({"results": [r.to_json() for r in results]})
+
+
 async def add_texts(request: web.Request) -> web.Response:
     """Batched insert (TPU-native extension): one embedder forward for the
     whole batch. Body: {"texts": [...], "metadatas": [...]?}."""
@@ -1289,6 +1354,7 @@ def create_app(
     # batched extensions (one device program per batch)
     app.router.add_post("/collections/{name}/texts", add_texts)
     app.router.add_post("/collections/{name}/search/texts", search_texts)
+    app.router.add_post("/collections/{name}/search/hybrid", search_hybrid)
     # raw-vector extensions (precomputed embeddings in, vector queries in)
     app.router.add_post("/collections/{name}/vectors", add_vectors)
     app.router.add_post("/collections/{name}/search/vector", search_vector)

@@ -355,6 +355,41 @@ class RemoteClient:
         )
         return [_result(r) for r in out["results"]]
 
+    def search_hybrid(
+        self,
+        collection: str,
+        query: str,
+        k: int = 10,
+        similarity_metric=None,
+        where: Optional[dict] = None,
+        ef: Optional[int] = None,
+        min_score: Optional[float] = None,
+        alpha: float = 0.5,
+        pool: Optional[int] = None,
+    ) -> list[SearchResult]:
+        """Hybrid dense + BM25 search with reciprocal-rank fusion
+        (extension route). ``alpha`` weights the dense leg in [0, 1];
+        returned scores are fused RRF scores, not similarities."""
+        body: dict = {"query": query, "k": int(k), "alpha": float(alpha)}
+        if pool is not None:
+            body["pool"] = int(pool)
+        if ef is not None:
+            body["ef"] = int(ef)
+        if min_score is not None:
+            body["min_score"] = float(min_score)
+        metric = _metric_str(similarity_metric)
+        if metric is not None:
+            body["similarity_metric"] = metric
+        if where is not None:
+            body["where"] = where
+        out = self._request(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection, safe='')}"
+            "/search/hybrid",
+            body,
+        )
+        return [_result(r) for r in out["results"]]
+
     def search_texts(
         self,
         collection: str,

@@ -244,6 +244,32 @@ class VectorLiteClient:
             ef=ef, min_score=min_score,
         )
 
+    def search_hybrid_in_collection(
+        self,
+        collection_name: str,
+        query_text: str,
+        k: int,
+        similarity_metric: Optional[SimilarityMetric] = None,
+        where: Optional[dict] = None,
+        ef: Optional[int] = None,
+        min_score: Optional[float] = None,
+        alpha: float = 0.5,
+        pool: Optional[int] = None,
+    ) -> list[SearchResult]:
+        """Hybrid dense + BM25 search with reciprocal-rank fusion
+        (extension; see Collection.search_hybrid). ``alpha`` weights
+        the dense leg in [0, 1]."""
+        collection = self._require(collection_name)
+        metric = (
+            similarity_metric
+            if similarity_metric is not None
+            else collection.detected_metric()
+        )
+        return collection.search_hybrid(
+            query_text, k, metric, self._embedding_function, where=where,
+            ef=ef, min_score=min_score, alpha=alpha, pool=pool,
+        )
+
     def delete_from_collection(self, collection_name: str, id: int) -> None:
         self._require(collection_name).delete(id)
 

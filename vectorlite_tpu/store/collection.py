@@ -59,6 +59,13 @@ class Collection:
         # the autosave daemon (store/autosave.py) can skip clean
         # collections without taking the index lock.
         self._mutations = AtomicCounter(0)
+        # BM25 sidecar for hybrid search: built lazily on the first
+        # search_hybrid (from the index's live texts), then maintained
+        # incrementally by the mutation hooks below. delete_where drops
+        # it (matched ids are unknown at this level) — the next hybrid
+        # search rebuilds.
+        self._bm25 = None
+        self._bm25_build_lock = threading.Lock()
 
     def mutation_count(self) -> int:
         return self._mutations.load()
@@ -83,6 +90,7 @@ class Collection:
         vector = Vector(id=vid, values=embedding, text=text, metadata=metadata)
         with self._lock.write(), profile_span("vectorlite.index.add"):
             self._index.add(vector)
+            self._bm25_note_add([vid], [text])
         self._mutations.fetch_add(1)
         return vid
 
@@ -136,6 +144,7 @@ class Collection:
                     self._index.add(
                         Vector(id=vid, values=emb, text=text, metadata=meta)
                     )
+            self._bm25_note_add(ids, texts)
         if ids:
             self._mutations.fetch_add(1)
         return ids
@@ -225,6 +234,7 @@ class Collection:
                             ),
                         )
                     )
+            self._bm25_note_add(int_ids, texts)
         if int_ids:
             self._mutations.fetch_add(1)
         return int_ids
@@ -313,6 +323,137 @@ class Collection:
             )
         return self._apply_min_score(results, min_score)
 
+    # ------------------------------------------------------ hybrid search
+
+    def _bm25_note_add(self, ids, texts) -> None:
+        """Mutation hook (called under the write lock): keep the BM25
+        sidecar in sync when it exists. ``texts=None`` (raw-vector
+        inserts) registers empty documents so corpus statistics track
+        the collection count."""
+        bm25 = self._bm25
+        if bm25 is None:
+            return
+        for i, vid in enumerate(ids):
+            bm25.add(int(vid), texts[i] if texts is not None else "")
+
+    def _bm25_synced(self):
+        """Return the BM25 sidecar, building it from the index's live
+        texts on first use. Callers hold the read lock; the build mutex
+        serializes concurrent first builders (the second one returns
+        the first's result)."""
+        bm25 = self._bm25
+        if bm25 is not None:
+            return bm25
+        from ..text.bm25 import BM25Index
+
+        with self._bm25_build_lock:
+            if self._bm25 is not None:
+                return self._bm25
+            bm25 = BM25Index()
+            offset = 0
+            while True:
+                vectors, _total = self._index.list_vectors(
+                    offset, 10_000, None, False
+                )
+                if not vectors:
+                    break
+                for v in vectors:
+                    bm25.add(v.id, v.text)
+                offset += len(vectors)
+            self._bm25 = bm25
+            return bm25
+
+    def search_hybrid(
+        self,
+        query_text: str,
+        k: int,
+        metric: SimilarityMetric,
+        embedding_function: EmbeddingFunction,
+        where: Optional[dict] = None,
+        ef: Optional[int] = None,
+        min_score: Optional[float] = None,
+        alpha: float = 0.5,
+        pool: Optional[int] = None,
+        rrf_k: int = 60,
+    ) -> list[SearchResult]:
+        """Hybrid dense + lexical search (extension; the reference is
+        dense-only): the embedding leg (TPU) and a BM25 leg over the
+        stored texts are fused by weighted reciprocal-rank fusion —
+        ``alpha/(rrf_k + dense_rank) + (1-alpha)/(rrf_k + bm25_rank)``
+        (rank-based, so no score-scale normalization is needed; RRF is
+        the standard robust fusion, Cormack et al. SIGIR'09).
+
+        ``alpha`` = dense-leg weight in [0, 1] (0.5 default; 1.0 ~
+        dense-only, 0.0 ~ BM25-only). Each leg contributes its top
+        ``pool`` candidates (default ``max(4k, 32)`` capped at 1000).
+        ``where``/``ef`` apply to both legs; ``min_score`` filters the
+        FUSED score (RRF scores live in (0, 2/rrf_k], not similarity
+        space). Returned SearchResult.score is the fused score, sorted
+        descending with ties broken by ascending id. The two legs run
+        under separate read-lock acquisitions (same non-atomicity any
+        two consecutive searches have)."""
+        k = int(k)
+        if k <= 0:
+            return []
+        alpha = float(alpha)
+        if not (0.0 <= alpha <= 1.0):
+            raise ValueError("alpha must be within [0, 1]")
+        pool = (
+            int(pool) if pool is not None
+            else min(max(4 * k, 32), 1000)
+        )
+        pool = max(pool, k)
+        # dense leg (embed outside the lock, shared batched dispatch)
+        dense = self.search_text(
+            query_text, pool, metric, embedding_function,
+            where=where, ef=ef,
+        )
+        pred = None
+        if where is not None:
+            from ..core.filter import compile_where
+
+            pred = compile_where(where)
+        with self._lock.read(), profile_span("vectorlite.index.bm25"):
+            bm25 = self._bm25_synced()
+            if pred is not None:
+                def keep(did: int) -> bool:
+                    v = self._index.get_vector(did, include_values=False)
+                    return v is not None and pred(v.metadata)
+
+                sparse = bm25.search(query_text, pool, keep)
+            else:
+                sparse = bm25.search(query_text, pool)
+            fused: dict = {}
+            for rank, r in enumerate(dense, 1):
+                fused[r.id] = alpha / (rrf_k + rank)
+            for rank, (did, _score) in enumerate(sparse, 1):
+                fused[did] = fused.get(did, 0.0) + (1.0 - alpha) / (
+                    rrf_k + rank
+                )
+            order = sorted(fused.items(), key=lambda t: (-t[1], t[0]))
+            by_id = {r.id: r for r in dense}
+            results: list[SearchResult] = []
+            for did, score in order:
+                if len(results) == k or score <= 0.0:
+                    # zero fused score = the candidate's only leg is
+                    # weighted out (alpha 0/1) — not a real hit
+                    break
+                hit = by_id.get(did)
+                if hit is None:
+                    v = self._index.get_vector(did, include_values=False)
+                    if v is None:  # deleted between the two legs
+                        continue
+                    text, meta = v.text, v.metadata
+                else:
+                    text, meta = hit.text, hit.metadata
+                results.append(
+                    SearchResult(
+                        id=int(did), score=float(score),
+                        text=text, metadata=meta,
+                    )
+                )
+        return self._apply_min_score(results, min_score)
+
     def _get_coalescer(self):
         co = self._coalescer
         if co is None:
@@ -357,6 +498,8 @@ class Collection:
     def delete(self, id: int) -> None:
         with self._lock.write():
             self._index.delete(id)
+            if self._bm25 is not None:
+                self._bm25.remove(int(id))
         self._mutations.fetch_add(1)
 
     def delete_where(self, where) -> int:
@@ -364,6 +507,10 @@ class Collection:
         number of vectors removed; ``{}`` is an explicit match-all."""
         with self._lock.write():
             n = self._index.delete_where(where)
+            if n:
+                # matched ids are unknown at this level: drop the BM25
+                # sidecar; the next hybrid search rebuilds it
+                self._bm25 = None
         if n:
             self._mutations.fetch_add(n)
         return n
@@ -397,6 +544,7 @@ class Collection:
                 raise VectorNotFound(int(id))
             self._index.delete(int(id))
             self._index.add(vector)
+            self._bm25_note_add([int(id)], [text])  # re-index = replace
         self._mutations.fetch_add(1)
 
     def update_metadata(self, id: int, metadata) -> None:
