@@ -108,6 +108,32 @@ class TestBM25Index:
         assert idx.search("strasse", 5)[0][0] == 1
         assert idx.search("HÖLLE", 5)[0][0] == 1
 
+    def test_unicode_scripts_and_accents(self):
+        """Non-Latin scripts tokenize (not the old ASCII-only [a-z0-9])
+        and accents fold, so 'cafe' matches 'café'."""
+        assert tokenize("Привет мир") == ["привет", "мир"]
+        assert tokenize("café") == ["cafe"]
+        assert tokenize("naïve approach") == ["naive", "approach"]
+        idx = BM25Index()
+        idx.add(1, "Привет мир")
+        idx.add(2, "café reviews")
+        idx.add(3, "plain ascii text")
+        assert idx.search("привет", 5)[0][0] == 1
+        assert idx.search("ПРИВЕТ", 5)[0][0] == 1
+        assert idx.search("cafe", 5)[0][0] == 2
+        assert idx.search("café", 5)[0][0] == 2
+
+    def test_waste_and_total_docnums(self):
+        idx = BM25Index()
+        for i in range(4):
+            idx.add(i, f"doc {i}")
+        assert idx.total_docnums() == 4 and idx.waste() == 0.0
+        idx.add(0, "doc zero again")  # re-index tombstones the old docnum
+        idx.remove(1)
+        assert idx.total_docnums() == 5
+        assert idx.waste() == pytest.approx(2 / 5)
+        assert len(idx) == 3
+
 
 def vec_client(dim=16):
     return VectorLiteClient(MockEmbeddingFunction(dim))
@@ -215,6 +241,56 @@ class TestCollectionHybrid:
         hits = client.search_hybrid_in_collection("hh", "zebra", 3)
         assert any(h.text == DOCS[2] for h in hits)
 
+    def test_sidecar_gc_on_update_churn(self, monkeypatch):
+        """Update/delete churn tombstones docnums; past the waste
+        threshold the sidecar is dropped (postings can't be compacted
+        without the original texts) and the next hybrid search rebuilds
+        it at live size."""
+        from vectorlite_tpu.store import collection as col_mod
+
+        monkeypatch.setattr(col_mod, "_BM25_DROP_MIN_DOCNUMS", 8)
+        client = vec_client()
+        self._fill(client)
+        assert client.search_hybrid_in_collection("h", "fox", 5, alpha=0.0)
+        col = client.get_collection("h")
+        assert col._bm25 is not None
+        # churn: each update kills one docnum and appends one
+        for round_ in range(6):
+            client.update_text_in_collection("h", 0, f"churn words {round_}")
+            if col._bm25 is None:
+                break
+        assert col._bm25 is None  # GC fired before unbounded growth
+        hits = client.search_hybrid_in_collection("h", "churn", 3, alpha=0.0)
+        assert hits and hits[0].id == 0  # rebuilt, serving the live text
+        assert col._bm25.total_docnums() == col.get_info().count
+
+    def test_protocol_minimum_index_bulk_get(self):
+        """A third-party index implementing only the documented
+        protocol minimum get_vector(id) still serves Collection's bulk
+        get (Collection detects the missing include_values kwarg by
+        signature instead of TypeError-ing)."""
+        from vectorlite_tpu.core.types import Vector
+        from vectorlite_tpu.store.collection import Collection
+
+        class MinimalIndex:
+            def __init__(self):
+                self._rows = {
+                    i: Vector(id=i, values=[float(i)], text=f"t{i}",
+                              metadata={"i": i})
+                    for i in range(3)
+                }
+
+            def max_id(self):
+                return max(self._rows)
+
+            def get_vector(self, id):  # protocol-minimum signature
+                return self._rows.get(int(id))
+
+        col = Collection("third-party", MinimalIndex())
+        got = col.get_vectors([2, 0, 99], include_values=False)
+        assert [v.id for v in got] == [2, 0]
+        assert col.get_vectors([1], where={"i": {"$eq": 1}})[0].text == "t1"
+
     def test_raw_vector_docs_register_empty(self):
         """Raw-vector inserts (no text) register as empty docs so the
         corpus stats stay aligned; they never match keywords."""
@@ -264,6 +340,8 @@ class TestHybridHttp:
             for body, frag in (
                 ({"query": "x", "alpha": 2}, "alpha"),
                 ({"query": "x", "alpha": True}, "alpha"),
+                # a ~10^400 JSON int overflows float(): 400, not 500
+                ({"query": "x", "alpha": 10 ** 400}, "alpha"),
                 ({"query": "x", "pool": 0}, "pool"),
                 ({"query": "x", "pool": "big"}, "pool"),
                 ({"k": 3}, "query"),

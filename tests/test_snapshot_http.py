@@ -159,6 +159,61 @@ class TestSnapshotRestore:
         http(go)
 
 
+class TestSnapshotLimits:
+    def _render_vlc(self, n_docs=60):
+        """A .vlc document rendered locally (no HTTP fill, so the tiny
+        body caps below never apply to the setup traffic)."""
+        from vectorlite_tpu.persist.vlc import collection_to_json, dumps_pretty
+
+        vc = make_client()
+        vc.create_collection("big", "flat")
+        vc.add_texts_to_collection(
+            "big", [f"document number {i}" for i in range(n_docs)]
+        )
+        return dumps_pretty(
+            collection_to_json(vc.get_collection("big"))
+        ).encode("utf-8")
+
+    def test_restore_streams_past_general_body_cap(self, monkeypatch):
+        """The restore route streams to disk, so --max-body-mb (sized
+        for JSON DTOs) does not bounce multi-MB snapshots: a body far
+        over the general cap still restores."""
+        raw = self._render_vlc()
+        monkeypatch.setenv("VECTORLITE_MAX_BODY_MB", "0.002")  # ~2 KB
+        assert len(raw) > 4096
+
+        async def go(tc):
+            resp = await tc.post("/collections/big/snapshot", data=raw)
+            assert resp.status == 200
+            assert (await resp.json())["vector_count"] == 60
+            # the general cap still applies to ordinary JSON routes
+            resp = await tc.post(
+                "/collections/big/texts",
+                json={"texts": ["x" * 8192]},
+            )
+            assert resp.status == 413
+
+        http(go)
+
+    def test_restore_snapshot_cap_413(self, monkeypatch):
+        raw = self._render_vlc()
+        monkeypatch.setenv(
+            "VECTORLITE_MAX_SNAPSHOT_MB", str(1 / 1024)
+        )  # 1 KiB
+        assert len(raw) > 1024
+
+        async def go(tc):
+            resp = await tc.post("/collections/big/snapshot", data=raw)
+            assert resp.status == 413
+            assert "VECTORLITE_MAX_SNAPSHOT_MB" in (
+                await resp.json()
+            )["message"]
+            # nothing was created
+            assert (await tc.get("/collections/big")).status == 404
+
+        http(go)
+
+
 # RemoteClient.download_snapshot / restore_snapshot are covered in
 # tests/test_remote.py (TestRemoteSnapshot) on the shared socket-server
 # fixture — urllib needs a real socket, which the in-process TestClient

@@ -409,16 +409,21 @@ async def search_text(request: web.Request) -> web.Response:
 def _parse_alpha(body: dict) -> float:
     """Hybrid fusion weight: the dense leg's share, in [0, 1]."""
     v = body.get("alpha", 0.5)
-    if (
-        isinstance(v, bool)
-        or not isinstance(v, (int, float))
-        or not (0.0 <= float(v) <= 1.0)
-    ):
-        raise web.HTTPBadRequest(
+    def bad():
+        return web.HTTPBadRequest(
             text='{"message": "Field alpha must be a number in [0, 1]"}',
             content_type="application/json",
         )
-    return float(v)
+
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise bad()
+    try:
+        f = float(v)  # a ~10^400 JSON int overflows float conversion
+    except OverflowError:
+        raise bad() from None
+    if not (0.0 <= f <= 1.0):
+        raise bad()
+    return f
 
 
 def _parse_pool(body: dict):
@@ -1089,35 +1094,22 @@ async def download_snapshot(request: web.Request) -> web.StreamResponse:
     queue: asyncio.Queue = asyncio.Queue(maxsize=4)
     aborted = threading.Event()
 
-    class _QueueSink:
-        """_emit-compatible sink: batches fragments to ~1 MB chunks and
-        hands them to the event loop, blocking (backpressure) when the
-        client reads slower than the renderer emits."""
+    class _LoopWriter:
+        """write(str) target for persist.vlc._FileSink (which owns the
+        ~1 MB fragment batching): hands each batched chunk to the event
+        loop, blocking (backpressure) when the client reads slower than
+        the renderer emits."""
 
-        def __init__(self):
-            self._buf: list = []
-            self._n = 0
-
-        def append(self, s: str) -> None:
-            self._buf.append(s)
-            self._n += len(s)
-            if self._n >= (1 << 20):
-                self.flush()
-
-        def flush(self) -> None:
+        def write(self, s: str) -> None:
             if aborted.is_set():
                 raise ConnectionResetError("client disconnected")
-            if self._buf:
-                chunk = "".join(self._buf).encode("utf-8")
-                self._buf.clear()
-                self._n = 0
-                asyncio.run_coroutine_threadsafe(
-                    queue.put(chunk), loop
-                ).result()
+            asyncio.run_coroutine_threadsafe(
+                queue.put(s.encode("utf-8")), loop
+            ).result()
 
     def render():
         try:
-            sink = _QueueSink()
+            sink = _vlc._FileSink(_LoopWriter(), limit=1 << 20)
             _vlc._emit(payload, 0, sink)
             sink.flush()
             asyncio.run_coroutine_threadsafe(queue.put(b""), loop).result()
@@ -1160,27 +1152,70 @@ async def restore_snapshot(request: web.Request) -> web.Response:
     collection ``{name}`` from it — the upload twin of the download
     route, with /collections/load's conflict/validation semantics. The
     URL name wins over the document's embedded metadata name
-    (restore-as). Subject to the configured request-body cap
-    (--max-body-mb) like every other route."""
+    (restore-as).
+
+    The body is STREAMED to a temp file next to nothing resident, so
+    the general request-body cap (--max-body-mb, sized for JSON DTOs)
+    does not apply; uploads are bounded instead by
+    VECTORLITE_MAX_SNAPSHOT_MB (default 65536 = 64 GiB, 0 = unlimited)
+    — matching the download route, which was built to stream ~12 GB
+    documents a buffered upload twin could never re-ingest. Parsing
+    still materializes the document once (the zero-copy parser views
+    into one buffer); the stream removes the cap and the extra aiohttp
+    + read() copies."""
+    import os
+    import tempfile
+
     name = request.match_info["name"]
-    raw = await request.read()
     client = request.app[_CLIENT_KEY]
+    from ..utils import env_number
 
-    from ..persist.vlc import load_collection_from_bytes
+    cap_mb = env_number("VECTORLITE_MAX_SNAPSHOT_MB", 65536, float)
+    limit = int(cap_mb * 1024**2) if cap_mb > 0 else None
 
-    def run():
-        loaded = load_collection_from_bytes(
-            raw, **client.flat_index_kwargs()
-        )
-        with request.app[_LOCK_KEY].write():
-            if client.has_collection(name):
-                raise CollectionAlreadyExists(name)
-            with loaded.index_read() as index:
-                client.add_collection(Collection(name, index))
-                count = len(index)
-        return count
+    from ..persist.vlc import load_collection_from_file
 
-    count = await _blocking(request, run)
+    fd, tmp = tempfile.mkstemp(suffix=".vlc.upload")
+    try:
+        total = 0
+        with os.fdopen(fd, "wb") as f:
+            # request.content bypasses client_max_size (enforced only
+            # by request.read()); buffered 64K-1M writes land in page
+            # cache without stalling the loop
+            while True:
+                chunk = await request.content.readany()
+                if not chunk:
+                    break
+                total += len(chunk)
+                if limit is not None and total > limit:
+                    raise web.HTTPRequestEntityTooLarge(
+                        max_size=limit,
+                        actual_size=total,
+                        text='{"message": "Snapshot exceeds '
+                        "VECTORLITE_MAX_SNAPSHOT_MB "
+                        f'({cap_mb:g} MiB)"}}',
+                        content_type="application/json",
+                    )
+                f.write(chunk)
+
+        def run():
+            loaded = load_collection_from_file(
+                tmp, **client.flat_index_kwargs()
+            )
+            with request.app[_LOCK_KEY].write():
+                if client.has_collection(name):
+                    raise CollectionAlreadyExists(name)
+                with loaded.index_read() as index:
+                    client.add_collection(Collection(name, index))
+                    count = len(index)
+            return count
+
+        count = await _blocking(request, run)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     logger.info(
         "Restored collection '%s' from snapshot (%d vectors)", name, count
     )

@@ -28,7 +28,13 @@ class VectorIndex(Protocol):
 
     def is_empty(self) -> bool: ...
 
-    def get_vector(self, id: int) -> Optional[Vector]: ...
+    def get_vector(self, id: int) -> Optional[Vector]:
+        """Protocol minimum is ``get_vector(id)``. The in-tree indexes
+        additionally accept ``include_values: bool = True`` (skip
+        materializing the D-float values row); Collection detects the
+        kwarg by signature and falls back to the positional form, so
+        third-party indexes only need this minimum."""
+        ...
 
     @property
     def dimension(self) -> int: ...

@@ -17,6 +17,7 @@ except-clause across local and remote clients.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import operator
 import urllib.error
@@ -59,6 +60,30 @@ class RemoteConnectionError(VectorLiteError):
 
     def __init__(self, detail: str):
         super().__init__(f"Connection error: {detail}")
+
+
+@contextlib.contextmanager
+def _mapped_transport_errors():
+    """The one transport→typed-error mapping (server ``{"message":...}``
+    bodies → RemoteError; anything network-shaped → RemoteConnectionError),
+    shared by the JSON plumbing and both snapshot streams. Mid-body
+    failures (read timeout, reset, IncompleteRead) surface after urlopen
+    returned — same contract."""
+    import http.client
+
+    try:
+        yield
+    except urllib.error.HTTPError as e:
+        err_body = e.read()
+        try:
+            message = json.loads(err_body.decode("utf-8"))["message"]
+        except Exception:
+            message = err_body.decode("utf-8", "replace") or str(e)
+        raise RemoteError(e.code, message) from None
+    except urllib.error.URLError as e:
+        raise RemoteConnectionError(str(e.reason)) from None
+    except (TimeoutError, OSError, http.client.HTTPException) as e:
+        raise RemoteConnectionError(str(e) or type(e).__name__) from None
 
 
 def _metric_str(metric) -> Optional[str]:
@@ -129,24 +154,9 @@ class RemoteClient:
         req = urllib.request.Request(
             url, data=data, method=method, headers=headers
         )
-        import http.client
-
-        try:
+        with _mapped_transport_errors():
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 raw_body = resp.read()
-        except urllib.error.HTTPError as e:
-            err_body = e.read()
-            try:
-                message = json.loads(err_body.decode("utf-8"))["message"]
-            except Exception:
-                message = err_body.decode("utf-8", "replace") or str(e)
-            raise RemoteError(e.code, message) from None
-        except urllib.error.URLError as e:
-            raise RemoteConnectionError(str(e.reason)) from None
-        except (TimeoutError, OSError, http.client.HTTPException) as e:
-            # mid-body failures (read timeout, reset, IncompleteRead)
-            # surface after urlopen returned — same transport contract
-            raise RemoteConnectionError(str(e) or type(e).__name__) from None
         if raw:
             return raw_body.decode("utf-8")
         if not raw_body:
@@ -552,7 +562,6 @@ class RemoteClient:
         document is the same .vlc content ``save_collection`` writes
         server-side, so it round-trips through ``restore_snapshot``,
         ``load_collection``, and the reference engine alike."""
-        import http.client
         import os
 
         url = (
@@ -564,34 +573,15 @@ class RemoteClient:
         if self.api_key:
             headers["authorization"] = f"Bearer {self.api_key}"
         req = urllib.request.Request(url, headers=headers)
-        try:
+        with _mapped_transport_errors():
             resp = urllib.request.urlopen(req, timeout=self.timeout)
-        except urllib.error.HTTPError as e:
-            err_body = e.read()
-            try:
-                message = json.loads(err_body.decode("utf-8"))["message"]
-            except Exception:
-                message = err_body.decode("utf-8", "replace") or str(e)
-            raise RemoteError(e.code, message) from None
-        except urllib.error.URLError as e:
-            raise RemoteConnectionError(str(e.reason)) from None
-        except (TimeoutError, OSError, http.client.HTTPException) as e:
-            raise RemoteConnectionError(
-                str(e) or type(e).__name__
-            ) from None
 
         def pump(f) -> int:
             written = 0
             with resp:
                 while True:
-                    try:
+                    with _mapped_transport_errors():
                         chunk = resp.read(1 << 20)
-                    except (
-                        TimeoutError, OSError, http.client.HTTPException,
-                    ) as e:
-                        raise RemoteConnectionError(
-                            str(e) or type(e).__name__
-                        ) from None
                     if not chunk:
                         return written
                     f.write(chunk)
@@ -612,46 +602,54 @@ class RemoteClient:
     def restore_snapshot(self, name: str, src) -> int:
         """Upload a .vlc document (path, bytes, or binary file object)
         as ``POST /collections/{name}/snapshot``, creating collection
-        ``name`` server-side. Returns the restored vector count."""
-        import http.client
+        ``name`` server-side. Returns the restored vector count.
 
-        if isinstance(src, (bytes, bytearray)):
-            data = bytes(src)
-        elif hasattr(src, "read"):
-            data = src.read()
-        else:
-            with open(src, "rb") as f:
-                data = f.read()
-        url = (
-            self.base_url
-            + f"/collections/{urllib.parse.quote(name, safe='')}"
-            + "/snapshot"
-        )
-        headers = {
-            "accept": "application/json",
-            "content-type": "application/json",
-        }
-        if self.api_key:
-            headers["authorization"] = f"Bearer {self.api_key}"
-        req = urllib.request.Request(
-            url, data=data, method="POST", headers=headers
-        )
+        A path or a real file is STREAMED from disk with an explicit
+        Content-Length (http.client reads file bodies in blocks), so a
+        multi-GB snapshot from ``download_snapshot`` round-trips without
+        ever being resident client-side; only bytes / non-seekable
+        file objects are buffered (they already are)."""
+        import os
+
+        close_me = None
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                out = json.loads(resp.read().decode("utf-8"))
-        except urllib.error.HTTPError as e:
-            err_body = e.read()
-            try:
-                message = json.loads(err_body.decode("utf-8"))["message"]
-            except Exception:
-                message = err_body.decode("utf-8", "replace") or str(e)
-            raise RemoteError(e.code, message) from None
-        except urllib.error.URLError as e:
-            raise RemoteConnectionError(str(e.reason)) from None
-        except (TimeoutError, OSError, http.client.HTTPException) as e:
-            raise RemoteConnectionError(
-                str(e) or type(e).__name__
-            ) from None
+            if isinstance(src, (bytes, bytearray)):
+                data: Any = bytes(src)
+                length = len(data)
+            else:
+                f = src if hasattr(src, "read") else None
+                if f is None:
+                    f = close_me = open(src, "rb")
+                try:
+                    length = os.fstat(f.fileno()).st_size - f.tell()
+                    data = f
+                except (OSError, AttributeError, ValueError):
+                    # no fileno (BytesIO, sockets): fall back to buffering
+                    data = f.read()
+                    length = len(data)
+            url = (
+                self.base_url
+                + f"/collections/{urllib.parse.quote(name, safe='')}"
+                + "/snapshot"
+            )
+            headers = {
+                "accept": "application/json",
+                "content-type": "application/json",
+                "content-length": str(length),
+            }
+            if self.api_key:
+                headers["authorization"] = f"Bearer {self.api_key}"
+            req = urllib.request.Request(
+                url, data=data, method="POST", headers=headers
+            )
+            with _mapped_transport_errors():
+                with urllib.request.urlopen(
+                    req, timeout=self.timeout
+                ) as resp:
+                    out = json.loads(resp.read().decode("utf-8"))
+        finally:
+            if close_me is not None:
+                close_me.close()
         return int(out["vector_count"])
 
     def compact(self, collection: str) -> int:

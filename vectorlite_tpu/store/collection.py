@@ -27,6 +27,26 @@ from ..errors import EmbeddingError, VectorLiteError, VectorNotFound
 from ..observability import profile_span
 from ..utils import AtomicCounter, RWLock, env_number
 
+# BM25 sidecar GC: past this tombstone fraction (and floor size) the
+# sidecar is dropped and lazily rebuilt from live texts — bounding
+# per-query work at ~2x live docnums under update/delete churn.
+_BM25_DROP_WASTE = 0.5
+_BM25_DROP_MIN_DOCNUMS = 4096
+
+
+def _accepts_include_values(get_vector) -> bool:
+    """True when ``get_vector`` takes the include_values kwarg (ours
+    do; the documented protocol minimum is ``get_vector(id)``)."""
+    import inspect
+
+    try:
+        params = inspect.signature(get_vector).parameters
+    except (TypeError, ValueError):
+        return False
+    return "include_values" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    )
+
 
 @dataclass
 class CollectionInfo:
@@ -66,6 +86,19 @@ class Collection:
         # search rebuilds.
         self._bm25 = None
         self._bm25_build_lock = threading.Lock()
+        # Third-party indexes may implement only the documented protocol
+        # signature get_vector(id); detect once whether the
+        # include_values=False fast path (skips value materialization)
+        # is available rather than TypeError-ing per call.
+        self._gv_include_values = _accepts_include_values(index.get_vector)
+
+    def _index_get_vector(self, vid: int, include_values: bool = True):
+        """index.get_vector, skipping value materialization (D floats
+        per hit) only when the index supports the include_values
+        extension; callers hold a lock."""
+        if self._gv_include_values:
+            return self._index.get_vector(vid, include_values=include_values)
+        return self._index.get_vector(vid)
 
     def mutation_count(self) -> int:
         return self._mutations.load()
@@ -335,6 +368,18 @@ class Collection:
             return
         for i, vid in enumerate(ids):
             bm25.add(int(vid), texts[i] if texts is not None else "")
+        self._bm25_gc(bm25)
+
+    def _bm25_gc(self, bm25) -> None:
+        """Tombstone reclamation (called under the write lock): postings
+        have no original texts to compact from, so once tombstones
+        dominate a non-trivial sidecar, drop it — the next hybrid
+        search rebuilds from the dense index's live texts in one pass."""
+        if (
+            bm25.total_docnums() >= _BM25_DROP_MIN_DOCNUMS
+            and bm25.waste() > _BM25_DROP_WASTE
+        ):
+            self._bm25 = None
 
     def _bm25_synced(self):
         """Return the BM25 sidecar, building it from the index's live
@@ -417,7 +462,7 @@ class Collection:
             bm25 = self._bm25_synced()
             if pred is not None:
                 def keep(did: int) -> bool:
-                    v = self._index.get_vector(did, include_values=False)
+                    v = self._index_get_vector(did, include_values=False)
                     return v is not None and pred(v.metadata)
 
                 sparse = bm25.search(query_text, pool, keep)
@@ -440,7 +485,7 @@ class Collection:
                     break
                 hit = by_id.get(did)
                 if hit is None:
-                    v = self._index.get_vector(did, include_values=False)
+                    v = self._index_get_vector(did, include_values=False)
                     if v is None:  # deleted between the two legs
                         continue
                     text, meta = v.text, v.metadata
@@ -500,6 +545,7 @@ class Collection:
             self._index.delete(id)
             if self._bm25 is not None:
                 self._bm25.remove(int(id))
+                self._bm25_gc(self._bm25)
         self._mutations.fetch_add(1)
 
     def delete_where(self, where) -> int:
@@ -590,9 +636,7 @@ class Collection:
         out: list[Vector] = []
         with self._lock.read():
             for vid in ids:
-                # skip value materialization at the index when the
-                # caller doesn't want them (D floats per hit otherwise)
-                v = self._index.get_vector(
+                v = self._index_get_vector(
                     int(vid), include_values=include_values
                 )
                 if v is None:

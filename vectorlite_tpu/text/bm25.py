@@ -18,8 +18,11 @@ Design for a single-core host serving path:
   the dense docnum space — no per-posting Python loop.
 * **Updates.** Re-adding an id kills the old docnum (its postings die
   via the liveness mask) and indexes a new one; deletes just flip the
-  bit. Tombstoned postings are skipped at scoring time; callers may
-  ``rebuild()`` when ``waste()`` gets high.
+  bit. Tombstoned postings are skipped at scoring time. Reclaiming
+  them needs the original texts, which this structure does not keep —
+  ``Collection`` watches ``waste()`` after mutations and drops the
+  whole sidecar past a threshold; the next hybrid search lazily
+  rebuilds it from the dense index's live texts.
 
 Okapi BM25 with the Lucene non-negative idf:
 ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, k1=1.2, b=0.75; df and
@@ -29,6 +32,7 @@ the average document length count live documents only.
 from __future__ import annotations
 
 import re
+import unicodedata
 from collections import Counter
 from typing import Callable, Optional
 
@@ -36,16 +40,32 @@ import numpy as np
 
 __all__ = ["BM25Index", "tokenize"]
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# unicode word-character runs, underscore excluded — covers Cyrillic,
+# Greek, CJK, etc., not just ASCII [a-z0-9]
+_TOKEN_RE = re.compile(r"[^\W_]+")
+_ASCII_RE = re.compile(r"[a-z0-9]+")
+_HAS_NONASCII = re.compile(r"[^\x00-\x7f]")
 
 K1 = 1.2
 B = 0.75
 
 
 def tokenize(text: str) -> list:
-    """Lowercase alphanumeric-run tokenizer (unicode folded to its
-    casefolded form first, so 'Straße' matches 'strasse')."""
-    return _TOKEN_RE.findall(text.casefold())
+    """Word-run tokenizer over any script: casefolded ('Straße' matches
+    'strasse'), accent-folded via NFKD-minus-combining-marks ('café'
+    matches 'cafe'), tokens are unicode word-character runs (underscore
+    excluded). Limitation: scripts written without spaces (CJK) come
+    out as whole-run tokens, not words — BM25 still matches exact runs
+    but not sub-phrases. Pure-ASCII text (the overwhelmingly common
+    case) skips the normalization pass entirely."""
+    folded = text.casefold()
+    if not _HAS_NONASCII.search(folded):
+        return _ASCII_RE.findall(folded)
+    decomposed = unicodedata.normalize("NFKD", folded)
+    stripped = "".join(
+        c for c in decomposed if not unicodedata.combining(c)
+    )
+    return _TOKEN_RE.findall(stripped)
 
 
 class _Postings:
@@ -84,6 +104,7 @@ class BM25Index:
         self._doc_terms: list = []  # docnum -> token count (BM25 dl)
         self._alive_buf: list = []  # docnum -> bool (np view below)
         self._alive_np = None
+        self._dl_np = None  # consolidated _doc_terms (invalidated on add)
         self._n_live = 0
         self._sum_dl_live = 0.0
 
@@ -104,6 +125,7 @@ class BM25Index:
         self._doc_terms.append(len(tokens))
         self._alive_buf.append(True)
         self._alive_np = None
+        self._dl_np = None
         self._n_live += 1
         self._sum_dl_live += len(tokens)
         for term, tf in Counter(tokens).items():
@@ -131,6 +153,11 @@ class BM25Index:
 
     def __len__(self) -> int:
         return self._n_live
+
+    def total_docnums(self) -> int:
+        """Live + tombstoned docnums — the size per-query arrays scale
+        with (Collection's rebuild policy keys off this and waste())."""
+        return len(self._doc_id)
 
     def waste(self) -> float:
         """Fraction of docnums that are tombstones (0 when empty).
@@ -168,7 +195,9 @@ class BM25Index:
         n_docnums = len(self._doc_id)
         n = self._n_live
         avgdl = max(self._sum_dl_live / n, 1e-9)
-        dl = np.asarray(self._doc_terms, dtype=np.float64)
+        if self._dl_np is None:
+            self._dl_np = np.asarray(self._doc_terms, dtype=np.float64)
+        dl = self._dl_np
         scores = np.zeros(n_docnums, dtype=np.float64)
         matched = False
         for term in q_terms:
