@@ -43,6 +43,7 @@ _CLIENT_KEY = web.AppKey("vectorlite_client", VectorLiteClient)
 _LOCK_KEY = web.AppKey("vectorlite_lock", RWLock)
 _STATS_KEY = web.AppKey("vectorlite_stats", LatencyRecorder)
 _AUTOSAVE_KEY = web.AppKey("vectorlite_autosave", object)
+_WAL_KEY = web.AppKey("vectorlite_wal", object)
 
 
 def _error_response(err: VectorLiteError) -> web.Response:
@@ -1237,6 +1238,9 @@ async def get_stats(request: web.Request) -> web.Response:
     autosave = request.app.get(_AUTOSAVE_KEY)
     if autosave is not None:
         body["autosave"] = autosave.stats()
+    wal = request.app.get(_WAL_KEY)
+    if wal is not None:
+        body["wal"] = wal.stats()
     return web.json_response(body)
 
 
@@ -1326,16 +1330,18 @@ def _openapi_spec_text():
 
 
 def create_app(
-    client: VectorLiteClient, *, autosave=None, api_key=None
+    client: VectorLiteClient, *, autosave=None, api_key=None, wal=None
 ) -> web.Application:
     """Router mirror of reference: src/server.rs:361-377, plus the
     /stats, /debug/trace, and /openapi.yaml extensions. ``autosave`` is
     an optional started ``store.autosave.AutosaveDaemon``; the app owns
     its shutdown (final flush) and surfaces its counters at /stats.
-    ``api_key`` (default: $VECTORLITE_API_KEY) enables bearer-token
-    auth on every route except GET /health; pass ``""`` to force an
-    unauthenticated server even when the env var is set (only ``None``
-    falls back to the environment)."""
+    ``wal`` is an optional attached ``store.wal.WalManager`` (oplog
+    durability); the app surfaces its counters at /stats and closes the
+    logs on shutdown. ``api_key`` (default: $VECTORLITE_API_KEY)
+    enables bearer-token auth on every route except GET /health; pass
+    ``""`` to force an unauthenticated server even when the env var is
+    set (only ``None`` falls back to the environment)."""
     import os as _os
 
     if api_key is None:
@@ -1375,6 +1381,15 @@ def create_app(
             autosave.stop(flush=True)
 
         app.on_cleanup.append(_stop_autosave)
+    if wal is not None:
+        app[_WAL_KEY] = wal
+
+        async def _close_wal(app_):
+            # after the autosave final flush above, so the last
+            # checkpoint lands before the logs close
+            wal.close()
+
+        app.on_cleanup.append(_close_wal)
     app.router.add_get("/openapi.yaml", openapi_spec)
     app.router.add_get("/stats", get_stats)
     app.router.add_get("/metrics", get_metrics)
@@ -1417,8 +1432,9 @@ def start_server(
     *,
     autosave=None,
     api_key=None,
+    wal=None,
 ) -> None:
     """Blocking serve loop (reference: src/server.rs:379-392)."""
-    app = create_app(client, autosave=autosave, api_key=api_key)
+    app = create_app(client, autosave=autosave, api_key=api_key, wal=wal)
     logger.info("VectorLite server starting on %s:%s", host, port)
     web.run_app(app, host=host, port=port, print=None)

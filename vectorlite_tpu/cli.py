@@ -83,6 +83,16 @@ def main(argv: list[str] | None = None) -> int:
         default=float(os.environ.get("VECTORLITE_AUTOSAVE_INTERVAL", 30.0)),
         help="Seconds between autosave ticks (default 30)",
     )
+    parser.add_argument(
+        "--wal-dir",
+        default=os.environ.get("VECTORLITE_WAL_DIR"),
+        help="Directory for per-collection write-ahead oplogs: every "
+        "acknowledged mutation is appended before the call returns, so "
+        "a crash replays forward to the last write instead of rewinding "
+        "to the last snapshot. Pair with --autosave-dir (snapshots "
+        "rotate the logs); without it the log grows until a snapshot "
+        "exists. Fsync policy: $VECTORLITE_WAL_FSYNC=batch|always|off",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -124,6 +134,32 @@ def main(argv: list[str] | None = None) -> int:
         )
         if restored:
             logger.info("Restored collections: %s", restored)
+
+    wal_manager = None
+    if args.wal_dir:
+        from .store import wal as _wal
+
+        # recovery order: snapshots above rewound to the last autosave;
+        # the logs now replay forward to the last acknowledged write
+        # (and re-snapshot + rotate when an autosave dir exists)
+        recovered = _wal.recover_into(
+            client,
+            args.wal_dir,
+            snapshot_dir=args.autosave_dir or None,
+        )
+        if recovered:
+            logger.info("WAL recovery applied: %s", recovered)
+        wal_manager = _wal.WalManager(args.wal_dir)
+        client.set_collection_observer(wal_manager)
+        if not args.autosave_dir:
+            logger.warning(
+                "--wal-dir without --autosave-dir: logs are only "
+                "rotated by snapshots, so they will grow unboundedly"
+            )
+
+    if args.autosave_dir:
+        from .store.autosave import AutosaveDaemon
+
         autosave = AutosaveDaemon(
             client, args.autosave_dir, interval_s=args.autosave_interval
         ).start()
@@ -134,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
     # auth (create_app only falls back to the env var on None)
     start_server(
         client, args.host, args.port, autosave=autosave,
-        api_key=args.api_key,
+        api_key=args.api_key, wal=wal_manager,
     )
     return 0
 

@@ -125,12 +125,25 @@ class AutosaveDaemon:
             path = snapshot_path(self._dir, name)
             if self._saved.get(name) == count and path.exists():
                 continue
+            # WAL rotation rides this snapshot: capture the log position
+            # BEFORE the state copy (conservative — entries racing with
+            # the save stay in the log and replay idempotently), truncate
+            # only after the snapshot durably landed. Only autosave-dir
+            # snapshots checkpoint: they are the recovery source; a
+            # manual /save to an operator path must never truncate.
+            wal = getattr(collection, "_wal", None)
+            wal_seq = wal.seq() if wal is not None else None
             try:
                 collection.save_to_file(path)
             except Exception:  # noqa: BLE001 — keep other collections going
                 self._failures += 1
                 logger.exception("Autosave of collection %r failed", name)
                 continue
+            if wal is not None:
+                try:
+                    wal.checkpoint(wal_seq)
+                except Exception:  # noqa: BLE001 — log kept = still correct
+                    logger.exception("WAL checkpoint for %r failed", name)
             self._saved[name] = count
             self._saves += 1
             saved.append(name)

@@ -54,6 +54,20 @@ class VectorLiteClient:
         self._embedding_function = embedding_function
         self._config = config or VectorLiteConfig.from_env()
         self._mesh = None  # built lazily from config.mesh_devices
+        self._observer = None  # see set_collection_observer
+
+    def set_collection_observer(self, observer) -> None:
+        """Register a lifecycle observer (e.g. ``wal.WalManager``):
+        ``collection_registered(collection)`` fires after every
+        registration (create, load, restore, add_collection) and
+        ``collection_deleted(name)`` after removal. One observer slot;
+        existing collections are announced immediately so attaching
+        after a restore covers everything already live. Pass None to
+        detach."""
+        self._observer = observer
+        if observer is not None:
+            for collection in self._collections.values():
+                observer.collection_registered(collection)
 
     def flat_index_kwargs(self) -> dict:
         """Construction kwargs for Flat indexes (dtype profile + optional
@@ -112,7 +126,9 @@ class VectorLiteClient:
                 # serves use_device=True batches
                 mesh=self.flat_index_kwargs().get("mesh"),
             )
-        self._collections[name] = Collection(name, index)
+        self._collections[name] = collection = Collection(name, index)
+        if self._observer is not None:
+            self._observer.collection_registered(collection)
 
     def get_collection(self, name: str) -> Optional[Collection]:
         return self._collections.get(name)
@@ -125,6 +141,8 @@ class VectorLiteClient:
         if collection is None:
             raise CollectionNotFound(name)
         collection.close()
+        if self._observer is not None:
+            self._observer.collection_deleted(name)
 
     def has_collection(self, name: str) -> bool:
         return name in self._collections
@@ -338,6 +356,8 @@ class VectorLiteClient:
         if name in self._collections:
             raise CollectionAlreadyExists(name)
         self._collections[name] = collection
+        if self._observer is not None:
+            self._observer.collection_registered(collection)
 
     def _require(self, name: str) -> Collection:
         collection = self._collections.get(name)

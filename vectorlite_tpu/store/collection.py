@@ -86,6 +86,10 @@ class Collection:
         # search rebuilds.
         self._bm25 = None
         self._bm25_build_lock = threading.Lock()
+        # Write-ahead oplog (store/wal.py), attached by WalManager via
+        # the client's collection observer; None = durability comes from
+        # snapshots alone (the reference's model).
+        self._wal = None
         # Third-party indexes may implement only the documented protocol
         # signature get_vector(id); detect once whether the
         # include_values=False fast path (skips value materialization)
@@ -102,6 +106,39 @@ class Collection:
 
     def mutation_count(self) -> int:
         return self._mutations.load()
+
+    def _wal_render(self, op):
+        """Pre-serialize a WAL op BEFORE mutating (see CollectionWAL.
+        render): returns None when no WAL is attached. ``op`` may be a
+        dict or a zero-arg callable building one — callables are only
+        invoked when a WAL is attached, so the no-WAL hot path never
+        pays op construction."""
+        wal = self._wal
+        if wal is None:
+            return None
+        return (wal, wal.render(op() if callable(op) else op))
+
+    @staticmethod
+    def _wal_commit(pre) -> None:
+        """Append a pre-rendered op after the mutation succeeded
+        (called under the write lock, so log order == apply order)."""
+        if pre is not None:
+            wal, rendered = pre
+            wal.append(rendered=rendered)
+
+    @staticmethod
+    def _wal_add_op(ids, values, texts, metadatas) -> dict:
+        rows = []
+        for i, vid in enumerate(ids):
+            rows.append(
+                [
+                    int(vid),
+                    values[i],
+                    texts[i] if texts is not None else "",
+                    metadatas[i] if metadatas is not None else None,
+                ]
+            )
+        return {"op": "add", "rows": rows}
 
     @property
     def name(self) -> str:
@@ -121,9 +158,13 @@ class Collection:
         vid = self._next_id.fetch_add(1)
         embedding = _run_embed(embedding_function, text)
         vector = Vector(id=vid, values=embedding, text=text, metadata=metadata)
+        pre = self._wal_render(
+            lambda: self._wal_add_op([vid], [embedding], [text], [metadata])
+        )
         with self._lock.write(), profile_span("vectorlite.index.add"):
             self._index.add(vector)
             self._bm25_note_add([vid], [text])
+            self._wal_commit(pre)
         self._mutations.fetch_add(1)
         return vid
 
@@ -162,6 +203,9 @@ class Collection:
                 f"embedder returned {len(embeddings)} embeddings for "
                 f"{len(texts)} texts"
             )
+        pre = self._wal_render(
+            lambda: self._wal_add_op(ids, embeddings, texts, metadatas)
+        )
         with self._lock.write(), profile_span("vectorlite.index.add_batch"):
             if hasattr(self._index, "add_batch_arrays"):
                 # array fast path: the [B, D] block lands in the index in
@@ -178,6 +222,8 @@ class Collection:
                         Vector(id=vid, values=emb, text=text, metadata=meta)
                     )
             self._bm25_note_add(ids, texts)
+            if ids:
+                self._wal_commit(pre)
         if ids:
             self._mutations.fetch_add(1)
         return ids
@@ -237,6 +283,21 @@ class Collection:
                 # auto-id add allocate a colliding id and fail with a
                 # spurious DuplicateVectorId
                 self._next_id.bump_to(max(int_ids) + 1)
+        # length checks BEFORE the WAL pre-render (the op builder indexes
+        # texts[i]/metadatas[i]; validate_batch_arrays re-checks inside
+        # the lock for the all-or-nothing guarantee, same messages)
+        if texts is not None and len(texts) != n:
+            raise ValueError(
+                f"ids/texts length mismatch: {n} ids, {len(texts)} texts"
+            )
+        if metadatas is not None and len(metadatas) != n:
+            raise ValueError(
+                f"ids/metadatas length mismatch: {n} ids, "
+                f"{len(metadatas)} metadatas"
+            )
+        pre = self._wal_render(
+            lambda: self._wal_add_op(int_ids, values, texts, metadatas)
+        )
         with self._lock.write(), profile_span("vectorlite.index.add_batch"):
             if hasattr(self._index, "add_batch_arrays"):
                 self._index.add_batch_arrays(int_ids, values, texts, metadatas)
@@ -268,6 +329,8 @@ class Collection:
                         )
                     )
             self._bm25_note_add(int_ids, texts)
+            if int_ids:
+                self._wal_commit(pre)
         if int_ids:
             self._mutations.fetch_add(1)
         return int_ids
@@ -541,22 +604,26 @@ class Collection:
         return [self._apply_min_score(row, min_score) for row in rows]
 
     def delete(self, id: int) -> None:
+        pre = self._wal_render({"op": "del", "id": int(id)})
         with self._lock.write():
             self._index.delete(id)
             if self._bm25 is not None:
                 self._bm25.remove(int(id))
                 self._bm25_gc(self._bm25)
+            self._wal_commit(pre)
         self._mutations.fetch_add(1)
 
     def delete_where(self, where) -> int:
         """Bulk delete by metadata filter (extension). Returns the
         number of vectors removed; ``{}`` is an explicit match-all."""
+        pre = self._wal_render({"op": "delw", "where": where})
         with self._lock.write():
             n = self._index.delete_where(where)
             if n:
                 # matched ids are unknown at this level: drop the BM25
                 # sidecar; the next hybrid search rebuilds it
                 self._bm25 = None
+                self._wal_commit(pre)
         if n:
             self._mutations.fetch_add(n)
         return n
@@ -585,18 +652,32 @@ class Collection:
         vector = Vector(
             id=int(id), values=embedding, text=text, metadata=metadata
         )
+        pre = self._wal_render(
+            {
+                "op": "put",
+                "id": int(id),
+                "values": embedding,
+                "text": text,
+                "metadata": metadata,
+            }
+        )
         with self._lock.write(), profile_span("vectorlite.index.update"):
             if self._index.get_vector(int(id)) is None:
                 raise VectorNotFound(int(id))
             self._index.delete(int(id))
             self._index.add(vector)
             self._bm25_note_add([int(id)], [text])  # re-index = replace
+            self._wal_commit(pre)
         self._mutations.fetch_add(1)
 
     def update_metadata(self, id: int, metadata) -> None:
         """Replace one vector's metadata (extension; None clears)."""
+        pre = self._wal_render(
+            {"op": "meta", "id": int(id), "metadata": metadata}
+        )
         with self._lock.write():
             self._index.update_metadata(id, metadata)
+            self._wal_commit(pre)
         self._mutations.fetch_add(1)
 
     def list_vectors(
@@ -672,9 +753,12 @@ class Collection:
         deletes forever (reference: src/index/hnsw.rs:400-414). Returns
         the number of slots reclaimed (0 when nothing to do or the
         index type has no compaction)."""
+        pre = self._wal_render({"op": "compact"})
         with self._lock.write():
             fn = getattr(self._index, "compact", None)
             reclaimed = int(fn()) if fn is not None else 0
+            if reclaimed:
+                self._wal_commit(pre)
         if reclaimed:
             self._mutations.fetch_add(1)
         return reclaimed

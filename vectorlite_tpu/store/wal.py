@@ -1,0 +1,480 @@
+"""Write-ahead oplog: zero-loss durability between snapshots.
+
+Extension beyond the reference, deepening SURVEY §5's checkpoint/
+failure-recovery story: the reference persists only on an explicit
+``POST /collections/{name}/save`` (reference: src/server.rs:300-320),
+and our autosave daemon (store/autosave.py) bounds loss to one
+``interval_s`` window. With a WAL attached, every acknowledged mutation
+is appended to a per-collection JSONL redo log before the call returns,
+so a crash between snapshots replays forward to the last acknowledged
+write instead of rewinding to the last snapshot.
+
+Design — idempotent redo, no LSN coordination with the snapshot:
+
+* **Append = commit record.** Ops are logged inside the collection's
+  write lock AFTER the index mutation succeeds: the log can never
+  contain an op that failed validation, and log order == apply order.
+  An op that crashed between apply and append was never acknowledged.
+* **Replay is idempotent**, so the snapshot/WAL pair needs no sequence
+  agreement: ``add`` of an id the snapshot already contains is skipped,
+  ``del``/``meta`` of a missing id is a no-op, ``delw``/``compact``
+  re-run harmlessly on post-op state. A checkpoint may therefore be
+  *conservative* (keep a few already-applied entries) but must never be
+  optimistic — the autosave daemon captures ``wal.seq()`` BEFORE the
+  snapshot copy and truncates only entries ``<= seq`` afterwards.
+* **Rotation rides the autosave.** Only saves into the recovery
+  directory checkpoint the log (a manual ``/save`` to an operator path
+  must NOT truncate — that snapshot is not the recovery source).
+  Running a WAL without autosave works (recovery replays the full log
+  over the ``create`` header) but the log grows until a snapshot
+  exists; the CLI warns.
+* **Torn tails are expected.** A crash mid-append leaves a partial last
+  line; replay stops at the first undecodable line and logs what it
+  dropped (those ops were never acknowledged — appends flush before the
+  caller returns).
+
+Fsync policy (``VECTORLITE_WAL_FSYNC`` / constructor):
+
+* ``batch`` (default) — write + flush to the OS per record: survives
+  process crashes, not power loss.
+* ``always`` — additionally ``os.fsync`` per record: survives power
+  loss, costs one disk sync per mutation.
+* ``off`` — Python-buffered; flushed on rotate/close only.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from pathlib import Path
+from urllib.parse import quote, unquote
+
+import numpy as np
+
+logger = logging.getLogger("vectorlite_tpu.wal")
+
+_SUFFIX = ".wal"
+_POLICIES = ("batch", "always", "off")
+
+
+def wal_path(directory, name: str) -> Path:
+    """Filesystem-safe, collision-free log path for a collection (same
+    percent-encoding scheme as autosave.snapshot_path)."""
+    return Path(directory) / (quote(name, safe="") + _SUFFIX)
+
+
+def _fsync_policy(explicit=None) -> str:
+    policy = explicit or os.environ.get("VECTORLITE_WAL_FSYNC", "batch")
+    if policy not in _POLICIES:
+        logger.warning(
+            "VECTORLITE_WAL_FSYNC=%r is not one of %s; using 'batch'",
+            policy,
+            _POLICIES,
+        )
+        policy = "batch"
+    return policy
+
+
+def _jsonable(value):
+    """Ops must round-trip through JSON for replay; numpy scalars/arrays
+    from the array-native insert paths are converted, anything else
+    unserializable raises BEFORE the caller logs/acks the op."""
+    if isinstance(value, np.ndarray):
+        return value.tolist()
+    if isinstance(value, np.generic):
+        return value.item()
+    return value
+
+
+class CollectionWAL:
+    """Append-only JSONL redo log for one collection.
+
+    Thread contract: ``append`` is called under the collection's write
+    lock (one writer at a time); ``checkpoint``/``close`` may race with
+    nothing but are serialized against appends by the internal mutex
+    anyway (the autosave thread checkpoints while serving threads
+    append).
+    """
+
+    def __init__(self, path, fsync: str | None = None):
+        self._path = Path(path)
+        self._fsync = _fsync_policy(fsync)
+        self._mu = threading.Lock()
+        self._f = None
+        self._seq = 0
+        self._appends = 0
+        self._checkpoints = 0
+        # resume an existing log: scan for the highest intact seq so
+        # appended entries keep strictly increasing
+        if self._path.exists():
+            for entry in read_entries(self._path):
+                self._seq = max(self._seq, int(entry.get("s", 0)))
+
+    # -- plumbing ------------------------------------------------------
+
+    def _file(self):
+        if self._f is None:
+            os.makedirs(self._path.parent, exist_ok=True)
+            self._f = open(self._path, "a", encoding="utf-8")
+        return self._f
+
+    def seq(self) -> int:
+        """Last assigned sequence number (0 = empty log)."""
+        with self._mu:
+            return self._seq
+
+    def size_bytes(self) -> int:
+        try:
+            return self._path.stat().st_size
+        except OSError:
+            return 0
+
+    # -- core ------------------------------------------------------------
+
+    def render(self, op: dict) -> str:
+        """Serialize an op WITHOUT appending. Collection hooks render
+        before taking the write lock / mutating, then append the
+        rendered line after the mutation succeeds — an op that cannot
+        round-trip through JSON (NaN values, exotic metadata) is
+        rejected before anything is half-applied. Raises
+        TypeError/ValueError on unserializable input."""
+        return json.dumps(
+            op, separators=(",", ":"), default=_jsonable, allow_nan=False
+        )
+
+    def append(self, op: dict | None = None, *, rendered: str | None = None) -> int:
+        """Durably append one op (or a line pre-built by ``render``);
+        returns its seq."""
+        line = self.render(op) if rendered is None else rendered
+        with self._mu:
+            self._seq += 1
+            f = self._file()
+            f.write(f'{{"s":{self._seq},{line[1:]}' "\n")
+            if self._fsync != "off":
+                f.flush()
+                if self._fsync == "always":
+                    os.fsync(f.fileno())
+            self._appends += 1
+            return self._seq
+
+    def checkpoint(self, seq: int | None) -> None:
+        """Drop entries with ``s <= seq`` (they are covered by a snapshot
+        that has durably landed). Atomic: rewrite + rename; a crash
+        mid-checkpoint leaves the previous (longer, still-correct) log.
+        ``seq=None`` (no WAL at save time) is a no-op."""
+        if seq is None:
+            return
+        with self._mu:
+            if self._f is not None:
+                self._f.flush()
+            keep = [
+                e for e in read_entries(self._path) if int(e.get("s", 0)) > seq
+            ]
+            tmp = self._path.with_name(
+                f"{self._path.name}.{os.getpid()}.tmp"
+            )
+            with open(tmp, "w", encoding="utf-8") as f:
+                for e in keep:
+                    f.write(json.dumps(e, separators=(",", ":")) + "\n")
+                f.flush()
+                if self._fsync == "always":
+                    os.fsync(f.fileno())
+            # swap the live handle to the rotated file
+            if self._f is not None:
+                self._f.close()
+                self._f = None
+            os.replace(tmp, self._path)
+            self._checkpoints += 1
+
+    def close(self) -> None:
+        with self._mu:
+            if self._f is not None:
+                self._f.flush()
+                if self._fsync == "always":
+                    try:
+                        os.fsync(self._f.fileno())
+                    except OSError:
+                        pass
+                self._f.close()
+                self._f = None
+
+    def stats(self) -> dict:
+        return {
+            "path": str(self._path),
+            "seq": self._seq,
+            "appends": self._appends,
+            "checkpoints": self._checkpoints,
+            "size_bytes": self.size_bytes(),
+        }
+
+
+def read_entries(path) -> list[dict]:
+    """Decode a log file, tolerating a torn tail: stop at the first
+    undecodable/partial line (a crash mid-append; the op was never
+    acknowledged). Corruption anywhere earlier also stops the scan —
+    replaying past a hole would apply ops out of order."""
+    entries: list[dict] = []
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            for lineno, line in enumerate(f, 1):
+                try:
+                    entry = json.loads(line)
+                    if not isinstance(entry, dict) or "op" not in entry:
+                        raise ValueError("not an op record")
+                except ValueError:
+                    logger.warning(
+                        "WAL %s: undecodable line %d — stopping replay "
+                        "scan here (torn tail or corruption)",
+                        path,
+                        lineno,
+                    )
+                    break
+                entries.append(entry)
+    except FileNotFoundError:
+        pass
+    return entries
+
+
+# ----------------------------------------------------------------- replay
+
+
+def _replay_into(collection, entries: list[dict]) -> int:
+    """Apply log entries idempotently, in order. Returns ops applied
+    (skipped-as-already-applied ops count too — they are successful)."""
+    from ..core.types import Vector
+    from ..errors import VectorNotFound
+
+    applied = 0
+    for e in entries:
+        op = e.get("op")
+        if op == "create":
+            applied += 1
+            continue
+        if op == "add":
+            for vid, values, text, metadata in e["rows"]:
+                if collection._index.get_vector(int(vid)) is not None:
+                    continue  # idempotent: snapshot already has it
+                collection._index.add(
+                    Vector(
+                        id=int(vid),
+                        values=values,
+                        text=text or "",
+                        metadata=metadata,
+                    )
+                )
+            ids = [int(r[0]) for r in e["rows"]]
+            if ids:
+                collection._next_id.bump_to(max(ids) + 1)
+        elif op == "put":
+            vid = int(e["id"])
+            try:
+                collection._index.delete(vid)
+            except VectorNotFound:
+                pass
+            if collection._index.get_vector(vid) is None:
+                collection._index.add(
+                    Vector(
+                        id=vid,
+                        values=e["values"],
+                        text=e.get("text") or "",
+                        metadata=e.get("metadata"),
+                    )
+                )
+            collection._next_id.bump_to(vid + 1)
+        elif op == "del":
+            try:
+                collection._index.delete(int(e["id"]))
+            except VectorNotFound:
+                pass
+        elif op == "delw":
+            collection._index.delete_where(e["where"])
+        elif op == "meta":
+            try:
+                collection._index.update_metadata(
+                    int(e["id"]), e.get("metadata")
+                )
+            except VectorNotFound:
+                pass
+        elif op == "compact":
+            fn = getattr(collection._index, "compact", None)
+            if fn is not None:
+                fn()
+        else:
+            logger.warning("WAL: unknown op %r skipped", op)
+            continue
+        applied += 1
+    # replay bypassed Collection's public methods: resync derived state
+    collection._bm25 = None  # next hybrid search rebuilds from live texts
+    if applied:
+        collection._mutations.fetch_add(1)
+    return applied
+
+
+def _collection_from_header(client, entries: list[dict], name: str):
+    """Build an empty collection from the log's ``create`` header (the
+    collection was created after the last snapshot, or never snapshotted).
+    Returns None (with a warning) when no intact header exists."""
+    from ..core.metrics import SimilarityMetric
+    from ..index.flat import FlatIndex
+    from ..index.hnsw import HNSWIndex
+    from .collection import Collection
+
+    header = next((e for e in entries if e.get("op") == "create"), None)
+    if header is None:
+        logger.warning(
+            "WAL for %r has no snapshot and no create header; skipping",
+            name,
+        )
+        return None
+    dim = int(header["dim"])
+    if header.get("index_type") == "HNSW":
+        metric = SimilarityMetric.from_serde(header["metric"])
+        cfg = client._config
+        index = HNSWIndex(
+            dim,
+            metric,
+            m=cfg.hnsw_m,
+            m0=cfg.hnsw_m0,
+            ef_construction=cfg.hnsw_ef_construction,
+            ef_search=cfg.hnsw_ef_search,
+            mesh=client.flat_index_kwargs().get("mesh"),
+        )
+    else:
+        index = FlatIndex(dim, **client.flat_index_kwargs())
+    return Collection(name, index)
+
+
+# ---------------------------------------------------------------- manager
+
+
+class WalManager:
+    """Directory of per-collection logs, attached to a client via its
+    collection-observer hook: registration opens (or resumes) the
+    collection's log and writes the ``create`` header; deletion removes
+    the log so recovery cannot resurrect dropped data."""
+
+    def __init__(self, directory, fsync: str | None = None):
+        self._dir = Path(directory)
+        self._fsync = _fsync_policy(fsync)
+        self._mu = threading.Lock()
+        self._wals: dict[str, CollectionWAL] = {}
+        os.makedirs(self._dir, exist_ok=True)
+
+    @property
+    def directory(self) -> Path:
+        return self._dir
+
+    # -- client observer hooks ----------------------------------------
+
+    def collection_registered(self, collection) -> None:
+        name = collection.name
+        with self._mu:
+            wal = self._wals.get(name)
+            if wal is None:
+                wal = CollectionWAL(wal_path(self._dir, name), self._fsync)
+                self._wals[name] = wal
+        if wal.seq() == 0:
+            index = collection._index
+            wal.append(
+                {
+                    "op": "create",
+                    "index_type": index.index_type,
+                    "dim": index.dimension,
+                    "metric": (
+                        index.metric().value if index.metric() else None
+                    ),
+                }
+            )
+        collection._wal = wal
+
+    def collection_deleted(self, name: str) -> None:
+        with self._mu:
+            wal = self._wals.pop(name, None)
+        if wal is not None:
+            wal.close()
+        try:
+            wal_path(self._dir, name).unlink(missing_ok=True)
+        except OSError:
+            pass
+
+    # -- lifecycle / introspection --------------------------------------
+
+    def close(self) -> None:
+        with self._mu:
+            wals, self._wals = dict(self._wals), {}
+        for wal in wals.values():
+            wal.close()
+
+    def stats(self) -> dict:
+        with self._mu:
+            per = {n: w.stats() for n, w in self._wals.items()}
+        return {
+            "directory": str(self._dir),
+            "fsync": self._fsync,
+            "collections": per,
+        }
+
+
+def recover_into(client, directory, snapshot_dir=None) -> dict:
+    """Replay every log in ``directory`` into ``client`` (after any
+    snapshot restore), creating collections that only exist in the WAL
+    from their ``create`` headers. When ``snapshot_dir`` is given
+    (the autosave directory — the recovery source), each recovered
+    collection is re-snapshotted there and its log checkpointed, so a
+    second crash right after recovery still replays to the same state.
+
+    Returns ``{name: ops_applied}``. Unreadable logs are skipped with a
+    log line — one corrupt file must not block the rest, mirroring
+    autosave.restore_into."""
+    directory = Path(directory)
+    if not directory.is_dir():
+        return {}
+    recovered: dict[str, int] = {}
+    for p in sorted(directory.iterdir()):
+        if p.suffix != _SUFFIX or not p.is_file():
+            continue
+        name = unquote(p.stem)
+        if quote(name, safe="") != p.stem:  # not our encoding
+            continue
+        entries = read_entries(p)
+        try:
+            collection = client.get_collection(name)
+            if collection is None:
+                collection = _collection_from_header(client, entries, name)
+                if collection is None:
+                    continue
+                client.add_collection(collection)
+            applied = _replay_into(collection, entries)
+        except Exception:  # noqa: BLE001 — keep other collections going
+            logger.exception("WAL replay for collection %r failed", name)
+            continue
+        recovered[name] = applied
+        if snapshot_dir is not None and applied:
+            from .autosave import snapshot_path
+
+            wal = getattr(collection, "_wal", None)
+            seq = wal.seq() if wal is not None else None
+            try:
+                collection.save_to_file(snapshot_path(snapshot_dir, name))
+            except Exception:  # noqa: BLE001
+                logger.exception(
+                    "Post-recovery snapshot of %r failed; log kept", name
+                )
+            else:
+                if wal is None:
+                    # manager not attached yet: checkpoint the file the
+                    # manager will resume (seq = everything replayed)
+                    last = max(
+                        (int(e.get("s", 0)) for e in entries), default=0
+                    )
+                    CollectionWAL(p).checkpoint(last)
+                else:
+                    wal.checkpoint(seq)
+    if recovered:
+        logger.info(
+            "WAL recovery: %s",
+            {n: c for n, c in recovered.items()},
+        )
+    return recovered
