@@ -86,6 +86,22 @@ class TestCollectionWAL:
         # resumed seq counts only intact entries
         assert CollectionWAL(p).seq() == 2
 
+    def test_resume_truncates_torn_tail_before_appending(self, tmp_path):
+        """Appending onto a torn tail would weld two records into one
+        garbage line and silently drop every later write at the next
+        recovery — resume must truncate the partial line first."""
+        p = tmp_path / "c.wal"
+        w = CollectionWAL(p)
+        w.append({"op": "del", "id": 1})
+        w.close()
+        with open(p, "a", encoding="utf-8") as f:
+            f.write('{"s":2,"op":"del","i')  # crash mid-append
+        w2 = CollectionWAL(p)
+        assert w2.append({"op": "del", "id": 7}) == 2
+        assert [(e["s"], e["id"]) for e in read_entries(p)] == [
+            (1, 1), (2, 7),
+        ]
+
     def test_render_rejects_unserializable(self, tmp_path):
         w = CollectionWAL(tmp_path / "c.wal")
         with pytest.raises((TypeError, ValueError)):
@@ -146,6 +162,24 @@ class TestCollectionHooks:
         assert p.exists()
         client.delete_collection("c")
         assert not p.exists()
+
+    def test_wal_append_failure_still_marks_dirty(self, tmp_path):
+        """A failed log append surfaces to the caller, but the applied
+        mutation must still bump the dirty counter so autosave
+        re-snapshots the divergent state."""
+        client, manager = wal_client(tmp_path)
+        client.create_collection("c", IndexType.FLAT)
+        col = client.get_collection("c")
+        before = col.mutation_count()
+
+        def boom(*a, **k):
+            raise OSError("disk full")
+
+        col._wal.append = boom
+        with pytest.raises(OSError):
+            client.add_text_to_collection("c", "applied but unlogged")
+        assert col.mutation_count() == before + 1
+        assert client.get_collection_info("c").count == 1
 
 
 class TestRecovery:
@@ -277,6 +311,112 @@ class TestRecovery:
         recover_into(client2, manager.directory)
         hits = client2.search_hybrid_in_collection("c", "gamma", 2, alpha=0.0)
         assert hits and hits[0].id == 1
+
+
+class TestRegistrationBase:
+    def _loaded_collection(self, tmp_path):
+        """A data-bearing collection arriving via add_collection (the
+        /collections/load → snapshot-restore → --filepath pattern)."""
+        src = make_client()
+        src.create_collection("c", IndexType.FLAT)
+        src.add_texts_to_collection("c", ["a", "b", "c"])
+        path = tmp_path / "c.vlc"
+        src.get_collection("c").save_to_file(path)
+        from vectorlite_tpu.persist.vlc import load_collection_from_file
+
+        return load_collection_from_file(path)
+
+    def test_data_bearing_registration_without_snapshot_dir(self, tmp_path):
+        """No autosave dir: the registration contents are logged as add
+        ops, so WAL-only recovery does not produce an empty collection."""
+        client, manager = wal_client(tmp_path)
+        client.add_collection(self._loaded_collection(tmp_path))
+        client.add_text_to_collection("c", "post-load write")
+        want = state(client, "c")
+        manager.close()
+        client2 = make_client()
+        recover_into(client2, manager.directory)
+        assert state(client2, "c") == want
+        assert client2.get_collection_info("c").count == 4
+
+    def test_data_bearing_registration_with_snapshot_dir(self, tmp_path):
+        """With an autosave dir the manager snapshots the arriving data
+        immediately instead of logging it."""
+        snap_dir = tmp_path / "snaps"
+        client = make_client()
+        manager = WalManager(tmp_path / "wal", snapshot_dir=snap_dir)
+        client.set_collection_observer(manager)
+        client.add_collection(self._loaded_collection(tmp_path))
+        assert (snap_dir / "c.vlc").exists()
+        # log holds only the header; the snapshot is the base
+        p = wal_path(manager.directory, "c")
+        assert [e["op"] for e in read_entries(p)] == ["create"]
+        client.add_text_to_collection("c", "post-load write")
+        want = state(client, "c")
+        manager.close()
+        client2 = make_client()
+        restore_into(client2, snap_dir)
+        recover_into(client2, manager.directory, snapshot_dir=snap_dir)
+        assert state(client2, "c") == want
+
+
+class TestDropTombstone:
+    def test_delete_prunes_snapshot_immediately(self, tmp_path):
+        snap_dir = tmp_path / "snaps"
+        client = make_client()
+        manager = WalManager(tmp_path / "wal", snapshot_dir=snap_dir)
+        client.set_collection_observer(manager)
+        client.create_collection("c", IndexType.FLAT)
+        client.add_text_to_collection("c", "x")
+        AutosaveDaemon(client, snap_dir, interval_s=9999).flush()
+        assert (snap_dir / "c.vlc").exists()
+        client.delete_collection("c")
+        # both the log and the covering snapshot are gone at ack time
+        assert not (snap_dir / "c.vlc").exists()
+        assert not wal_path(manager.directory, "c").exists()
+
+    def test_crash_before_unlink_does_not_resurrect(self, tmp_path):
+        """Simulated crash state: drop tombstone appended but the file
+        unlinks never happened (stale snapshot + log both on disk)."""
+        snap_dir = tmp_path / "snaps"
+        client, manager = wal_client(tmp_path)
+        client.create_collection("c", IndexType.FLAT)
+        client.add_text_to_collection("c", "doomed")
+        snap_dir.mkdir()
+        client.get_collection("c").save_to_file(snap_dir / "c.vlc")
+        col_wal = client.get_collection("c")._wal
+        col_wal.append({"op": "drop"})
+        manager.close()
+        client2 = make_client()
+        restore_into(client2, snap_dir)
+        assert client2.has_collection("c")  # stale snapshot restored it
+        recovered = recover_into(
+            client2, manager.directory, snapshot_dir=snap_dir
+        )
+        assert recovered["c"] == 0
+        assert not client2.has_collection("c")
+        assert not (snap_dir / "c.vlc").exists()
+        assert not wal_path(manager.directory, "c").exists()
+
+    def test_recreation_after_drop_replays_only_new_lineage(self, tmp_path):
+        client, manager = wal_client(tmp_path)
+        client.create_collection("c", IndexType.FLAT)
+        client.add_text_to_collection("c", "old lineage")
+        col_wal = client.get_collection("c")._wal
+        col_wal.append({"op": "drop"})  # crash-before-unlink delete
+        # recreate under the same name: same (resumed) log file
+        col_wal.append(
+            {"op": "create", "index_type": "Flat", "dim": DIM,
+             "metric": None}
+        )
+        col_wal.append(
+            {"op": "add", "rows": [[0, [0.5] * DIM, "new lineage", None]]}
+        )
+        manager.close()
+        client2 = make_client()
+        recover_into(client2, manager.directory)
+        vectors, total = client2.get_collection("c").list_vectors(0, 10)
+        assert total == 1 and vectors[0].text == "new lineage"
 
 
 class TestObserverAndStats:

@@ -149,7 +149,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         if recovered:
             logger.info("WAL recovery applied: %s", recovered)
-        wal_manager = _wal.WalManager(args.wal_dir)
+        wal_manager = _wal.WalManager(
+            args.wal_dir, snapshot_dir=args.autosave_dir or None
+        )
         client.set_collection_observer(wal_manager)
         if not args.autosave_dir:
             logger.warning(

@@ -141,6 +141,14 @@ class AutosaveDaemon:
                 continue
             if wal is not None:
                 try:
+                    if wal.fsync_policy == "always":
+                        # the checkpoint fsyncs its truncation; the
+                        # snapshot must be AT LEAST as durable first, or
+                        # power loss keeps the short log but not the
+                        # covering snapshot
+                        from .wal import fsync_file_and_dir
+
+                        fsync_file_and_dir(path)
                     wal.checkpoint(wal_seq)
                 except Exception:  # noqa: BLE001 — log kept = still correct
                     logger.exception("WAL checkpoint for %r failed", name)
@@ -159,18 +167,11 @@ class AutosaveDaemon:
         restore doesn't resurrect deleted data. Only files whose stem
         round-trips through this daemon's quote() encoding are ours to
         remove; anything else in the directory is left alone."""
+        from .wal import iter_owned_files
+
         for stale in list(self._saved.keys() - live_names):
             del self._saved[stale]
-        try:
-            entries = list(self._dir.iterdir())
-        except OSError:
-            return
-        for p in entries:
-            if p.suffix != _SUFFIX:
-                continue
-            name = unquote(p.stem)
-            if quote(name, safe="") != p.stem:  # not our encoding
-                continue
+        for p, name in iter_owned_files(self._dir, _SUFFIX):
             if name in live_names:
                 continue
             try:
@@ -213,6 +214,9 @@ def restore_into(client, directory, **index_kwargs) -> list[str]:
     if not directory.is_dir():
         return []
     loaded: list[str] = []
+    # note: restore reads ANY .vlc here (the authoritative name is in
+    # the file's metadata block); only destructive scans (prune, WAL
+    # recovery) restrict themselves to files whose encoding they own
     for p in sorted(directory.iterdir()):
         if p.suffix != _SUFFIX or not p.is_file():
             continue

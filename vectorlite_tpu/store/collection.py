@@ -118,10 +118,14 @@ class Collection:
             return None
         return (wal, wal.render(op() if callable(op) else op))
 
-    @staticmethod
-    def _wal_commit(pre) -> None:
-        """Append a pre-rendered op after the mutation succeeded
-        (called under the write lock, so log order == apply order)."""
+    def _commit(self, pre, n: int = 1) -> None:
+        """Finalize a successful mutation under the write lock: bump the
+        dirty counter FIRST — the state has changed, and autosave must
+        see that even if the log append below fails (a failed append
+        surfaces to the caller as an error, but the applied mutation
+        still needs a snapshot to survive) — then append the
+        pre-rendered WAL op (log order == apply order)."""
+        self._mutations.fetch_add(n)
         if pre is not None:
             wal, rendered = pre
             wal.append(rendered=rendered)
@@ -164,8 +168,7 @@ class Collection:
         with self._lock.write(), profile_span("vectorlite.index.add"):
             self._index.add(vector)
             self._bm25_note_add([vid], [text])
-            self._wal_commit(pre)
-        self._mutations.fetch_add(1)
+            self._commit(pre)
         return vid
 
     # Alias mirroring the reference's two-method surface
@@ -223,9 +226,7 @@ class Collection:
                     )
             self._bm25_note_add(ids, texts)
             if ids:
-                self._wal_commit(pre)
-        if ids:
-            self._mutations.fetch_add(1)
+                self._commit(pre)
         return ids
 
     def add_vectors(
@@ -330,9 +331,7 @@ class Collection:
                     )
             self._bm25_note_add(int_ids, texts)
             if int_ids:
-                self._wal_commit(pre)
-        if int_ids:
-            self._mutations.fetch_add(1)
+                self._commit(pre)
         return int_ids
 
     @staticmethod
@@ -610,8 +609,7 @@ class Collection:
             if self._bm25 is not None:
                 self._bm25.remove(int(id))
                 self._bm25_gc(self._bm25)
-            self._wal_commit(pre)
-        self._mutations.fetch_add(1)
+            self._commit(pre)
 
     def delete_where(self, where) -> int:
         """Bulk delete by metadata filter (extension). Returns the
@@ -623,9 +621,7 @@ class Collection:
                 # matched ids are unknown at this level: drop the BM25
                 # sidecar; the next hybrid search rebuilds it
                 self._bm25 = None
-                self._wal_commit(pre)
-        if n:
-            self._mutations.fetch_add(n)
+                self._commit(pre, n)
         return n
 
     def update_text(
@@ -667,8 +663,7 @@ class Collection:
             self._index.delete(int(id))
             self._index.add(vector)
             self._bm25_note_add([int(id)], [text])  # re-index = replace
-            self._wal_commit(pre)
-        self._mutations.fetch_add(1)
+            self._commit(pre)
 
     def update_metadata(self, id: int, metadata) -> None:
         """Replace one vector's metadata (extension; None clears)."""
@@ -677,8 +672,7 @@ class Collection:
         )
         with self._lock.write():
             self._index.update_metadata(id, metadata)
-            self._wal_commit(pre)
-        self._mutations.fetch_add(1)
+            self._commit(pre)
 
     def list_vectors(
         self,
@@ -758,9 +752,7 @@ class Collection:
             fn = getattr(self._index, "compact", None)
             reclaimed = int(fn()) if fn is not None else 0
             if reclaimed:
-                self._wal_commit(pre)
-        if reclaimed:
-            self._mutations.fetch_add(1)
+                self._commit(pre)
         return reclaimed
 
     def save_to_file(self, path) -> None:

@@ -31,7 +31,17 @@ Design — idempotent redo, no LSN coordination with the snapshot:
 * **Torn tails are expected.** A crash mid-append leaves a partial last
   line; replay stops at the first undecodable line and logs what it
   dropped (those ops were never acknowledged — appends flush before the
-  caller returns).
+  caller returns), and resume TRUNCATES it so later appends never weld
+  onto garbage.
+* **Registrations get a durable base.** A collection that arrives with
+  data (snapshot upload, /collections/load, --filepath) is immediately
+  snapshotted into the recovery dir — or, without one, its contents are
+  logged as chunked ``add`` ops — so a crash right after never recovers
+  an empty collection from a bare ``create`` header.
+* **Deletes leave a ``drop`` tombstone** before the log and covering
+  snapshot are unlinked: recovery discards everything before the last
+  ``drop``, so an acknowledged delete_collection survives a crash in
+  the unlink window instead of being resurrected by a stale snapshot.
 
 Fsync policy (``VECTORLITE_WAL_FSYNC`` / constructor):
 
@@ -77,6 +87,40 @@ def _fsync_policy(explicit=None) -> str:
     return policy
 
 
+def fsync_file_and_dir(path) -> None:
+    """Force ``path`` (and its directory entry) to stable storage —
+    required before a checkpoint may truncate the log under the
+    ``always`` policy: an un-fsynced snapshot + a durably truncated log
+    loses acknowledged writes on power loss."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        os.fsync(f.fileno())
+    dfd = os.open(path.parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def iter_owned_files(directory, suffix):
+    """Yield ``(path, collection_name)`` for files in ``directory`` whose
+    stem round-trips through the percent-encoding this subsystem owns
+    (shared by WAL recovery and autosave restore/prune — one definition
+    of 'ours', so the two never disagree about a file)."""
+    directory = Path(directory)
+    try:
+        entries = sorted(directory.iterdir())
+    except OSError:
+        return
+    for p in entries:
+        if p.suffix != suffix or not p.is_file():
+            continue
+        name = unquote(p.stem)
+        if quote(name, safe="") != p.stem:
+            continue
+        yield p, name
+
+
 def _jsonable(value):
     """Ops must round-trip through JSON for replay; numpy scalars/arrays
     from the array-native insert paths are converted, anything else
@@ -106,11 +150,35 @@ class CollectionWAL:
         self._seq = 0
         self._appends = 0
         self._checkpoints = 0
-        # resume an existing log: scan for the highest intact seq so
-        # appended entries keep strictly increasing
+        # Resume an existing log: scan for the highest intact seq so
+        # appended entries keep strictly increasing, and TRUNCATE any
+        # torn tail — appending onto a partial line would weld the next
+        # record into one garbage line, and the replay scan would then
+        # stop there and silently drop every later acknowledged write.
         if self._path.exists():
-            for entry in read_entries(self._path):
-                self._seq = max(self._seq, int(entry.get("s", 0)))
+            good_end = 0
+            with open(self._path, "rb") as f:
+                for raw in f:
+                    if not raw.endswith(b"\n"):
+                        break
+                    try:
+                        entry = json.loads(raw)
+                        if not isinstance(entry, dict) or "op" not in entry:
+                            break
+                    except ValueError:
+                        break
+                    good_end += len(raw)
+                    self._seq = max(self._seq, int(entry.get("s", 0)))
+            size = self._path.stat().st_size
+            if good_end < size:
+                logger.warning(
+                    "WAL %s: truncating torn tail (%d of %d bytes intact)",
+                    self._path,
+                    good_end,
+                    size,
+                )
+                with open(self._path, "r+b") as f:
+                    f.truncate(good_end)
 
     # -- plumbing ------------------------------------------------------
 
@@ -119,6 +187,10 @@ class CollectionWAL:
             os.makedirs(self._path.parent, exist_ok=True)
             self._f = open(self._path, "a", encoding="utf-8")
         return self._f
+
+    @property
+    def fsync_policy(self) -> str:
+        return self._fsync
 
     def seq(self) -> int:
         """Last assigned sequence number (0 = empty log)."""
@@ -352,12 +424,26 @@ def _collection_from_header(client, entries: list[dict], name: str):
 class WalManager:
     """Directory of per-collection logs, attached to a client via its
     collection-observer hook: registration opens (or resumes) the
-    collection's log and writes the ``create`` header; deletion removes
-    the log so recovery cannot resurrect dropped data."""
+    collection's log and establishes a durable base (create header +
+    snapshot or logged contents — see below); deletion drops the log
+    AND the covering snapshot so recovery cannot resurrect acknowledged
+    deletes.
 
-    def __init__(self, directory, fsync: str | None = None):
+    ``snapshot_dir`` should be the autosave directory when one exists:
+    a collection registered WITH data (snapshot upload, /collections/
+    load, --filepath) is immediately snapshotted there so the fresh log
+    has a base to replay over. Without a snapshot_dir the registration
+    contents are logged as chunked ``add`` ops instead — correct either
+    way; a crash right after a data-bearing registration must not
+    recover an empty collection."""
+
+    def __init__(self, directory, fsync: str | None = None,
+                 snapshot_dir=None):
         self._dir = Path(directory)
         self._fsync = _fsync_policy(fsync)
+        self._snapshot_dir = (
+            Path(snapshot_dir) if snapshot_dir is not None else None
+        )
         self._mu = threading.Lock()
         self._wals: dict[str, CollectionWAL] = {}
         os.makedirs(self._dir, exist_ok=True)
@@ -387,13 +473,73 @@ class WalManager:
                     ),
                 }
             )
+            if len(index) > 0:
+                self._establish_base(collection, wal)
         collection._wal = wal
+
+    def _establish_base(self, collection, wal) -> None:
+        """A data-bearing collection just joined with a FRESH log: give
+        recovery something to stand on (the header alone would replay
+        to an empty collection)."""
+        if self._snapshot_dir is not None:
+            from .autosave import snapshot_path
+
+            try:
+                collection.save_to_file(
+                    snapshot_path(self._snapshot_dir, collection.name)
+                )
+                if wal.fsync_policy == "always":
+                    fsync_file_and_dir(
+                        snapshot_path(self._snapshot_dir, collection.name)
+                    )
+                return
+            except Exception:  # noqa: BLE001 — fall back to logging
+                logger.exception(
+                    "Registration snapshot of %r failed; logging "
+                    "contents to the WAL instead",
+                    collection.name,
+                )
+        offset = 0
+        while True:
+            vectors, _total = collection._index.list_vectors(
+                offset, 1024, None, True
+            )
+            if not vectors:
+                break
+            wal.append(
+                {
+                    "op": "add",
+                    "rows": [
+                        [v.id, v.values, v.text, v.metadata]
+                        for v in vectors
+                    ],
+                }
+            )
+            offset += len(vectors)
 
     def collection_deleted(self, name: str) -> None:
         with self._mu:
             wal = self._wals.pop(name, None)
         if wal is not None:
+            # drop tombstone FIRST: if the unlinks below never happen
+            # (crash), recovery still discards everything before it
+            try:
+                wal.append({"op": "drop"})
+            except Exception:  # noqa: BLE001 — best effort, then unlink
+                logger.exception("WAL drop record for %r failed", name)
             wal.close()
+        if self._snapshot_dir is not None:
+            # the acknowledged delete must not be undone by a stale
+            # snapshot at the next crash-recovery; autosave would only
+            # prune it at the next tick
+            from .autosave import snapshot_path
+
+            try:
+                snapshot_path(self._snapshot_dir, name).unlink(
+                    missing_ok=True
+                )
+            except OSError:
+                pass
         try:
             wal_path(self._dir, name).unlink(missing_ok=True)
         except OSError:
@@ -432,14 +578,35 @@ def recover_into(client, directory, snapshot_dir=None) -> dict:
     if not directory.is_dir():
         return {}
     recovered: dict[str, int] = {}
-    for p in sorted(directory.iterdir()):
-        if p.suffix != _SUFFIX or not p.is_file():
-            continue
-        name = unquote(p.stem)
-        if quote(name, safe="") != p.stem:  # not our encoding
-            continue
+    for p, name in iter_owned_files(directory, _SUFFIX):
         entries = read_entries(p)
+        # Honor drop tombstones (an acknowledged delete_collection whose
+        # file unlinks never landed): discard everything before the LAST
+        # drop; what follows is a post-drop recreation (or nothing).
+        last_drop = next(
+            (
+                i
+                for i in range(len(entries) - 1, -1, -1)
+                if entries[i].get("op") == "drop"
+            ),
+            None,
+        )
         try:
+            if last_drop is not None:
+                entries = entries[last_drop + 1:]
+                if client.has_collection(name):
+                    # the restored snapshot predates the drop
+                    client.delete_collection(name)
+                if snapshot_dir is not None:
+                    from .autosave import snapshot_path
+
+                    snapshot_path(snapshot_dir, name).unlink(
+                        missing_ok=True
+                    )
+                if not entries:
+                    p.unlink(missing_ok=True)
+                    recovered[name] = 0
+                    continue
             collection = client.get_collection(name)
             if collection is None:
                 collection = _collection_from_header(client, entries, name)
@@ -451,13 +618,22 @@ def recover_into(client, directory, snapshot_dir=None) -> dict:
             logger.exception("WAL replay for collection %r failed", name)
             continue
         recovered[name] = applied
+        if last_drop is not None:
+            # rewrite the log without the pre-drop prefix so a resumed
+            # manager never replays the dropped lineage again
+            CollectionWAL(p).checkpoint(
+                int(entries[0].get("s", 1)) - 1 if entries else None
+            )
         if snapshot_dir is not None and applied:
             from .autosave import snapshot_path
 
             wal = getattr(collection, "_wal", None)
             seq = wal.seq() if wal is not None else None
+            snap = snapshot_path(snapshot_dir, name)
             try:
-                collection.save_to_file(snapshot_path(snapshot_dir, name))
+                collection.save_to_file(snap)
+                if _fsync_policy() == "always":
+                    fsync_file_and_dir(snap)
             except Exception:  # noqa: BLE001
                 logger.exception(
                     "Post-recovery snapshot of %r failed; log kept", name
@@ -473,8 +649,5 @@ def recover_into(client, directory, snapshot_dir=None) -> dict:
                 else:
                     wal.checkpoint(seq)
     if recovered:
-        logger.info(
-            "WAL recovery: %s",
-            {n: c for n, c in recovered.items()},
-        )
+        logger.info("WAL recovery: %s", recovered)
     return recovered
