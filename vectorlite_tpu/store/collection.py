@@ -132,17 +132,20 @@ class Collection:
 
     @staticmethod
     def _wal_add_op(ids, values, texts, metadatas) -> dict:
-        rows = []
-        for i, vid in enumerate(ids):
-            rows.append(
-                [
-                    int(vid),
-                    values[i],
-                    texts[i] if texts is not None else "",
-                    metadatas[i] if metadatas is not None else None,
-                ]
-            )
-        return {"op": "add", "rows": rows}
+        from .wal import pack_values
+
+        op: dict = {
+            "op": "add",
+            "ids": [int(i) for i in ids],
+            # bit-exact base64 f64 rows: JSON float rendering measured
+            # 28x slower on the batched insert path (see wal.pack_values)
+            "vals": pack_values(values),
+        }
+        if texts is not None:
+            op["texts"] = list(texts)
+        if metadatas is not None:
+            op["metas"] = list(metadatas)
+        return op
 
     @property
     def name(self) -> str:
@@ -648,15 +651,18 @@ class Collection:
         vector = Vector(
             id=int(id), values=embedding, text=text, metadata=metadata
         )
-        pre = self._wal_render(
-            {
+        def put_op():
+            from .wal import pack_values
+
+            return {
                 "op": "put",
                 "id": int(id),
-                "values": embedding,
+                "vals": pack_values([embedding]),
                 "text": text,
                 "metadata": metadata,
             }
-        )
+
+        pre = self._wal_render(put_op)
         with self._lock.write(), profile_span("vectorlite.index.update"):
             if self._index.get_vector(int(id)) is None:
                 raise VectorNotFound(int(id))

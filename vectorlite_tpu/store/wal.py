@@ -132,6 +132,25 @@ def _jsonable(value):
     return value
 
 
+def pack_values(arr) -> str:
+    """f64 rows -> base64 of the little-endian buffer. Rendering vector
+    values as JSON float lists dominated WAL append cost (measured 28x
+    on the batched insert path — Python float repr, not I/O); the
+    packed form is bit-exact, ~2.3x smaller, and C-speed both ways. The
+    op envelope (ids, texts, metadata) stays readable JSON."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype="<f8"))
+    import base64
+
+    return base64.b64encode(a.tobytes()).decode("ascii")
+
+
+def unpack_values(b64: str, n_rows: int) -> np.ndarray:
+    import base64
+
+    flat = np.frombuffer(base64.b64decode(b64), dtype="<f8")
+    return flat.reshape(n_rows, -1) if n_rows else flat.reshape(0, 0)
+
+
 class CollectionWAL:
     """Append-only JSONL redo log for one collection.
 
@@ -325,20 +344,39 @@ def _replay_into(collection, entries: list[dict]) -> int:
             applied += 1
             continue
         if op == "add":
-            for vid, values, text, metadata in e["rows"]:
-                if collection._index.get_vector(int(vid)) is not None:
+            if "rows" in e:  # row-tuple form (hand-written / legacy)
+                rows = [
+                    (int(r[0]), r[1], r[2], r[3]) for r in e["rows"]
+                ]
+            else:  # packed form (what the hooks write)
+                ids = [int(i) for i in e["ids"]]
+                vals = unpack_values(e["vals"], len(ids))
+                texts = e.get("texts")
+                metas = e.get("metas")
+                rows = [
+                    (
+                        ids[i],
+                        vals[i],
+                        texts[i] if texts is not None else "",
+                        metas[i] if metas is not None else None,
+                    )
+                    for i in range(len(ids))
+                ]
+            for vid, values, text, metadata in rows:
+                if collection._index.get_vector(vid) is not None:
                     continue  # idempotent: snapshot already has it
                 collection._index.add(
                     Vector(
-                        id=int(vid),
+                        id=vid,
                         values=values,
                         text=text or "",
                         metadata=metadata,
                     )
                 )
-            ids = [int(r[0]) for r in e["rows"]]
-            if ids:
-                collection._next_id.bump_to(max(ids) + 1)
+            if rows:
+                collection._next_id.bump_to(
+                    max(vid for vid, *_ in rows) + 1
+                )
         elif op == "put":
             vid = int(e["id"])
             try:
@@ -346,10 +384,15 @@ def _replay_into(collection, entries: list[dict]) -> int:
             except VectorNotFound:
                 pass
             if collection._index.get_vector(vid) is None:
+                values = (
+                    unpack_values(e["vals"], 1)[0]
+                    if "vals" in e
+                    else e["values"]
+                )
                 collection._index.add(
                     Vector(
                         id=vid,
-                        values=e["values"],
+                        values=values,
                         text=e.get("text") or "",
                         metadata=e.get("metadata"),
                     )
@@ -509,10 +552,10 @@ class WalManager:
             wal.append(
                 {
                     "op": "add",
-                    "rows": [
-                        [v.id, v.values, v.text, v.metadata]
-                        for v in vectors
-                    ],
+                    "ids": [v.id for v in vectors],
+                    "vals": pack_values([v.values for v in vectors]),
+                    "texts": [v.text for v in vectors],
+                    "metas": [v.metadata for v in vectors],
                 }
             )
             offset += len(vectors)
