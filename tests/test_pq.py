@@ -1,0 +1,261 @@
+"""Product-quantization serving rung (kernels/pq.py + the FlatIndex
+"pq" profile): ADC selection correctness, the exact-rescore contract,
+and the capacity-ladder integration."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vectorlite_tpu.config import VectorLiteConfig
+from vectorlite_tpu.core.metrics import SimilarityMetric
+from vectorlite_tpu.core.types import Vector
+from vectorlite_tpu.index.flat import FlatIndex
+from vectorlite_tpu.kernels.pq import (
+    encode_rows,
+    pq_search_topk,
+    pq_subspaces,
+    train_codebooks,
+)
+
+M = SimilarityMetric
+D = 64
+
+
+@pytest.fixture(autouse=True)
+def pq_env(monkeypatch):
+    """Small gates so the rung engages at test scale, and force the
+    device path (the host-f64 scan would otherwise serve everything)."""
+    monkeypatch.setenv("VECTORLITE_PQ_MIN_ROWS", "1024")
+    monkeypatch.setenv("VECTORLITE_PQ_TRAIN_SAMPLE", "2048")
+    monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+
+
+def corpus(n, d=D, seed=0):
+    """Unit-norm clustered rows (embedding-like)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(32, d))
+    rows = centers[rng.integers(0, 32, n)] + 0.6 * rng.normal(size=(n, d))
+    return rows / np.linalg.norm(rows, axis=1, keepdims=True)
+
+
+def exact_scores(rows, q, metric):
+    if metric is M.DOT_PRODUCT:
+        return rows @ q
+    if metric is M.COSINE:
+        denom = np.linalg.norm(rows, axis=1) * np.linalg.norm(q)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(denom > 0, (rows @ q) / np.maximum(denom, 1e-300), 0)
+        return np.minimum(s, 1.0)
+    if metric is M.EUCLIDEAN:
+        return 1.0 / (1.0 + np.linalg.norm(rows - q, axis=1))
+    return 1.0 / (1.0 + np.abs(rows - q).sum(axis=1))
+
+
+class TestPQKernel:
+    def test_pq_subspaces(self):
+        assert pq_subspaces(384, 96) == 96
+        assert pq_subspaces(384, 100) == 96  # largest divisor <= request
+        assert pq_subspaces(64, 48) == 32
+        assert pq_subspaces(10, 4) == 2
+        assert pq_subspaces(7, 3) == 1
+
+    def test_adc_equals_reconstruction_dot(self):
+        rows = corpus(2048).astype(np.float32)
+        cb = train_codebooks(rows, 16, iters=6)
+        codes = np.asarray(encode_rows(cb, jnp.asarray(rows)))
+        cbn = np.asarray(cb)
+        recon = np.concatenate(
+            [cbn[i][codes[:, i]] for i in range(16)], axis=1
+        )
+        q = corpus(4, seed=7).astype(np.float32)
+        sq = np.einsum("nd,nd->n", rows, rows).astype(np.float32)
+        s, idx = pq_search_topk(
+            jnp.asarray(codes), cb, jnp.asarray(sq),
+            jnp.asarray(np.ones(2048, bool)), jnp.asarray(q),
+            metric=M.DOT_PRODUCT, k=5, chunk=512,
+        )
+        s, idx = np.asarray(s), np.asarray(idx)
+        want = q @ recon.T  # ADC dot == reconstruction dot by definition
+        for b in range(4):
+            np.testing.assert_allclose(
+                s[b], np.sort(want[b])[::-1][:5], rtol=1e-4
+            )
+
+    def test_chunking_is_invisible(self):
+        """Streamed top-k merge returns the same winners regardless of
+        chunk size (incl. a non-dividing chunk that forces padding)."""
+        rows = corpus(1000).astype(np.float32)
+        cb = train_codebooks(rows, 8, iters=4)
+        codes = encode_rows(cb, jnp.asarray(rows))
+        sq = jnp.asarray(
+            np.einsum("nd,nd->n", rows, rows).astype(np.float32)
+        )
+        valid = jnp.asarray(np.ones(1000, bool))
+        q = jnp.asarray(corpus(3, seed=9).astype(np.float32))
+        ref = None
+        for chunk in (1000, 256, 192, 64):
+            s, idx = pq_search_topk(
+                codes, cb, sq, valid, q,
+                metric=M.EUCLIDEAN, k=10, chunk=chunk,
+            )
+            got = (np.asarray(s), np.asarray(idx))
+            if ref is None:
+                ref = got
+            else:
+                np.testing.assert_allclose(ref[0], got[0], rtol=1e-5)
+                np.testing.assert_array_equal(ref[1], got[1])
+
+    def test_validity_mask_and_padding(self):
+        rows = corpus(300).astype(np.float32)
+        cb = train_codebooks(rows, 8, iters=4)
+        codes = encode_rows(cb, jnp.asarray(rows))
+        sq = jnp.asarray(
+            np.einsum("nd,nd->n", rows, rows).astype(np.float32)
+        )
+        valid = np.ones(300, bool)
+        valid[::2] = False  # half tombstoned
+        s, idx = pq_search_topk(
+            codes, cb, sq, jnp.asarray(valid),
+            jnp.asarray(rows[:2]), metric=M.COSINE, k=20, chunk=128,
+        )
+        idx = np.asarray(idx)
+        assert (idx % 2 == 1).all()  # only odd (valid) slots return
+        assert np.isfinite(np.asarray(s)).all()
+
+    @pytest.mark.parametrize(
+        "metric", [M.COSINE, M.DOT_PRODUCT, M.EUCLIDEAN, M.MANHATTAN]
+    )
+    def test_pool_recall_all_metrics(self, metric):
+        """The wide ADC pool captures the true top-k (the contract the
+        index's exact rescore builds on)."""
+        n, k, pool = 4096, 10, 256
+        rows = corpus(n)
+        rows32 = rows.astype(np.float32)
+        m = pq_subspaces(D, D // 4)
+        cb = train_codebooks(rows32[:2048], m, iters=8)
+        codes = encode_rows(cb, jnp.asarray(rows32))
+        sq = jnp.asarray(
+            np.einsum("nd,nd->n", rows32, rows32).astype(np.float32)
+        )
+        valid = jnp.asarray(np.ones(n, bool))
+        rng = np.random.default_rng(3)
+        q = rows[rng.integers(0, n, 8)] + 0.02 * rng.normal(size=(8, D))
+        q32 = q.astype(np.float32)
+        _, idx = pq_search_topk(
+            codes, cb, sq, valid, jnp.asarray(q32),
+            metric=metric, k=pool, chunk=1024,
+        )
+        idx = np.asarray(idx)
+        recalls = []
+        for b in range(8):
+            true = np.argsort(-exact_scores(rows, q[b], metric))[:k]
+            recalls.append(len(set(true) & set(idx[b])) / k)
+        assert np.mean(recalls) >= 0.9, (metric, recalls)
+
+
+class TestFlatIndexPQ:
+    def _fill(self, index, n, seed=0):
+        rows = corpus(n, seed=seed)
+        index.add_batch_arrays(list(range(n)), rows)
+        return rows
+
+    def test_below_gate_serves_f32_exact(self):
+        index = FlatIndex(D, device_dtype="pq")
+        rows = self._fill(index, 512)
+        assert not index._pq_active
+        got = index.search(rows[5], 3, M.COSINE)
+        assert got[0].id == 5 and got[0].score == pytest.approx(1.0)
+        assert index._dev_codes is None
+
+    def test_active_pq_scores_are_exact_f64(self):
+        """Selection is approximate; returned SCORES must match the
+        scalar f64 formulas exactly (the rescore contract)."""
+        index = FlatIndex(D, device_dtype="pq")
+        rows = self._fill(index, 2048)
+        for metric in (M.COSINE, M.EUCLIDEAN, M.DOT_PRODUCT, M.MANHATTAN):
+            got = index.search(rows[17], 5, metric)
+            assert index._pq_active
+            for r in got:
+                want = exact_scores(
+                    rows[r.id : r.id + 1], rows[17], metric
+                )[0]
+                assert r.score == pytest.approx(want, abs=1e-12), metric
+
+    def test_recall_vs_exact_index(self):
+        index = FlatIndex(D, device_dtype="pq")
+        exact = FlatIndex(D)  # auto profile; CPU -> f32 exact
+        rows = self._fill(index, 4096)
+        exact.add_batch_arrays(list(range(4096)), rows)
+        rng = np.random.default_rng(11)
+        hits = 0
+        for qi in rng.integers(0, 4096, 8):
+            q = rows[qi] + 0.02 * rng.normal(size=D)
+            got = {r.id for r in index.search(q, 10, M.COSINE)}
+            want = {r.id for r in exact.search(q, 10, M.COSINE)}
+            hits += len(got & want)
+        assert hits / 80 >= 0.85
+
+    def test_appends_after_activation_searchable(self):
+        index = FlatIndex(D, device_dtype="pq")
+        rows = self._fill(index, 2048)
+        assert index.search(rows[0], 1, M.COSINE)  # activates
+        assert index._pq_active
+        fresh = corpus(8, seed=42)
+        index.add_batch_arrays(list(range(5000, 5008)), fresh)
+        got = index.search(fresh[3], 1, M.COSINE)
+        assert got[0].id == 5003 and got[0].score == pytest.approx(1.0)
+
+    def test_delete_and_filtered_search(self):
+        index = FlatIndex(D, device_dtype="pq")
+        rows = corpus(2048)
+        index.add_batch_arrays(
+            list(range(2048)), rows,
+            metadatas=[{"par": i % 2} for i in range(2048)],
+        )
+        index.delete(7)
+        got = index.search(rows[7], 3, M.COSINE)
+        assert all(r.id != 7 for r in got)
+        got = index.search(
+            rows[8], 5, M.COSINE, where={"par": {"$eq": 0}}
+        )
+        assert got and all(r.id % 2 == 0 for r in got)
+        assert got[0].id == 8
+
+    def test_capacity_growth_retrains(self):
+        index = FlatIndex(D, device_dtype="pq")
+        self._fill(index, 2048)
+        index.search(corpus(1, seed=1)[0], 1, M.COSINE)
+        cb_before = index._dev_codebooks
+        assert cb_before is not None
+        # force a capacity doubling
+        index.add_batch_arrays(
+            list(range(10_000, 10_000 + 3000)), corpus(3000, seed=5)
+        )
+        index.search(corpus(1, seed=2)[0], 1, M.COSINE)
+        assert index._dev_codebooks is not cb_before  # retrained
+
+    def test_mesh_rejected(self):
+        class FakeMesh:
+            devices = np.zeros(2)
+
+        with pytest.raises(ValueError):
+            FlatIndex(D, device_dtype="pq", mesh=FakeMesh())
+
+    def test_client_pq_profile(self):
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+
+        client = VectorLiteClient(
+            MockEmbeddingFunction(D),
+            config=VectorLiteConfig.profile("pq"),
+        )
+        client.create_collection("c", "flat")
+        col = client.get_collection("c")
+        assert col._index._pq
+        client.add_texts_to_collection("c", [f"doc {i}" for i in range(8)])
+        hits = client.search_text_in_collection(
+            "c", "doc 3", 2, M.COSINE
+        )
+        assert hits[0].text == "doc 3"

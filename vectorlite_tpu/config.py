@@ -11,6 +11,7 @@ default (fast)       16    32   auto (f32; bf16 + exact rescore at scale)
 memory-optimized      8    16   bfloat16
 high-accuracy        32    64   float32
 quantized            16    32   int8 (+ exact rescore)
+pq                   16    32   uint8 PQ codes (+ exact rescore)
 ==================  ====  ====  ==========================================
 
 Select via ``VectorLiteConfig.profile("memory-optimized")`` or the
@@ -35,6 +36,11 @@ _PROFILES = {
     # int8 corpus on the flat index (int8 MXU scoring + exact host
     # re-score of the k winners); 4x less HBM than f32
     "quantized": dict(hnsw_m=16, hnsw_m0=32, device_dtype="int8"),
+    # product-quantization rung (kernels/pq.py): uint8 codes + learned
+    # codebooks, ~16x less HBM than f32 at the default M = dim/4 —
+    # 10M x 384 rows in ~1 GB. ADC selection with a wide exactly-
+    # re-scored pool; engages above VECTORLITE_PQ_MIN_ROWS (16384).
+    "pq": dict(hnsw_m=16, hnsw_m0=32, device_dtype="pq"),
 }
 
 

@@ -40,6 +40,10 @@ from ..kernels.topk import next_pow2, row_sqnorms, search_topk, update_rows
 from .base import validate_batch_arrays
 
 _MIN_CAPACITY = 256
+
+#: rows per PQ encode dispatch — bounds the per-bucket [rows, 256]
+#: assignment temp (~134 MB f32) and keeps the jit cache small.
+_PQ_ENCODE_BUCKET = 1 << 17
 _MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
 
 #: Above this capacity the fused Pallas tiled scan takes over from the
@@ -318,6 +322,21 @@ class FlatIndex:
         self._auto_dtype = device_dtype == "auto"
         if self._auto_dtype:
             device_dtype = jnp.float32
+        # "pq" selects the product-quantization capacity rung
+        # (kernels/pq.py): uint8 codes + learned codebooks on device
+        # (~dim/24 bytes per f64 row at the default M = dim/4), ADC
+        # selection with a wide pool, exact f64 host re-scoring of the
+        # winners. Below _pq_min_rows() the profile serves the plain
+        # f32 path (nothing to train on); it engages at the first sync
+        # past the gate.
+        self._pq = device_dtype == "pq"
+        if self._pq:
+            if mesh is not None:
+                raise ValueError(
+                    "the pq profile is single-chip (row-shard the f32/"
+                    "int8 profiles on a mesh instead)"
+                )
+            device_dtype = jnp.float32  # fallback rung below the gate
         self._quantized = device_dtype in ("int8", jnp.int8)
         self._device_dtype = (
             jnp.int8 if self._quantized else device_dtype
@@ -373,6 +392,9 @@ class FlatIndex:
         self._dev_values: Optional[jax.Array] = None
         self._dev_scan: Optional[jax.Array] = None  # bf16 speed-mode copy
         self._dev_scales: Optional[jax.Array] = None  # int8 profile only
+        self._dev_codes: Optional[jax.Array] = None  # pq profile only
+        self._dev_codebooks: Optional[jax.Array] = None  # pq profile only
+        self._pq_active = False  # pq cache built and serving
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
         self._dirty_lo = 0
@@ -514,10 +536,12 @@ class FlatIndex:
         self._host_norms_n = 0  # rows moved: rebuild the norm table lazily
         self._host_f32_n = 0
         self._host_f32_finite = True
-        # device cache must be rebuilt wholesale
+        # device cache must be rebuilt wholesale (codebooks survive a
+        # compaction — the rows are a subset, only their slots moved)
         self._dev_values = None
         self._dev_scan = None
         self._dev_scales = None
+        self._dev_codes = None
         self._dev_sqnorms = None
         self._dev_valid = None
         self._dirty_lo, self._dirty_hi = 0, n
@@ -1369,6 +1393,10 @@ class FlatIndex:
         exact under a mesh."""
         if filtered:
             return False
+        if self._pq:
+            # the PQ branch selects exhaustively over ADC scores; the
+            # block/amk engines never see the code matrix
+            return False
         if metric is SimilarityMetric.MANHATTAN:
             # no matmul form: the L1 scan is VPU-bound and selection is a
             # rounding error of its cost — always exact (pallas_l1.py)
@@ -1396,6 +1424,15 @@ class FlatIndex:
         recall 0.994 at 1M/bf16 with k_sel == k_pad). Doubling the
         candidate pool closes that gap for ~nothing: selection cost is
         dominated by the scan, and the rescore is O(B * k_sel * D)."""
+        if self._pq:
+            # PQ ranking error is much larger than int8's (the row
+            # itself is ~32x compressed): a 128-candidate floor + 4x
+            # oversample measured recall@10 0.975 at 50K/384-d with
+            # the default M = dim/4 (tests/test_pq.py pins the gate)
+            from ..utils import env_number
+
+            floor = int(env_number("VECTORLITE_PQ_POOL_MIN", 128))
+            return min(self._capacity, next_pow2(max(4 * k_pad, floor)))
         if self._quantized or self._prospective_dtype() != jnp.float32:
             return min(self._capacity, next_pow2(2 * k_pad))
         return k_pad
@@ -1411,7 +1448,11 @@ class FlatIndex:
         returned scores then match the scalar reference formulas. Approx
         (block) selection alone needs none: its candidate scores are the
         same exact-f32 values the exact kernel returns."""
-        return self._quantized or self._device_dtype == jnp.bfloat16
+        return (
+            self._quantized
+            or self._pq_active
+            or self._device_dtype == jnp.bfloat16
+        )
 
     def _exact_rescore(
         self,
@@ -1579,6 +1620,23 @@ class FlatIndex:
                 valid = jnp.logical_and(valid, where_dev)
                 approx = False
             queries = jnp.asarray(q)
+            if self._pq_active:
+                # streaming ADC over the code matrix; selection is
+                # exhaustive over ADC scores (the approximate step is
+                # the quantization itself) and the wide _selection_k
+                # pool is exactly re-scored by the caller
+                from ..kernels.pq import pq_search_topk
+
+                return pq_search_topk(
+                    self._dev_codes,
+                    self._dev_codebooks,
+                    self._dev_sqnorms,
+                    valid,
+                    queries,
+                    metric=metric,
+                    k=min(k_pad, self._capacity),
+                    chunk=min(_PQ_ENCODE_BUCKET // 2, self._capacity),
+                )
             if self._mesh is not None:
                 # per-shard scan + all-gather merge. Speed mode rides
                 # the flagship amk engine per shard (fused matmul +
@@ -1864,9 +1922,14 @@ class FlatIndex:
             self._host_norms64 = new_norms
         self._capacity = new_cap
         # Capacity changed: device buffers must be rebuilt wholesale.
+        # Codebooks retrain too — each doubling re-fits them to the
+        # (roughly 2x larger) corpus, so PQ drift from appends is
+        # bounded by one capacity generation.
         self._dev_values = None
         self._dev_scan = None
         self._dev_scales = None
+        self._dev_codes = None
+        self._dev_codebooks = None
         self._dev_sqnorms = None
         self._dev_valid = None
         self._dirty_lo, self._dirty_hi = 0, self._size
@@ -1878,6 +1941,8 @@ class FlatIndex:
         if self._mesh is not None:
             self._sync_device_mesh()
             return
+        if self._pq and self._sync_device_pq():
+            return  # PQ cache active; below the gate falls through to f32
         if self._dev_values is None:
             # resolve "auto" on every wholesale rebuild (capacity growth
             # nulls the cache, so the profile adapts as the corpus grows —
@@ -1968,6 +2033,104 @@ class FlatIndex:
         if self._mask_dirty:
             self._dev_valid = jnp.asarray(self._valid)
             self._mask_dirty = False
+
+    def _sync_device_pq(self) -> bool:
+        """Maintain the PQ cache (codes + codebooks + exact sqnorms).
+        Returns True when the PQ rung is serving; False below the
+        training gate (the caller's plain f32 path serves instead, and
+        the first sync past the gate swaps the cache wholesale)."""
+        from ..utils import env_number
+
+        gate = max(1024, int(env_number("VECTORLITE_PQ_MIN_ROWS", 16384)))
+        if self._dev_codes is None:
+            if self._size < gate:
+                self._pq_active = False
+                return False
+            from ..kernels.pq import (
+                encode_rows,
+                pq_subspaces,
+                train_codebooks,
+            )
+
+            vals32 = np.asarray(self._values64, dtype=np.float32)
+            if self._dev_codebooks is None:
+                m = pq_subspaces(
+                    self.dim,
+                    int(
+                        env_number(
+                            "VECTORLITE_PQ_M", max(1, self.dim // 4)
+                        )
+                    ),
+                )
+                sample_n = min(
+                    self._size,
+                    int(env_number("VECTORLITE_PQ_TRAIN_SAMPLE", 16384)),
+                )
+                live = np.nonzero(self._valid[: self._size])[0]
+                if len(live) > sample_n:
+                    sel = np.random.default_rng(0).choice(
+                        live, sample_n, replace=False
+                    )
+                    sel.sort()
+                else:
+                    sel = live
+                self._dev_codebooks = train_codebooks(
+                    vals32[sel], m, iters=10
+                )
+            # encode everything below capacity in fixed buckets (the
+            # per-bucket [rows, 256] assignment temp stays ~134 MB and
+            # the jit cache keys stay few); invalid slots encode zeros,
+            # which the validity mask hides at search time
+            from ..kernels.pq import encode_rows as _enc
+
+            step = min(_PQ_ENCODE_BUCKET, self._capacity)
+            parts = [
+                _enc(
+                    self._dev_codebooks,
+                    jnp.asarray(vals32[lo : lo + step]),
+                )
+                for lo in range(0, self._capacity, step)
+            ]
+            self._dev_codes = (
+                jnp.concatenate(parts, axis=0)
+                if len(parts) > 1
+                else parts[0]
+            )
+            sq = np.einsum("nd,nd->n", vals32, vals32, dtype=np.float32)
+            self._dev_sqnorms = jnp.asarray(sq)
+            self._dev_valid = jnp.asarray(self._valid)
+            # free the f32 fallback cache (the whole point is capacity)
+            self._dev_values = None
+            self._dev_scan = None
+            self._precision_risky = False
+            self._dirty_lo = self._dirty_hi = self._size
+            self._mask_dirty = False
+            self._pq_active = True
+            return True
+        if self._dirty_hi > self._dirty_lo:
+            from ..kernels.pq import encode_rows
+
+            lo, hi = self._dirty_lo, self._dirty_hi
+            burst = next_pow2(hi - lo)
+            hi = min(self._capacity, lo + burst)
+            lo = max(0, hi - burst)
+            rows32 = jnp.asarray(self._values64[lo:hi], dtype=jnp.float32)
+            self._dev_sqnorms = update_rows(
+                self._dev_sqnorms, row_sqnorms(rows32), lo
+            )
+            # appended rows use the codebooks trained at the last
+            # wholesale rebuild; the next capacity doubling retrains
+            self._dev_codes = update_rows(
+                self._dev_codes,
+                encode_rows(self._dev_codebooks, rows32),
+                lo,
+            )
+            self._dirty_lo = self._dirty_hi = self._size
+        if self._mask_dirty:
+            self._dev_valid = jnp.asarray(self._valid)
+            self._mask_dirty = False
+        self._pq_active = True
+        return True
 
     def _sync_device_mesh(self) -> None:
         """Mesh placement: full builds device_put host slices shard-by-shard
