@@ -95,7 +95,9 @@ class TestPQKernel:
         valid = jnp.asarray(np.ones(1000, bool))
         q = jnp.asarray(corpus(3, seed=9).astype(np.float32))
         ref = None
-        for chunk in (1000, 256, 192, 64):
+        # 4 < k exercises the chunk>=k clamp (a narrower chunk would
+        # silently drop winners clustered in one chunk)
+        for chunk in (1000, 256, 192, 64, 4):
             s, idx = pq_search_topk(
                 codes, cb, sq, valid, q,
                 metric=M.EUCLIDEAN, k=10, chunk=chunk,

@@ -2052,7 +2052,6 @@ class FlatIndex:
                 train_codebooks,
             )
 
-            vals32 = np.asarray(self._values64, dtype=np.float32)
             if self._dev_codebooks is None:
                 m = pq_subspaces(
                     self.dim,
@@ -2075,19 +2074,21 @@ class FlatIndex:
                 else:
                     sel = live
                 self._dev_codebooks = train_codebooks(
-                    vals32[sel], m, iters=10
+                    self._values64[sel].astype(np.float32), m, iters=10
                 )
-            # encode everything below capacity in fixed buckets (the
-            # per-bucket [rows, 256] assignment temp stays ~134 MB and
-            # the jit cache keys stay few); invalid slots encode zeros,
-            # which the validity mask hides at search time
-            from ..kernels.pq import encode_rows as _enc
-
+            # encode everything below capacity in fixed buckets. Each
+            # bucket casts f64 -> f32 on its own (NO full-capacity f32
+            # staging copy — at the 10M+ scales this rung exists for
+            # that temp alone would cost 15+ GB of host RAM), and the
+            # per-bucket [rows, 256] assignment temp stays ~134 MB.
+            # Invalid slots encode zeros; the validity mask hides them.
             step = min(_PQ_ENCODE_BUCKET, self._capacity)
             parts = [
-                _enc(
+                encode_rows(
                     self._dev_codebooks,
-                    jnp.asarray(vals32[lo : lo + step]),
+                    jnp.asarray(
+                        self._values64[lo : lo + step], dtype=jnp.float32
+                    ),
                 )
                 for lo in range(0, self._capacity, step)
             ]
@@ -2096,7 +2097,11 @@ class FlatIndex:
                 if len(parts) > 1
                 else parts[0]
             )
-            sq = np.einsum("nd,nd->n", vals32, vals32, dtype=np.float32)
+            # f64 pairwise product sums reduce straight to [cap] — no
+            # [cap, D] f32 matrix temp here either
+            sq = np.einsum(
+                "nd,nd->n", self._values64, self._values64
+            ).astype(np.float32)
             self._dev_sqnorms = jnp.asarray(sq)
             self._dev_valid = jnp.asarray(self._valid)
             # free the f32 fallback cache (the whole point is capacity)

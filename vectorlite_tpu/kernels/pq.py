@@ -184,7 +184,9 @@ def pq_search_topk(
     the lower slot, matching every other kernel here."""
     cap = codes.shape[0]
     b = queries.shape[0]
-    chunk = min(chunk, cap)
+    # a chunk narrower than k would silently drop true winners (each
+    # chunk can contribute at most its full width to the merge)
+    chunk = min(max(chunk, k), cap)
     n_chunks = -(-cap // chunk)
     pad = n_chunks * chunk - cap
     if pad:
