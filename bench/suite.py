@@ -559,9 +559,68 @@ def bench_filtered1m():
     return out
 
 
+def bench_pq1m():
+    """Product-quantization rung at headline scale (kernels/pq.py):
+    uint8 codes + learned codebooks, streaming ADC + wide pool + exact
+    f64 host rescore. Reports train/encode one-time costs, warm
+    ms/batch, QPS, and recall@10 against the exact engine on the same
+    corpus. ~16x less HBM than f32 — the number that matters is the
+    recall/latency point at 96 bytes/row."""
+    import os
+
+    import jax
+
+    from vectorlite_tpu.core.metrics import SimilarityMetric
+    from vectorlite_tpu.index.flat import FlatIndex
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n = 1_048_576 if on_tpu else 16_384
+    os.environ.setdefault("VECTORLITE_PQ_TRAIN_SAMPLE", "65536")
+    data = make_data(n).astype(np.float64)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = make_data(BATCH, seed=1).astype(np.float64)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    exact = FlatIndex(D)
+    exact.add_batch_arrays(np.arange(n, dtype=np.uint64), data)
+    truth = exact.search_batch_arrays(
+        queries, K, SimilarityMetric.COSINE, approx=False
+    )
+    truth_ids = truth[0]
+    del exact
+
+    idx = FlatIndex(D, device_dtype="pq")
+    idx.add_batch_arrays(np.arange(n, dtype=np.uint64), data)
+    t0 = time.perf_counter()
+    got = idx.search_batch_arrays(queries, K, SimilarityMetric.COSINE)
+    first_s = time.perf_counter() - t0  # train + encode + compile
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        got = idx.search_batch_arrays(queries, K, SimilarityMetric.COSINE)
+    t = (time.perf_counter() - t0) / iters
+    hits = sum(
+        len(set(got[0][b]) & set(truth_ids[b])) for b in range(BATCH)
+    )
+    out = {
+        "config": "flat_pq_1m_x384_b256",
+        "n": n,
+        "first_s": round(first_s, 2),
+        "warm_ms": round(t * 1e3, 3),
+        "qps": round(BATCH / t, 1),
+        "recall_at_10": round(hits / (BATCH * K), 4),
+    }
+    log(
+        f"[pq1m] n={n}: first {out['first_s']}s, warm {out['warm_ms']} "
+        f"ms/batch = {out['qps']:,.0f} QPS, recall@10 "
+        f"{out['recall_at_10']}"
+    )
+    return out
+
+
 ALL = [
     "flat10k", "flat100k", "hnsw", "hnswf16", "e2e", "manhattan1m",
-    "filtered1m",
+    "filtered1m", "pq1m",
 ]
 
 
@@ -586,6 +645,7 @@ def main():
         "flat4m": bench_flat4m,
         "manhattan1m": bench_manhattan1m,
         "filtered1m": bench_filtered1m,
+        "pq1m": bench_pq1m,
     }
     results = []
     for name in args.configs.split(","):

@@ -94,6 +94,11 @@ class TestPrometheusExposition:
             {"cache_hits": 5, "incremental_extensions": 1, "full_builds": 2},
             {'we"ird\nname': 7, "plain": 0},
             {"saves": 4, "failures": 0, "last_flush_ts": 1700000000.0},
+            {
+                "collections": {
+                    "w": {"appends": 6, "size_bytes": 512, "checkpoints": 1}
+                }
+            },
         )
         lines = text.splitlines()
         assert ('vectorlite_requests_total{route="POST /collections/{name}'
@@ -115,6 +120,11 @@ class TestPrometheusExposition:
         assert "vectorlite_coalesce_requests_total 9" in lines
         assert 'vectorlite_filter_cache_lookups_total{result="hit"} 5' in lines
         assert "vectorlite_autosave_saves_total 4" in lines
+        assert 'vectorlite_wal_appends_total{collection="w"} 6' in lines
+        assert 'vectorlite_wal_size_bytes{collection="w"} 512' in lines
+        assert (
+            'vectorlite_wal_checkpoints_total{collection="w"} 1' in lines
+        )
         # every metric has HELP+TYPE heads, no stray blank lines
         names = {
             line.split("{")[0].split(" ")[0]

@@ -419,6 +419,34 @@ class TestDropTombstone:
         assert total == 1 and vectors[0].text == "new lineage"
 
 
+class TestWalHttp:
+    def test_stats_and_metrics_expose_wal(self, tmp_path):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient as TC, TestServer
+
+        from vectorlite_tpu.api.server import create_app
+
+        async def go():
+            client = make_client()
+            manager = WalManager(tmp_path / "wal")
+            client.set_collection_observer(manager)
+            app = create_app(client, wal=manager)
+            async with TC(TestServer(app)) as tc:
+                await tc.post(
+                    "/collections", json={"name": "w", "index_type": "flat"}
+                )
+                await tc.post("/collections/w/text", json={"text": "x"})
+                stats = await (await tc.get("/stats")).json()
+                assert stats["wal"]["collections"]["w"]["appends"] >= 2
+                body = await (await tc.get("/metrics")).text()
+                assert (
+                    'vectorlite_wal_appends_total{collection="w"}' in body
+                )
+
+        asyncio.run(go())
+
+
 class TestObserverAndStats:
     def test_observer_announces_existing(self, tmp_path):
         client = make_client()

@@ -1267,12 +1267,14 @@ async def get_metrics(request: web.Request) -> web.Response:
 
     collections = await _blocking(request, snapshot)
     autosave = request.app.get(_AUTOSAVE_KEY)
+    wal = request.app.get(_WAL_KEY)
     body = render_prometheus(
         request.app[_STATS_KEY].snapshot(),
         coalesce_stats.snapshot(),
         filter_stats.snapshot(),
         collections,
         autosave.stats() if autosave is not None else None,
+        wal.stats() if wal is not None else None,
     )
     return web.Response(
         text=body, content_type="text/plain", charset="utf-8"

@@ -183,6 +183,7 @@ def render_prometheus(
     filters: dict,
     collections: dict[str, int],
     autosave: "dict | None" = None,
+    wal: "dict | None" = None,
 ) -> str:
     """Render the /stats counters in the Prometheus text exposition
     format (extension; the reference has logs only, SURVEY §5). Inputs
@@ -278,6 +279,33 @@ def render_prometheus(
             lines.append(
                 "vectorlite_autosave_last_flush_timestamp_seconds "
                 f"{ts:.3f}"
+            )
+
+    if wal is not None:
+        per = wal.get("collections", {})
+        head("vectorlite_wal_appends_total", "counter",
+             "WAL ops appended, by collection")
+        for name, s in sorted(per.items()):
+            lines.append(
+                "vectorlite_wal_appends_total"
+                f'{{collection="{_prom_escape(name)}"}} '
+                f'{s.get("appends", 0)}'
+            )
+        head("vectorlite_wal_size_bytes", "gauge",
+             "Current WAL file size, by collection")
+        for name, s in sorted(per.items()):
+            lines.append(
+                "vectorlite_wal_size_bytes"
+                f'{{collection="{_prom_escape(name)}"}} '
+                f'{s.get("size_bytes", 0)}'
+            )
+        head("vectorlite_wal_checkpoints_total", "counter",
+             "WAL checkpoint rotations, by collection")
+        for name, s in sorted(per.items()):
+            lines.append(
+                "vectorlite_wal_checkpoints_total"
+                f'{{collection="{_prom_escape(name)}"}} '
+                f'{s.get("checkpoints", 0)}'
             )
     return "\n".join(lines) + "\n"
 
