@@ -238,6 +238,34 @@ class TestFlatIndexPQ:
         index.search(corpus(1, seed=2)[0], 1, M.COSINE)
         assert index._dev_codebooks is not cb_before  # retrained
 
+    def test_rotation_rescues_anisotropic_recall(self, monkeypatch):
+        """OPQ-lite: on an eigen-decay (real-embedding-like) corpus the
+        default rotation must clearly beat plain PQ (measured 0.76 ->
+        1.0 at 384-d; thresholds here are conservative)."""
+        rng = np.random.default_rng(0)
+        n, d = 4096, 128
+        basis, _ = np.linalg.qr(rng.normal(size=(d, d)))
+        spec = 1.0 / np.arange(1, d + 1) ** 0.7
+        rows = rng.normal(size=(n, d)) @ (basis * spec)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        q = rows[rng.integers(0, n, 8)] + 0.02 * rng.normal(size=(8, d))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        def recall(rotate):
+            monkeypatch.setenv("VECTORLITE_PQ_ROTATE", rotate)
+            index = FlatIndex(d, device_dtype="pq")
+            index.add_batch_arrays(list(range(n)), rows)
+            hits = 0
+            for b in range(8):
+                got = {r.id for r in index.search(q[b], 10, M.COSINE)}
+                true = set(np.argsort(-(rows @ q[b]))[:10])
+                hits += len(got & true)
+            return hits / 80
+
+        plain, rotated = recall("0"), recall("1")
+        assert rotated >= 0.9
+        assert rotated >= plain
+
     def test_mesh_rejected(self):
         class FakeMesh:
             devices = np.zeros(2)

@@ -394,6 +394,7 @@ class FlatIndex:
         self._dev_scales: Optional[jax.Array] = None  # int8 profile only
         self._dev_codes: Optional[jax.Array] = None  # pq profile only
         self._dev_codebooks: Optional[jax.Array] = None  # pq profile only
+        self._pq_rot: Optional[jax.Array] = None  # OPQ-lite rotation
         self._pq_active = False  # pq cache built and serving
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
@@ -1627,6 +1628,8 @@ class FlatIndex:
                 # pool is exactly re-scored by the caller
                 from ..kernels.pq import pq_search_topk
 
+                if self._pq_rot is not None:
+                    queries = queries.astype(jnp.float32) @ self._pq_rot
                 return pq_search_topk(
                     self._dev_codes,
                     self._dev_codebooks,
@@ -2053,6 +2056,8 @@ class FlatIndex:
             )
 
             if self._dev_codebooks is None:
+                from ..kernels.pq import rotation_matrix
+
                 m = pq_subspaces(
                     self.dim,
                     int(
@@ -2060,6 +2065,13 @@ class FlatIndex:
                             "VECTORLITE_PQ_M", max(1, self.dim // 4)
                         )
                     ),
+                )
+                # OPQ-lite: decided only at wholesale build time so
+                # dirty-append encodes always match the live cache
+                self._pq_rot = (
+                    jnp.asarray(rotation_matrix(self.dim))
+                    if env_number("VECTORLITE_PQ_ROTATE", 1) == 1
+                    else None
                 )
                 sample_n = min(
                     self._size,
@@ -2073,8 +2085,13 @@ class FlatIndex:
                     sel.sort()
                 else:
                     sel = live
+                sample32 = self._values64[sel].astype(np.float32)
+                if self._pq_rot is not None:
+                    sample32 = np.asarray(
+                        jnp.asarray(sample32) @ self._pq_rot
+                    )
                 self._dev_codebooks = train_codebooks(
-                    self._values64[sel].astype(np.float32), m, iters=10
+                    sample32, m, iters=10
                 )
             # encode everything below capacity in fixed buckets. Each
             # bucket casts f64 -> f32 on its own (NO full-capacity f32
@@ -2083,14 +2100,17 @@ class FlatIndex:
             # per-bucket [rows, 256] assignment temp stays ~134 MB.
             # Invalid slots encode zeros; the validity mask hides them.
             step = min(_PQ_ENCODE_BUCKET, self._capacity)
-            parts = [
-                encode_rows(
-                    self._dev_codebooks,
-                    jnp.asarray(
-                        self._values64[lo : lo + step], dtype=jnp.float32
-                    ),
+
+            def _bucket(lo):
+                rows = jnp.asarray(
+                    self._values64[lo : lo + step], dtype=jnp.float32
                 )
-                for lo in range(0, self._capacity, step)
+                if self._pq_rot is not None:
+                    rows = rows @ self._pq_rot
+                return encode_rows(self._dev_codebooks, rows)
+
+            parts = [
+                _bucket(lo) for lo in range(0, self._capacity, step)
             ]
             self._dev_codes = (
                 jnp.concatenate(parts, axis=0)
@@ -2123,11 +2143,16 @@ class FlatIndex:
             self._dev_sqnorms = update_rows(
                 self._dev_sqnorms, row_sqnorms(rows32), lo
             )
-            # appended rows use the codebooks trained at the last
-            # wholesale rebuild; the next capacity doubling retrains
+            # appended rows use the codebooks (and rotation) from the
+            # last wholesale rebuild; the next capacity doubling retrains
+            enc_rows = (
+                rows32 @ self._pq_rot
+                if self._pq_rot is not None
+                else rows32
+            )
             self._dev_codes = update_rows(
                 self._dev_codes,
-                encode_rows(self._dev_codebooks, rows32),
+                encode_rows(self._dev_codebooks, enc_rows),
                 lo,
             )
             self._dirty_lo = self._dirty_hi = self._size
