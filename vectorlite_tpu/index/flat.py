@@ -26,6 +26,7 @@ The reference stores ``Vec<Vector>`` and linearly scans + sorts per query
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Optional, Sequence
 
@@ -353,7 +354,10 @@ class FlatIndex:
             n_dev = int(mesh.devices.size)
             cap = -(-cap // n_dev) * n_dev  # split evenly across the mesh
         self._capacity = cap
-        self._values64 = np.zeros((cap, self.dim), dtype=np.float64)
+        # truth-matrix placement is pinned for the index's lifetime (a
+        # growth realloc must not silently switch RAM<->disk mid-life)
+        self._truth_dir = os.environ.get("VECTORLITE_HOST_TRUTH_DIR")
+        self._values64 = self._alloc_values(cap)
         self._ids = np.zeros(cap, dtype=np.uint64)
         self._valid = np.zeros(cap, dtype=bool)
         self._texts: list[Optional[str]] = [None] * cap
@@ -406,6 +410,32 @@ class FlatIndex:
             self.add(v)
 
     # ------------------------------------------------------------------ API
+
+    def _alloc_values(self, cap: int) -> np.ndarray:
+        """The f64 truth matrix: RAM by default; a disk-backed memmap
+        when VECTORLITE_HOST_TRUTH_DIR is set. The memmap mode moves the
+        8·N·D-byte truth (the binding constraint once the pq rung holds
+        the HBM side — ~30 GB at 10M x 384) onto disk: rescore gathers
+        and persistence stream through the page cache, so host RAM
+        bounds the WORKING SET, not the corpus. The backing file is
+        unlinked immediately after mapping (Linux keeps it alive until
+        the mapping dies), so crashes and GC can never leak disk space
+        and no cleanup bookkeeping exists."""
+        directory = self._truth_dir
+        if not directory:
+            return np.zeros((cap, self.dim), dtype=np.float64)
+        import tempfile
+
+        os.makedirs(directory, exist_ok=True)
+        fd, path = tempfile.mkstemp(suffix=".truth", dir=directory)
+        try:
+            mm = np.memmap(
+                path, dtype=np.float64, mode="w+", shape=(cap, self.dim)
+            )
+        finally:
+            os.close(fd)
+            os.unlink(path)  # mapping keeps the inode alive
+        return mm
 
     def add(self, vector: Vector) -> None:
         """O(1) append (reference add: src/index/flat.rs:82-91)."""
@@ -520,7 +550,14 @@ class FlatIndex:
         """Drop tombstoned slots, preserving insertion order."""
         live = np.nonzero(self._valid[: self._size])[0]
         n = len(live)
-        self._values64[:n] = self._values64[live]
+        # slab-wise gather: `values[live]` would materialize the whole
+        # live set in RAM, defeating the memmap truth mode at scale.
+        # live is ascending and live[i] >= i, so forward slabs never
+        # read rows already overwritten.
+        slab = max(1, (1 << 27) // (8 * self.dim))
+        for lo in range(0, n, slab):
+            idx = live[lo : lo + slab]
+            self._values64[lo : lo + len(idx)] = self._values64[idx]
         self._ids[:n] = self._ids[live]
         self._valid[:] = False
         self._valid[:n] = True
@@ -1908,8 +1945,8 @@ class FlatIndex:
         # O(size) bytes, where concatenate-with-zeros touched O(new_cap)
         # twice. Slots in [size, capacity) are always zero by invariant.
         n = self._size
-        new_vals = np.zeros((new_cap, self.dim), np.float64)
-        new_vals[:n] = self._values64[:n]
+        new_vals = self._alloc_values(new_cap)
+        new_vals[:n] = self._values64[:n]  # same-dtype slice copy: memcpy
         self._values64 = new_vals
         new_ids = np.zeros(new_cap, np.uint64)
         new_ids[:n] = self._ids[:n]
