@@ -576,6 +576,9 @@ def bench_pq1m():
     on_tpu = jax.devices()[0].platform == "tpu"
     n = 1_048_576 if on_tpu else 16_384
     os.environ.setdefault("VECTORLITE_PQ_TRAIN_SAMPLE", "65536")
+    # the gate must sit below n or the f32 fallback would silently be
+    # benchmarked under the pq label (asserted below)
+    os.environ["VECTORLITE_PQ_MIN_ROWS"] = str(min(n, 16384))
     data = make_data(n).astype(np.float64)
     data /= np.linalg.norm(data, axis=1, keepdims=True)
     queries = make_data(BATCH, seed=1).astype(np.float64)
@@ -594,6 +597,7 @@ def bench_pq1m():
     t0 = time.perf_counter()
     got = idx.search_batch_arrays(queries, K, SimilarityMetric.COSINE)
     first_s = time.perf_counter() - t0  # train + encode + compile
+    assert idx._pq_active, "pq rung did not engage; check PQ_MIN_ROWS"
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):

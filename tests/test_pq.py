@@ -266,6 +266,34 @@ class TestFlatIndexPQ:
         assert rotated >= 0.9
         assert rotated >= plain
 
+    def test_manhattan_under_rotation_uses_invariant_proxy(
+        self, monkeypatch
+    ):
+        """With rotation active, manhattan selection rides the
+        rotation-invariant euclidean ADC proxy (rotated-L1 ranks a
+        different geometry); final scores stay exact L1."""
+        monkeypatch.setenv("VECTORLITE_PQ_ROTATE", "1")
+        rng = np.random.default_rng(1)
+        n, d = 4096, 128
+        basis, _ = np.linalg.qr(rng.normal(size=(d, d)))
+        spec = 1.0 / np.arange(1, d + 1) ** 0.7
+        rows = rng.normal(size=(n, d)) @ (basis * spec)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        index = FlatIndex(d, device_dtype="pq")
+        index.add_batch_arrays(list(range(n)), rows)
+        q = rows[rng.integers(0, n, 8)] + 0.02 * rng.normal(size=(8, d))
+        hits = 0
+        for b in range(8):
+            got = index.search(q[b], 10, M.MANHATTAN)
+            true_l1 = np.abs(rows - q[b]).sum(axis=1)
+            true = set(np.argsort(true_l1)[:10])
+            hits += len({r.id for r in got} & true)
+            # scores are exact L1 similarities regardless of the proxy
+            for r in got:
+                want = 1.0 / (1.0 + np.abs(rows[r.id] - q[b]).sum())
+                assert r.score == pytest.approx(want, abs=1e-12)
+        assert hits / 80 >= 0.7
+
     def test_mesh_rejected(self):
         class FakeMesh:
             devices = np.zeros(2)

@@ -1060,10 +1060,12 @@ async def download_snapshot(request: web.Request) -> web.StreamResponse:
     collection's .vlc document — byte-identical to what POST /save
     writes — over HTTP, so operators can back up a collection without
     filesystem access to the server. The payload is built under the
-    read lock (index_to_json copies rows), then rendered incrementally
-    in the executor and streamed in ~1 MB chunks with backpressure: a
-    1M x 384 corpus renders to ~12 GB of JSON, so neither the rendered
-    document nor more than a few chunks are ever resident."""
+    read lock (index_to_json snapshots the small tables and lazily
+    references the truth matrix — see FlatRowsView), then rendered
+    incrementally in the executor and streamed in ~1 MB chunks with
+    backpressure: a 1M x 384 corpus renders to ~12 GB of JSON, and
+    neither the corpus copy, the rendered document, nor more than a few
+    chunks are ever resident."""
     import threading
 
     from ..persist import vlc as _vlc
@@ -1240,7 +1242,9 @@ async def get_stats(request: web.Request) -> web.Response:
         body["autosave"] = autosave.stats()
     wal = request.app.get(_WAL_KEY)
     if wal is not None:
-        body["wal"] = wal.stats()
+        # off-loop: stats() does one stat() per collection log, which
+        # must not park the event loop on a slow filesystem
+        body["wal"] = await _blocking(request, wal.stats)
     return web.json_response(body)
 
 
@@ -1268,13 +1272,17 @@ async def get_metrics(request: web.Request) -> web.Response:
     collections = await _blocking(request, snapshot)
     autosave = request.app.get(_AUTOSAVE_KEY)
     wal = request.app.get(_WAL_KEY)
+    # wal.stats() stats each log file: off-loop like the snapshot above
+    wal_stats = (
+        await _blocking(request, wal.stats) if wal is not None else None
+    )
     body = render_prometheus(
         request.app[_STATS_KEY].snapshot(),
         coalesce_stats.snapshot(),
         filter_stats.snapshot(),
         collections,
         autosave.stats() if autosave is not None else None,
-        wal.stats() if wal is not None else None,
+        wal_stats,
     )
     return web.Response(
         text=body, content_type="text/plain", charset="utf-8"

@@ -288,6 +288,52 @@ def _amk_enabled() -> bool:
     return env_number("VECTORLITE_AMK", 1) == 1
 
 
+class FlatRowsView:
+    """Lazy, list-compatible snapshot of the Flat ``data`` payload.
+
+    Holds the small per-row tables (ids, live slots, text/metadata list
+    copies) plus a REFERENCE to the f64 truth matrix; row dicts
+    materialize on access, one at a time, with ``values`` as a row VIEW
+    into the matrix. Snapshot saves and the HTTP snapshot stream render
+    through this without ever holding a second copy of the corpus —
+    essential in the disk-backed truth mode. Immutability contract: see
+    FlatIndex.index_to_json (the captured matrix generation is never
+    written below the captured size)."""
+
+    __slots__ = ("ids", "slots", "values", "texts", "metas")
+
+    def __init__(self, ids, slots, values, texts, metas):
+        self.ids = ids
+        self.slots = slots
+        self.values = values
+        self.texts = texts
+        self.metas = metas
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _row(self, i: int) -> dict:
+        # field order matches Vector.to_json / the reference serde
+        # output (reference: src/lib.rs:163-174)
+        return {
+            "id": int(self.ids[i]),
+            "values": self.values[self.slots[i]],
+            "text": self.texts[i],
+            "metadata": self.metas[i],
+        }
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [
+                self._row(j) for j in range(*i.indices(len(self.ids)))
+            ]
+        return self._row(int(i))
+
+    def __iter__(self):
+        for i in range(len(self.ids)):
+            yield self._row(i)
+
+
 class FlatIndex:
     """O(N)-scan search over an HBM-resident vector matrix.
 
@@ -429,12 +475,26 @@ class FlatIndex:
         os.makedirs(directory, exist_ok=True)
         fd, path = tempfile.mkstemp(suffix=".truth", dir=directory)
         try:
+            # reserve real blocks up front: a sparse file would admit
+            # any size and then SIGBUS the process (uncatchable) on the
+            # first page write past free space — fallocate turns
+            # disk-full into a catchable OSError here instead, the
+            # moral equivalent of the RAM path's MemoryError. Note the
+            # transient during growth: old (~cap) + new (~2 cap)
+            # reservations coexist until the old mapping dies.
+            try:
+                os.posix_fallocate(fd, 0, cap * self.dim * 8)
+            except AttributeError:  # non-POSIX: keep the sparse file
+                pass
             mm = np.memmap(
                 path, dtype=np.float64, mode="w+", shape=(cap, self.dim)
             )
         finally:
             os.close(fd)
-            os.unlink(path)  # mapping keeps the inode alive
+            # unlink keeps the inode alive for the mapping's lifetime:
+            # unleakable, but invisible to ls/du — use lsof (deleted)
+            # to audit consumption
+            os.unlink(path)
         return mm
 
     def add(self, vector: Vector) -> None:
@@ -550,14 +610,19 @@ class FlatIndex:
         """Drop tombstoned slots, preserving insertion order."""
         live = np.nonzero(self._valid[: self._size])[0]
         n = len(live)
-        # slab-wise gather: `values[live]` would materialize the whole
-        # live set in RAM, defeating the memmap truth mode at scale.
-        # live is ascending and live[i] >= i, so forward slabs never
-        # read rows already overwritten.
+        # COPY-on-compact into a fresh buffer (slab-wise gather — the
+        # whole live set in RAM at once would defeat the memmap truth
+        # mode at scale). A fresh buffer, not in-place moves, is what
+        # makes FlatRowsView lazy snapshots safe to render after the
+        # read lock drops: a captured matrix generation is never
+        # mutated below its captured size (appends land past it, grow
+        # and compact swap in new buffers).
+        new_vals = self._alloc_values(self._capacity)
         slab = max(1, (1 << 27) // (8 * self.dim))
         for lo in range(0, n, slab):
             idx = live[lo : lo + slab]
-            self._values64[lo : lo + len(idx)] = self._values64[idx]
+            new_vals[lo : lo + len(idx)] = self._values64[idx]
+        self._values64 = new_vals
         self._ids[:n] = self._ids[live]
         self._valid[:] = False
         self._valid[:n] = True
@@ -1665,15 +1730,25 @@ class FlatIndex:
                 # pool is exactly re-scored by the caller
                 from ..kernels.pq import pq_search_topk
 
+                sel_metric = metric
                 if self._pq_rot is not None:
                     queries = queries.astype(jnp.float32) @ self._pq_rot
+                    if metric is SimilarityMetric.MANHATTAN:
+                        # L1 is not rotation-invariant: rotated-L1 ADC
+                        # ranks a different geometry (measured pool
+                        # recall 0.86 vs 0.90 for the rotation-
+                        # invariant dot+norms proxy on an eigen-decay
+                        # corpus). Select via the euclidean proxy; the
+                        # exact L1 rescore restores true scores and
+                        # order within the pool.
+                        sel_metric = SimilarityMetric.EUCLIDEAN
                 return pq_search_topk(
                     self._dev_codes,
                     self._dev_codebooks,
                     self._dev_sqnorms,
                     valid,
                     queries,
-                    metric=metric,
+                    metric=sel_metric,
                     k=min(k_pad, self._capacity),
                     chunk=min(_PQ_ENCODE_BUCKET // 2, self._capacity),
                 )
@@ -2296,25 +2371,28 @@ class FlatIndex:
 
     def index_to_json(self) -> dict:
         """Reference serde shape: ``{"dim": D, "data": [Vector...]}``
-        (reference: src/index/flat.rs:59-65), vectors in insertion order."""
-        data = []
-        for slot in range(self._size):
-            if not self._valid[slot]:
-                continue
-            # Field order matches Vector.to_json / the reference serde
-            # output (reference: src/lib.rs:163-174). values is a COPIED
-            # f64 row (not a view): the payload is built under the index
-            # read-lock but rendered after it is released, and the native
-            # emitter (persist/vlc.py) streams ndarrays directly.
-            data.append(
-                {
-                    "id": int(self._ids[slot]),
-                    "values": np.array(self._values64[slot]),
-                    "text": self._texts[slot] or "",
-                    "metadata": self._metas[slot],
-                }
-            )
-        return {"dim": self.dim, "data": data}
+        (reference: src/index/flat.rs:59-65), vectors in insertion order.
+
+        ``data`` is a :class:`FlatRowsView` — a lazy, list-compatible
+        snapshot that references the truth matrix instead of copying
+        every row: a save never holds a second copy of the corpus in
+        RAM (the point of the VECTORLITE_HOST_TRUTH_DIR memmap mode,
+        where the matrix may exceed host RAM). Rendering after the read
+        lock drops is safe because the matrix generation captured here
+        is immutable below the captured size (appends write past it;
+        grow and compact swap in fresh buffers; delete/update only
+        touch the id/text/meta tables, which ARE copied here)."""
+        live = np.nonzero(self._valid[: self._size])[0]
+        return {
+            "dim": self.dim,
+            "data": FlatRowsView(
+                ids=self._ids[live],
+                slots=live,
+                values=self._values64,
+                texts=[self._texts[s] or "" for s in live],
+                metas=[self._metas[s] for s in live],
+            ),
+        }
 
     @classmethod
     def index_from_json(cls, obj: dict, **kwargs) -> "FlatIndex":

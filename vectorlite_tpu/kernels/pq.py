@@ -54,9 +54,12 @@ def rotation_matrix(dim: int, seed: int = 0) -> np.ndarray:
     data-independent (stable under corpus drift, nothing to retrain),
     and preserves dot/cosine/euclidean exactly (orthogonal invariance;
     the stored exact norms stay valid). Manhattan is NOT rotation-
-    invariant — its ADC tables then rank by rotated-space L1, an
-    L2-like proxy that the wide exactly-re-scored pool absorbs
-    (VECTORLITE_PQ_ROTATE=0 opts out for L1-dominated workloads)."""
+    invariant, so with rotation active the index selects manhattan
+    candidates via the rotation-invariant dot+norms (euclidean) proxy
+    instead of rotated-L1 (measured pool recall 0.90 vs 0.86 on an
+    eigen-decay corpus; plain unrotated L1 ADC is dim-separable and
+    scores 1.0 there — VECTORLITE_PQ_ROTATE=0 is the right call for
+    L1-dominated workloads, documented)."""
     rng = np.random.default_rng(seed)
     q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
     return q.astype(np.float32)

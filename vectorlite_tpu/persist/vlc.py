@@ -31,7 +31,7 @@ from ..errors import (
     VectorLiteError,
     VersionMismatch,
 )
-from ..index.flat import FlatIndex
+from ..index.flat import FlatIndex, FlatRowsView
 from ..index.hnsw import HNSWIndex
 from ..store.collection import Collection
 
@@ -411,11 +411,17 @@ def _emit(obj, indent: int, out: list) -> None:
     elif isinstance(obj, _np.ndarray):
         if not _emit_ndarray(obj, indent, out):
             _emit(obj.tolist(), indent, out)
-    elif isinstance(obj, (list, tuple)):
-        if not obj:
+    elif isinstance(obj, (list, tuple, FlatRowsView)):
+        # FlatRowsView (FlatIndex.index_to_json) renders list-identically
+        # but materializes rows lazily, so saves never hold a second
+        # copy of the corpus; the native bulk row path consumes it via
+        # len/iter/slice like a list
+        if not len(obj):
             out.append("[]")
             return
-        if isinstance(obj, list) and _emit_vector_rows(obj, indent, out):
+        if not isinstance(obj, tuple) and _emit_vector_rows(
+            obj, indent, out
+        ):
             return
         out.append("[\n")
         for i, v in enumerate(obj):
