@@ -298,3 +298,87 @@ class TestSnapshotCli:
             assert rc.get_collection_info("snapcli2")["count"] == 4
         finally:
             srv.stop()
+
+
+class TestFsck:
+    def _setup_dirs(self, tmp_path):
+        """A healthy snapshot+WAL pair plus churn state."""
+        from vectorlite_tpu import VectorLiteClient
+        from vectorlite_tpu.embed.mock import MockEmbeddingFunction
+        from vectorlite_tpu.store.autosave import AutosaveDaemon
+        from vectorlite_tpu.store.wal import WalManager
+
+        snap, wal = tmp_path / "snaps", tmp_path / "wal"
+        client = VectorLiteClient(MockEmbeddingFunction(DIM))
+        manager = WalManager(wal, snapshot_dir=snap)
+        client.set_collection_observer(manager)
+        client.create_collection("a", "flat")
+        client.add_texts_to_collection("a", ["one", "two"])
+        AutosaveDaemon(client, snap, interval_s=9999).flush()
+        client.add_text_to_collection("a", "post-snapshot tail")
+        manager.close()
+        return snap, wal
+
+    def test_healthy_report(self, tmp_path):
+        from vectorlite_tpu.tools import fsck_dirs
+
+        snap, wal = self._setup_dirs(tmp_path)
+        report = fsck_dirs(snap, wal)
+        assert report["ok"] and report["warnings"] == []
+        e = report["collections"]["a"]
+        assert e["snapshot"]["vector_count"] == 2
+        assert e["snapshot"]["index_type"] == "Flat"
+        assert e["wal"]["replayable_ops"] == 1  # the post-snapshot add
+        assert e["wal"]["ops"] == {"add": 1}
+        # deep mode parses the snapshot fully
+        deep = fsck_dirs(snap, wal, deep=True)
+        assert deep["collections"]["a"]["snapshot"]["parses"]
+
+    def test_torn_tail_and_drop_warnings(self, tmp_path):
+        from vectorlite_tpu.store.wal import wal_path
+        from vectorlite_tpu.tools import fsck_dirs
+
+        snap, wal = self._setup_dirs(tmp_path)
+        p = wal_path(wal, "a")
+        with p.open("a", encoding="utf-8") as f:
+            f.write('{"s":99,"op":"del","i')  # torn
+        report = fsck_dirs(snap, wal)
+        assert report["ok"]  # torn tails are expected, not fatal
+        assert report["collections"]["a"]["wal"]["torn_tail"]
+        assert any("torn tail" in w for w in report["warnings"])
+
+    def test_orphan_wal_without_header_flagged(self, tmp_path):
+        from vectorlite_tpu.tools import fsck_dirs
+
+        wal = tmp_path / "wal"
+        wal.mkdir()
+        (wal / "ghost.wal").write_text(
+            '{"s":1,"op":"del","id":3}\n'
+        )
+        report = fsck_dirs(None, wal)
+        assert not report["ok"]
+        assert any("no create header" in w for w in report["warnings"])
+
+    def test_unreadable_snapshot_flagged(self, tmp_path):
+        from vectorlite_tpu.tools import fsck_dirs
+
+        snap = tmp_path / "snaps"
+        snap.mkdir()
+        (snap / "bad.vlc").write_text("not a snapshot at all")
+        report = fsck_dirs(snap, None)
+        assert not report["ok"]
+        assert any("unreadable" in w for w in report["warnings"])
+
+    def test_cli_exit_codes(self, tmp_path, capsys):
+        snap, wal = self._setup_dirs(tmp_path)
+        rv = main([
+            "fsck", "--autosave-dir", str(snap), "--wal-dir", str(wal),
+        ])
+        out = capsys.readouterr().out
+        assert rv == 0 and "ok" in out and "a: snapshot" in out
+        (snap / "bad.vlc").write_text("junk")
+        rv = main([
+            "fsck", "--autosave-dir", str(snap), "--json",
+        ])
+        assert rv == 1
+        assert json.loads(capsys.readouterr().out)["ok"] is False

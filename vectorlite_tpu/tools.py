@@ -35,7 +35,7 @@ import sys
 from pathlib import Path
 from typing import Iterator, Optional
 
-__all__ = ["import_jsonl", "export_jsonl", "main"]
+__all__ = ["import_jsonl", "export_jsonl", "fsck_dirs", "main"]
 
 _DEFAULT_BATCH = 1024
 
@@ -326,6 +326,152 @@ def export_jsonl(
     return total
 
 
+def fsck_dirs(autosave_dir=None, wal_dir=None, deep: bool = False) -> dict:
+    """Offline health report for the durability directories (autosave
+    snapshots + write-ahead logs) — what an operator runs before/after
+    a crash-recovery or migration.
+
+    Light by default: snapshot headers are sniffed from the document
+    prefix (a 10M-row .vlc is ~30 GB; ``deep=True`` fully parses each
+    snapshot instead). WAL files are scanned with the same
+    torn-tail-tolerant reader recovery uses, so the report's
+    ``replayable_ops`` is exactly what a restart would apply.
+
+    Returns ``{"collections": {name: {...}}, "warnings": [...],
+    "ok": bool}``; ``ok`` is False when any snapshot is unreadable or a
+    WAL has neither a covering snapshot nor a create header (recovery
+    would skip it)."""
+    import re
+
+    from .store.wal import iter_owned_files, read_entries
+
+    report: dict = {"collections": {}, "warnings": [], "ok": True}
+
+    def entry(name):
+        return report["collections"].setdefault(
+            name, {"snapshot": None, "wal": None}
+        )
+
+    if autosave_dir is not None and Path(autosave_dir).is_dir():
+        for p in sorted(Path(autosave_dir).iterdir()):
+            if p.suffix != ".vlc" or not p.is_file():
+                continue
+            info: dict = {"path": str(p), "bytes": p.stat().st_size}
+            name = None
+            try:
+                if deep:
+                    from .persist.vlc import load_collection_from_file
+
+                    col = load_collection_from_file(p)
+                    name = col.name
+                    ci = col.get_info()
+                    info.update(
+                        parses=True, vector_count=ci.count,
+                        dimension=ci.dimension,
+                    )
+                else:
+                    head = p.open("rb").read(65536).decode(
+                        "utf-8", "replace"
+                    )
+                    fields = dict(
+                        re.findall(
+                            r'"(version|format|name|index_type)":\s*"'
+                            r'([^"]*)"',
+                            head,
+                        )
+                    )
+                    counts = dict(
+                        re.findall(
+                            r'"(vector_count|dimension)":\s*(\d+)', head
+                        )
+                    )
+                    name = fields.get("name")
+                    info.update(
+                        header_version=fields.get("version"),
+                        vector_count=int(counts.get("vector_count", -1)),
+                        dimension=int(counts.get("dimension", -1)),
+                        index_type=fields.get("index_type"),
+                    )
+                    if fields.get("format") != "vectorlite-collection":
+                        raise ValueError("bad format field")
+            except Exception as e:  # noqa: BLE001 — diagnostic tool
+                report["ok"] = False
+                report["warnings"].append(
+                    f"snapshot {p.name}: unreadable ({e})"
+                )
+                info["error"] = str(e)
+            entry(name or p.stem)["snapshot"] = info
+
+    if wal_dir is not None and Path(wal_dir).is_dir():
+        for p, name in iter_owned_files(wal_dir, ".wal"):
+            size = p.stat().st_size
+            entries = read_entries(p)
+            # intact-byte scan, same rule resume/recovery applies
+            intact = 0
+            with p.open("rb") as f:
+                for raw_line in f:
+                    if not raw_line.endswith(b"\n"):
+                        break
+                    try:
+                        obj = json.loads(raw_line)
+                        if not isinstance(obj, dict) or "op" not in obj:
+                            break
+                    except ValueError:
+                        break
+                    intact += len(raw_line)
+            ops: dict = {}
+            for e in entries:
+                ops[e.get("op", "?")] = ops.get(e.get("op", "?"), 0) + 1
+            last_drop = max(
+                (
+                    i
+                    for i, e in enumerate(entries)
+                    if e.get("op") == "drop"
+                ),
+                default=None,
+            )
+            replayable = (
+                len(entries)
+                if last_drop is None
+                else len(entries) - last_drop - 1
+            )
+            info = {
+                "path": str(p),
+                "bytes": size,
+                "entries": len(entries),
+                "replayable_ops": replayable,
+                "ops": ops,
+                "seq_range": [
+                    int(entries[0].get("s", 0)) if entries else 0,
+                    int(entries[-1].get("s", 0)) if entries else 0,
+                ],
+            }
+            if intact < size:
+                info["torn_tail"] = True
+                report["warnings"].append(
+                    f"wal {p.name}: torn tail (resume will truncate; "
+                    "the partial op was never acknowledged)"
+                )
+            if last_drop is not None and replayable == 0:
+                report["warnings"].append(
+                    f"wal {p.name}: drop tombstone — recovery will "
+                    "discard this collection"
+                )
+            e = entry(name)
+            e["wal"] = info
+            if (
+                replayable
+                and e["snapshot"] is None
+                and not any(x.get("op") == "create" for x in entries)
+            ):
+                report["ok"] = False
+                report["warnings"].append(
+                    f"wal {p.name}: no covering snapshot and no create "
+                    "header — recovery would skip these ops"
+                )
+    return report
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m vectorlite_tpu.tools",
@@ -375,7 +521,50 @@ def main(argv=None) -> int:
             help="bearer token for an auth-enabled server "
             "(default: $VECTORLITE_API_KEY)",
         )
+    p = sub.add_parser(
+        "fsck",
+        help="offline health report for autosave/WAL directories",
+    )
+    p.add_argument(
+        "--autosave-dir", default=None, help="snapshot directory"
+    )
+    p.add_argument("--wal-dir", default=None, help="oplog directory")
+    p.add_argument(
+        "--deep", action="store_true",
+        help="fully parse each snapshot (slow at multi-GB scale) "
+        "instead of sniffing the header prefix",
+    )
+    p.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
+    if args.cmd == "fsck":
+        if not args.autosave_dir and not args.wal_dir:
+            parser.error("fsck needs --autosave-dir and/or --wal-dir")
+        report = fsck_dirs(
+            args.autosave_dir, args.wal_dir, deep=args.deep
+        )
+        if args.as_json:
+            print(json.dumps(report, indent=2))
+        else:
+            for name, e in sorted(report["collections"].items()):
+                snap, wal = e["snapshot"], e["wal"]
+                bits = []
+                if snap:
+                    bits.append(
+                        f"snapshot {snap.get('vector_count', '?')} "
+                        f"vectors, {snap['bytes']} B"
+                        + (" [UNREADABLE]" if "error" in snap else "")
+                    )
+                if wal:
+                    bits.append(
+                        f"wal {wal['replayable_ops']} replayable op(s), "
+                        f"{wal['bytes']} B"
+                        + (" [torn tail]" if wal.get("torn_tail") else "")
+                    )
+                print(f"{name}: " + "; ".join(bits or ["(nothing)"]))
+            for w in report["warnings"]:
+                print(f"warning: {w}", file=sys.stderr)
+            print("ok" if report["ok"] else "PROBLEMS FOUND")
+        return 0 if report["ok"] else 1
     if args.api_key is None:
         import os
 
