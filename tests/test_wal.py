@@ -419,6 +419,71 @@ class TestDropTombstone:
         assert total == 1 and vectors[0].text == "new lineage"
 
 
+class TestWalConcurrency:
+    def test_hammer_with_concurrent_checkpoints(self, tmp_path):
+        """Writers race the autosave checkpointer; whatever the final
+        acknowledged state is, snapshot+log recovery must reproduce it
+        exactly (the log rotates mid-traffic several times)."""
+        import threading
+
+        snap_dir = tmp_path / "snaps"
+        client = make_client()
+        manager = WalManager(tmp_path / "wal", snapshot_dir=snap_dir)
+        client.set_collection_observer(manager)
+        client.create_collection("h", IndexType.FLAT)
+        daemon = AutosaveDaemon(client, snap_dir, interval_s=9999)
+        stop = threading.Event()
+        errors: list = []
+
+        def writer(tid):
+            try:
+                for i in range(40):
+                    vid = client.add_text_to_collection(
+                        "h", f"w{tid} doc {i}", {"t": tid}
+                    )
+                    if i % 7 == 3:
+                        client.delete_from_collection("h", vid)
+                    elif i % 11 == 5:
+                        client.update_metadata_in_collection(
+                            "h", vid, {"t": tid, "u": i}
+                        )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        def checkpointer():
+            while not stop.is_set():
+                try:
+                    daemon.flush()
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(t,)) for t in range(4)
+        ]
+        cp = threading.Thread(target=checkpointer)
+        cp.start()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stop.set()
+        cp.join()
+        assert not errors
+        daemon.flush()  # final snapshot; log should rotate small
+        want = state(client, "h")
+        manager.close()
+        client2 = make_client()
+        restore_into(client2, snap_dir)
+        recover_into(client2, manager.directory)
+        assert state(client2, "h") == want
+        # and a no-snapshot recovery (log alone, wherever the last
+        # checkpoint left it) must also replay idempotently on top
+        client3 = make_client()
+        restore_into(client3, snap_dir)
+        recover_into(client3, manager.directory)
+        assert state(client3, "h") == want
+
+
 class TestWalHttp:
     def test_stats_and_metrics_expose_wal(self, tmp_path):
         import asyncio
