@@ -2154,6 +2154,7 @@ class FlatIndex:
         Returns True when the PQ rung is serving; False below the
         training gate (the caller's plain f32 path serves instead, and
         the first sync past the gate swaps the cache wholesale)."""
+        from ..kernels.pq import encode_rows
         from ..utils import env_number
 
         gate = max(1024, int(env_number("VECTORLITE_PQ_MIN_ROWS", 16384)))
@@ -2161,14 +2162,12 @@ class FlatIndex:
             if self._size < gate:
                 self._pq_active = False
                 return False
-            from ..kernels.pq import (
-                encode_rows,
-                pq_subspaces,
-                train_codebooks,
-            )
-
             if self._dev_codebooks is None:
-                from ..kernels.pq import rotation_matrix
+                from ..kernels.pq import (
+                    pq_subspaces,
+                    rotation_matrix,
+                    train_codebooks,
+                )
 
                 m = pq_subspaces(
                     self.dim,
@@ -2245,8 +2244,6 @@ class FlatIndex:
             self._pq_active = True
             return True
         if self._dirty_hi > self._dirty_lo:
-            from ..kernels.pq import encode_rows
-
             lo, hi = self._dirty_lo, self._dirty_hi
             burst = next_pow2(hi - lo)
             hi = min(self._capacity, lo + burst)

@@ -74,7 +74,6 @@ def pq_subspaces(dim: int, m_requested: int) -> int:
     return m
 
 
-@partial(jax.jit, static_argnames=("iters",))
 def _kmeans_subspace(x, init, key, *, iters: int):
     """Lloyd's iterations for one subspace: x [S, d], init [256, d].
     Empty clusters are re-seeded from random sample rows (a common

@@ -175,19 +175,9 @@ class CollectionWAL:
         # record into one garbage line, and the replay scan would then
         # stop there and silently drop every later acknowledged write.
         if self._path.exists():
-            good_end = 0
-            with open(self._path, "rb") as f:
-                for raw in f:
-                    if not raw.endswith(b"\n"):
-                        break
-                    try:
-                        entry = json.loads(raw)
-                        if not isinstance(entry, dict) or "op" not in entry:
-                            break
-                    except ValueError:
-                        break
-                    good_end += len(raw)
-                    self._seq = max(self._seq, int(entry.get("s", 0)))
+            entries, good_end = scan_log(self._path)
+            for entry in entries:
+                self._seq = max(self._seq, int(entry.get("s", 0)))
             size = self._path.stat().st_size
             if good_end < size:
                 logger.warning(
@@ -301,17 +291,22 @@ class CollectionWAL:
         }
 
 
-def read_entries(path) -> list[dict]:
+def scan_log(path) -> tuple[list[dict], int]:
     """Decode a log file, tolerating a torn tail: stop at the first
-    undecodable/partial line (a crash mid-append; the op was never
-    acknowledged). Corruption anywhere earlier also stops the scan —
-    replaying past a hole would apply ops out of order."""
+    undecodable/partial/newline-less line (a crash mid-append; the op
+    was never acknowledged). Corruption anywhere earlier also stops the
+    scan — replaying past a hole would apply ops out of order. Returns
+    ``(entries, intact_bytes)``; this is THE one definition of "intact"
+    shared by resume truncation, recovery, and the fsck tool."""
     entries: list[dict] = []
+    intact = 0
     try:
-        with open(path, "r", encoding="utf-8") as f:
-            for lineno, line in enumerate(f, 1):
+        with open(path, "rb") as f:
+            for lineno, raw in enumerate(f, 1):
                 try:
-                    entry = json.loads(line)
+                    if not raw.endswith(b"\n"):
+                        raise ValueError("no trailing newline")
+                    entry = json.loads(raw)
                     if not isinstance(entry, dict) or "op" not in entry:
                         raise ValueError("not an op record")
                 except ValueError:
@@ -323,9 +318,15 @@ def read_entries(path) -> list[dict]:
                     )
                     break
                 entries.append(entry)
+                intact += len(raw)
     except FileNotFoundError:
         pass
-    return entries
+    return entries, intact
+
+
+def read_entries(path) -> list[dict]:
+    """The intact entries of a log file (see scan_log)."""
+    return scan_log(path)[0]
 
 
 # ----------------------------------------------------------------- replay
@@ -617,6 +618,8 @@ def recover_into(client, directory, snapshot_dir=None) -> dict:
     Returns ``{name: ops_applied}``. Unreadable logs are skipped with a
     log line — one corrupt file must not block the rest, mirroring
     autosave.restore_into."""
+    from .autosave import snapshot_path
+
     directory = Path(directory)
     if not directory.is_dir():
         return {}
@@ -641,8 +644,6 @@ def recover_into(client, directory, snapshot_dir=None) -> dict:
                     # the restored snapshot predates the drop
                     client.delete_collection(name)
                 if snapshot_dir is not None:
-                    from .autosave import snapshot_path
-
                     snapshot_path(snapshot_dir, name).unlink(
                         missing_ok=True
                     )
@@ -668,8 +669,6 @@ def recover_into(client, directory, snapshot_dir=None) -> dict:
                 int(entries[0].get("s", 1)) - 1 if entries else None
             )
         if snapshot_dir is not None and applied:
-            from .autosave import snapshot_path
-
             wal = getattr(collection, "_wal", None)
             seq = wal.seq() if wal is not None else None
             snap = snapshot_path(snapshot_dir, name)

@@ -343,7 +343,7 @@ def fsck_dirs(autosave_dir=None, wal_dir=None, deep: bool = False) -> dict:
     would skip it)."""
     import re
 
-    from .store.wal import iter_owned_files, read_entries
+    from .store.wal import iter_owned_files, scan_log
 
     report: dict = {"collections": {}, "warnings": [], "ok": True}
 
@@ -405,20 +405,8 @@ def fsck_dirs(autosave_dir=None, wal_dir=None, deep: bool = False) -> dict:
     if wal_dir is not None and Path(wal_dir).is_dir():
         for p, name in iter_owned_files(wal_dir, ".wal"):
             size = p.stat().st_size
-            entries = read_entries(p)
-            # intact-byte scan, same rule resume/recovery applies
-            intact = 0
-            with p.open("rb") as f:
-                for raw_line in f:
-                    if not raw_line.endswith(b"\n"):
-                        break
-                    try:
-                        obj = json.loads(raw_line)
-                        if not isinstance(obj, dict) or "op" not in obj:
-                            break
-                    except ValueError:
-                        break
-                    intact += len(raw_line)
+            # same intact rule resume/recovery applies (wal.scan_log)
+            entries, intact = scan_log(p)
             ops: dict = {}
             for e in entries:
                 ops[e.get("op", "?")] = ops.get(e.get("op", "?"), 0) + 1
