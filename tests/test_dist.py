@@ -243,6 +243,48 @@ class TestMeshFlatIndex:
         assert np.array_equal(ids_s, ids_1)
         np.testing.assert_allclose(sc_s, sc_1, rtol=1e-9, atol=1e-12)
 
+    def test_pq_profile_on_mesh(self, mesh, rng, monkeypatch):
+        """Sharded streaming ADC + all-gather merge must return exactly
+        what the single-chip PQ path returns (same codebooks, same
+        rotation — both deterministic; ADC scores are shard-independent
+        so the merge is order-exact over the candidate union)."""
+        monkeypatch.setenv("VECTORLITE_PQ_MIN_ROWS", "1024")
+        monkeypatch.setenv("VECTORLITE_PQ_TRAIN_SAMPLE", "1024")
+        monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+        n, d, k = 2048, 32, 5
+        data = rng.normal(size=(n, d))
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        sharded = FlatIndex(d, mesh=mesh, device_dtype="pq")
+        single = FlatIndex(d, device_dtype="pq")
+        for idx in (sharded, single):
+            idx.add_batch_arrays(list(range(n)), data)
+        q = data[rng.integers(0, n, 3)] + 0.01 * rng.normal(size=(3, d))
+        for metric in (
+            SimilarityMetric.COSINE,
+            SimilarityMetric.MANHATTAN,
+        ):
+            ids_s, sc_s = sharded.search_batch_arrays(q, k, metric)
+            ids_1, sc_1 = single.search_batch_arrays(q, k, metric)
+            assert sharded._pq_active and single._pq_active
+            assert np.array_equal(ids_s, ids_1), metric
+            np.testing.assert_allclose(
+                sc_s, sc_1, rtol=1e-9, atol=1e-12
+            )
+        # mesh appends ride the sharded scatter path
+        fresh = rng.normal(size=(4, d))
+        fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+        sharded.add_batch_arrays([9000, 9001, 9002, 9003], fresh)
+        ids, sc = sharded.search_batch_arrays(
+            fresh[2:3], 1, SimilarityMetric.COSINE
+        )
+        assert ids[0, 0] == 9002 and sc[0, 0] == pytest.approx(1.0)
+        # deletes flip the sharded mask
+        sharded.delete(9002)
+        ids, _ = sharded.search_batch_arrays(
+            fresh[2:3], 1, SimilarityMetric.COSINE
+        )
+        assert ids[0, 0] != 9002
+
     def test_compaction_on_mesh(self, mesh, rng):
         d = 8
         idx = FlatIndex(d, mesh=mesh)

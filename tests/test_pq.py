@@ -294,12 +294,8 @@ class TestFlatIndexPQ:
                 assert r.score == pytest.approx(want, abs=1e-12)
         assert hits / 80 >= 0.7
 
-    def test_mesh_rejected(self):
-        class FakeMesh:
-            devices = np.zeros(2)
-
-        with pytest.raises(ValueError):
-            FlatIndex(D, device_dtype="pq", mesh=FakeMesh())
+    # mesh + pq parity lives in tests/test_dist.py
+    # (TestMeshFlatIndex.test_pq_profile_on_mesh)
 
     def test_client_pq_profile(self):
         from vectorlite_tpu import VectorLiteClient

@@ -200,6 +200,60 @@ def sharded_search_topk_int8(
     )(values_q, scales, sqnorms, valid, queries)
 
 
+@partial(
+    jax.jit, static_argnames=("metric", "k", "chunk", "mesh")
+)
+def sharded_search_pq(
+    codes: jax.Array,  # [cap, M] uint8, row-sharded over mesh
+    codebooks: jax.Array,  # [M, 256, dsub] f32, replicated
+    sqnorms: jax.Array,  # [cap] f32 exact squared norms, row-sharded
+    valid: jax.Array,  # [cap] bool, row-sharded
+    queries: jax.Array,  # [B, D] f32, replicated (pre-rotated by caller)
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    chunk: int,
+    mesh: Mesh,
+):
+    """PQ-profile distributed top-k: the streaming ADC scan
+    (kernels/pq.py) runs per shard — each device holds only its slice
+    of the uint8 code matrix (~N·M/n_dev bytes: 100M x 384 at M=96 is
+    ~1.2 GB/chip on 8 chips) plus a replicated codebook — merged by the
+    same all-gather the other profiles use. ADC scores are shard-
+    independent (the LUT depends only on query + codebooks), so the
+    merge ranks candidates exactly as a single-chip scan would; callers
+    re-score winners exactly on the host as usual."""
+    from ..kernels.pq import pq_search_topk
+
+    def local_shard(c, cb, sq, va, q):
+        rows_per_shard = c.shape[0]
+        s, i = pq_search_topk(
+            c,
+            cb,
+            sq,
+            va,
+            q,
+            metric=metric,
+            k=min(k, rows_per_shard),
+            chunk=min(chunk, rows_per_shard),
+        )
+        return _merge_local_topk(s, i, rows_per_shard, k)
+
+    return jax.shard_map(
+        local_shard,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None),
+            P(None, None, None),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(codes, codebooks, sqnorms, valid, queries)
+
+
 @partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
 def update_rows_sharded(
     buffer: jax.Array,  # [cap, ...] row-sharded over mesh, donated

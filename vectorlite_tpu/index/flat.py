@@ -378,11 +378,6 @@ class FlatIndex:
         # past the gate.
         self._pq = device_dtype == "pq"
         if self._pq:
-            if mesh is not None:
-                raise ValueError(
-                    "the pq profile is single-chip (row-shard the f32/"
-                    "int8 profiles on a mesh instead)"
-                )
             device_dtype = jnp.float32  # fallback rung below the gate
         self._quantized = device_dtype in ("int8", jnp.int8)
         self._device_dtype = (
@@ -1742,6 +1737,26 @@ class FlatIndex:
                         # exact L1 rescore restores true scores and
                         # order within the pool.
                         sel_metric = SimilarityMetric.EUCLIDEAN
+                if self._mesh is not None:
+                    # per-shard streaming ADC + all-gather merge: each
+                    # chip holds only its code slice (dist/sharding.py)
+                    from ..dist.sharding import sharded_search_pq
+
+                    n_dev = int(self._mesh.devices.size)
+                    rows_per_shard = self._capacity // n_dev
+                    return sharded_search_pq(
+                        self._dev_codes,
+                        self._dev_codebooks,
+                        self._dev_sqnorms,
+                        valid,
+                        queries,
+                        metric=sel_metric,
+                        k=k_pad,  # per-shard cap happens inside
+                        chunk=min(
+                            _PQ_ENCODE_BUCKET // 2, rows_per_shard
+                        ),
+                        mesh=self._mesh,
+                    )
                 return pq_search_topk(
                     self._dev_codes,
                     self._dev_codebooks,
@@ -2053,11 +2068,12 @@ class FlatIndex:
     def _sync_device(self) -> None:
         from ..core.metrics import quantize_rows_int8
 
+        if self._pq and self._sync_device_pq():
+            return  # PQ cache active; below the gate falls through to
+            # the plain f32 path (single-chip or mesh alike)
         if self._mesh is not None:
             self._sync_device_mesh()
             return
-        if self._pq and self._sync_device_pq():
-            return  # PQ cache active; below the gate falls through to f32
         if self._dev_values is None:
             # resolve "auto" on every wholesale rebuild (capacity growth
             # nulls the cache, so the profile adapts as the corpus grows —
@@ -2220,21 +2236,47 @@ class FlatIndex:
                     rows = rows @ self._pq_rot
                 return encode_rows(self._dev_codebooks, rows)
 
-            parts = [
-                _bucket(lo) for lo in range(0, self._capacity, step)
-            ]
-            self._dev_codes = (
-                jnp.concatenate(parts, axis=0)
-                if len(parts) > 1
-                else parts[0]
-            )
             # f64 pairwise product sums reduce straight to [cap] — no
             # [cap, D] f32 matrix temp here either
             sq = np.einsum(
                 "nd,nd->n", self._values64, self._values64
             ).astype(np.float32)
-            self._dev_sqnorms = jnp.asarray(sq)
-            self._dev_valid = jnp.asarray(self._valid)
+            if self._mesh is not None:
+                # row-shard the code matrix; codebooks and the rotation
+                # stay small uncommitted arrays (the sharded search jit
+                # replicates them per its in_specs — ~400 KB, nothing
+                # worth pinning). Codes assemble through a host buffer
+                # (N·M bytes — 1/32 of the f32 corpus) so no single
+                # device ever stages the whole matrix.
+                from ..dist.sharding import row_sharding
+
+                m_sub = int(self._dev_codebooks.shape[0])
+                codes_np = np.empty(
+                    (self._capacity, m_sub), dtype=np.uint8
+                )
+                for lo in range(0, self._capacity, step):
+                    codes_np[lo : lo + step] = np.asarray(_bucket(lo))
+                self._dev_codes = jax.device_put(
+                    codes_np, row_sharding(self._mesh, 2)
+                )
+                self._dev_sqnorms = jax.device_put(
+                    sq, row_sharding(self._mesh, 1)
+                )
+                self._dev_valid = jax.device_put(
+                    self._valid, row_sharding(self._mesh, 1)
+                )
+            else:
+                parts = [
+                    _bucket(lo)
+                    for lo in range(0, self._capacity, step)
+                ]
+                self._dev_codes = (
+                    jnp.concatenate(parts, axis=0)
+                    if len(parts) > 1
+                    else parts[0]
+                )
+                self._dev_sqnorms = jnp.asarray(sq)
+                self._dev_valid = jnp.asarray(self._valid)
             # free the f32 fallback cache (the whole point is capacity)
             self._dev_values = None
             self._dev_scan = None
@@ -2249,9 +2291,6 @@ class FlatIndex:
             hi = min(self._capacity, lo + burst)
             lo = max(0, hi - burst)
             rows32 = jnp.asarray(self._values64[lo:hi], dtype=jnp.float32)
-            self._dev_sqnorms = update_rows(
-                self._dev_sqnorms, row_sqnorms(rows32), lo
-            )
             # appended rows use the codebooks (and rotation) from the
             # last wholesale rebuild; the next capacity doubling retrains
             enc_rows = (
@@ -2259,14 +2298,39 @@ class FlatIndex:
                 if self._pq_rot is not None
                 else rows32
             )
-            self._dev_codes = update_rows(
-                self._dev_codes,
-                encode_rows(self._dev_codebooks, enc_rows),
-                lo,
-            )
+            codes_burst = encode_rows(self._dev_codebooks, enc_rows)
+            if self._mesh is not None:
+                from ..dist.sharding import update_rows_sharded
+
+                self._dev_sqnorms = update_rows_sharded(
+                    self._dev_sqnorms,
+                    np.asarray(row_sqnorms(rows32)),
+                    lo,
+                    mesh=self._mesh,
+                )
+                self._dev_codes = update_rows_sharded(
+                    self._dev_codes,
+                    np.asarray(codes_burst),
+                    lo,
+                    mesh=self._mesh,
+                )
+            else:
+                self._dev_sqnorms = update_rows(
+                    self._dev_sqnorms, row_sqnorms(rows32), lo
+                )
+                self._dev_codes = update_rows(
+                    self._dev_codes, codes_burst, lo
+                )
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:
-            self._dev_valid = jnp.asarray(self._valid)
+            if self._mesh is not None:
+                from ..dist.sharding import row_sharding
+
+                self._dev_valid = jax.device_put(
+                    self._valid, row_sharding(self._mesh, 1)
+                )
+            else:
+                self._dev_valid = jnp.asarray(self._valid)
             self._mask_dirty = False
         self._pq_active = True
         return True
