@@ -184,3 +184,47 @@ def test_filtered_routes_on_mesh():
         asyncio.run(run())
 
     go()
+
+
+def test_pq_profile_on_mesh_through_http(monkeypatch):
+    """The product-quantization serving rung on a mesh-sharded
+    collection, driven through HTTP: ingest past the PQ gate, search
+    (per-shard streaming ADC + all-gather merge + exact rescore),
+    delete, search again. Locks the surface the sharded-PQ path serves
+    (dist/sharding.py sharded_search_pq)."""
+    monkeypatch.setenv("VECTORLITE_PQ_MIN_ROWS", "1024")  # floor
+    monkeypatch.setenv("VECTORLITE_PQ_TRAIN_SAMPLE", "512")
+    monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+    cfg = VectorLiteConfig.profile("pq")
+    cfg.mesh_devices = 8
+    client = VectorLiteClient(MockEmbeddingFunction(24), config=cfg)
+
+    async def run():
+        app = create_app(client)
+        async with TestClient(TestServer(app)) as tc:
+            await tc.post(
+                "/collections", json={"name": "c", "index_type": "flat"}
+            )
+            r = await tc.post(
+                "/collections/c/texts",
+                json={"texts": [f"doc number {i}" for i in range(1200)]},
+            )
+            assert r.status == 200
+            r = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "doc number 123", "k": 1},
+            )
+            hit = (await r.json())["results"][0]
+            assert hit["id"] == 123 and hit["score"] > 0.999
+            # confirm the PQ cache (not the f32 fallback) served that
+            idx = client.get_collection("c")._index
+            assert idx._pq and idx._pq_active and idx._mesh is not None
+            r = await tc.delete("/collections/c/vectors/123")
+            assert r.status == 200
+            r = await tc.post(
+                "/collections/c/search/text",
+                json={"query": "doc number 123", "k": 1},
+            )
+            assert (await r.json())["results"][0]["id"] != 123
+
+    asyncio.run(run())
