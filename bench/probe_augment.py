@@ -25,16 +25,21 @@ from vectorlite_tpu.kernels.amk import amk_search_topk_rescored
 N, D, B, K = 1_000_000, 384, 256, 10
 
 
-def slope_time(fn, reps=(4, 12)):
-    fn()
-    times = []
-    for r in reps:
+def slope_time(fn, reps=(4, 24)):
+    """ms per call via a two-point slope. Sync is a HOST FETCH of the
+    last result — through the axon relay block_until_ready can return
+    before the work drains (bench.py timing note), which is how a
+    negative slope can otherwise appear."""
+    def chain(m):
         t0 = time.perf_counter()
-        for _ in range(r):
-            out = fn()
-        jax.tree_util.tree_leaves(out)[0].block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return (times[1] - times[0]) / (reps[1] - reps[0]) * 1e3
+        outs = [fn() for _ in range(m)]
+        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+        return time.perf_counter() - t0
+
+    chain(2)  # warm/compile
+    t_small = min(chain(reps[0]) for _ in range(2))
+    t_large = min(chain(reps[1]) for _ in range(2))
+    return (t_large - t_small) / (reps[1] - reps[0]) * 1e3
 
 
 def main():

@@ -100,6 +100,41 @@ def _matmul(queries, values):
     )
 
 
+def int8_quantize(rows):
+    """Symmetric per-row int8 quantization: ``codes * scale ~ rows``.
+
+    Returns (int8 [N, D], f32 scales [N]). Zero rows get scale 1 so the
+    codes stay 0 (and dequantize to 0)."""
+    amax = jnp.max(jnp.abs(rows), axis=1)
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    codes = jnp.clip(
+        jnp.round(rows / scales[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scales
+
+
+def _int8_scan_dot(queries, values_s8, scan_scales):
+    """s8 x s8 -> s32 contraction for an int8 *scan copy* (round-3
+    probe: lowers as an MXU s32 convolution, 1.96 ms vs bf16's 2.51 ms
+    at 1M x 384 b=256 — half the HBM reads and the int8 MXU rate).
+    Queries are quantized per-row on device; both scales fold back in
+    f32 after the contraction."""
+    qmax = jnp.max(jnp.abs(queries), axis=1)
+    qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0).astype(jnp.float32)
+    q_s8 = jnp.clip(
+        jnp.round(queries / qscale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    dot = jax.lax.dot_general(
+        q_s8,
+        values_s8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return dot.astype(jnp.float32) * (
+        qscale[:, None] * scan_scales[None, :]
+    )
+
+
 def _exact_rescore_device(
     i_sel, values_exact, sqnorms, valid, queries, metric, k
 ):
@@ -163,16 +198,21 @@ def amk_search_topk_rescored(
     k_sel: int = K_SEL_MIN,
     recall_target: float = RECALL_TARGET,
     augment: int = 8,
+    scan_scales: jax.Array | None = None,
 ):
     """Speed-mode scan: fused matmul + ApproxTopK candidate selection
     over ``values_scan``, exact-f32 re-score from ``values_exact``, one
     dispatch. Returns (scores [B, k], rows [B, k]) with exact-f32 scores
     and lowest-row tie-breaks. ``augment`` widens the rescore pool with
     the row neighborhoods of that many top candidates (see inline note;
-    0 disables)."""
+    0 disables). An int8 ``values_scan`` requires ``scan_scales`` (the
+    per-row quantization scales) and runs the s8 x s8 MXU contraction."""
     n = values_scan.shape[0]
     k_sel = min(k_sel, n)
-    dot = _matmul(queries, values_scan)
+    if values_scan.dtype == jnp.int8:
+        dot = _int8_scan_dot(queries, values_scan, scan_scales)
+    else:
+        dot = _matmul(queries, values_scan)
     rank = jnp.where(
         valid[None, :], _rank_scores(dot, metric, sqnorms), NEG_INF
     )
