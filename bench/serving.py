@@ -95,7 +95,7 @@ def bench_threads(idx, queries, n_streams, seconds=12.0):
     return sum(counts) / wall
 
 
-def bench_pipelined(idx, queries, depth, seconds=12.0):
+def bench_pipelined(idx, queries, depth, seconds=12.0, group=1):
     from vectorlite_tpu.core.metrics import SimilarityMetric
 
     total = 0
@@ -105,6 +105,7 @@ def bench_pipelined(idx, queries, depth, seconds=12.0):
         K,
         SimilarityMetric.COSINE,
         depth=depth,
+        group=group,
     )
     for ids, _scores in stream:
         assert ids.shape == (BATCH, K)
@@ -187,6 +188,7 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--streams", default="1,2,4,6,8")
     ap.add_argument("--depths", default="1,2,4")
+    ap.add_argument("--groups", default="4,8,16")
     ap.add_argument("--coalesce-streams", default="8,32,64")
     ap.add_argument(
         "--uncoalesced-probe",
@@ -225,16 +227,41 @@ def main():
             results.append(
                 {"mode": "pipelined", "depth": d, "qps": round(qps)}
             )
+        for g in [int(x) for x in args.groups.split(",") if x]:
+            qps = bench_pipelined(
+                idx, queries, 2, args.seconds, group=g
+            )
+            log(f"pipelined depth=2 group={g}: {qps:,.0f} QPS sustained")
+            results.append(
+                {
+                    "mode": "pipelined",
+                    "depth": 2,
+                    "group": g,
+                    "qps": round(qps),
+                }
+            )
     if args.coalesce_streams:
         from vectorlite_tpu.store.collection import Collection
 
         table = {f"q{i}": queries[i] for i in range(len(queries))}
         embedder = _TableEmbedder(table)
         collection = Collection("serving", idx)
-        # warm the coalesced path (and its B-bucket jits)
+        # warm the coalesced path AND every pow2 B-bucket the group
+        # dispatcher can form — a bucket compiling inside the measured
+        # window eats most of it (a 12 s window measured 1 QPS once)
         collection.search_text(
             "q0", K, SimilarityMetric.COSINE, embedder
         )
+        max_streams = max(
+            int(x) for x in args.coalesce_streams.split(",")
+        )
+        b = 1
+        while b <= max_streams:
+            idx.search_batch_arrays(
+                queries[:b], K, SimilarityMetric.COSINE
+            )
+            b *= 2
+        log("coalesce buckets warmed")
         for s in [int(x) for x in args.coalesce_streams.split(",")]:
             qps, avg_batch = bench_coalesced(
                 collection, embedder, s, args.seconds

@@ -629,3 +629,70 @@ class TestSearchBatchStream:
                     iter([np.zeros((2, 5))]), 3, SimilarityMetric.COSINE
                 )
             )
+
+    @pytest.mark.parametrize("group", [2, 3, 8])
+    @pytest.mark.parametrize("depth", [1, 3])
+    def test_grouped_fetch_matches_arrays_path(self, rng, depth, group):
+        """group > 1 stacks G batches into one fetch; results must stay
+        per-batch identical to search_batch_arrays, including when the
+        stream ends mid-group (partial flush)."""
+        idx, data = self._index(rng)
+        batches = [
+            data[i * 9 : i * 9 + 6] + 0.01 * i for i in range(7)
+        ]  # 7 batches: never a multiple of any tested group size
+        got = list(
+            idx.search_batch_stream(
+                iter(batches), 4, SimilarityMetric.COSINE,
+                depth=depth, group=group,
+            )
+        )
+        assert len(got) == len(batches)
+        for queries, (ids, scores) in zip(batches, got):
+            ref_ids, ref_scores = idx.search_batch_arrays(
+                queries, 4, SimilarityMetric.COSINE
+            )
+            np.testing.assert_array_equal(ids, ref_ids)
+            np.testing.assert_allclose(scores, ref_scores, rtol=1e-12)
+
+    def test_grouped_fetch_shape_change_flushes(self, rng):
+        """A batch-size change mid-group closes the open group (stacked
+        fetch needs uniform shapes); order and values still match."""
+        idx, data = self._index(rng)
+        sizes = [6, 6, 9, 9, 9, 5, 6]
+        batches = [
+            data[i * 11 : i * 11 + s] + 0.01 * i
+            for i, s in enumerate(sizes)
+        ]
+        got = list(
+            idx.search_batch_stream(
+                iter(batches), 3, SimilarityMetric.EUCLIDEAN, group=4
+            )
+        )
+        assert len(got) == len(batches)
+        for queries, (ids, scores) in zip(batches, got):
+            ref_ids, ref_scores = idx.search_batch_arrays(
+                queries, 3, SimilarityMetric.EUCLIDEAN
+            )
+            np.testing.assert_array_equal(ids, ref_ids)
+            np.testing.assert_allclose(scores, ref_scores, rtol=1e-12)
+
+    def test_grouped_fetch_ready_interleave(self, rng):
+        """Host-scan-eligible batches (b <= 4 at small corpora) yield
+        "ready" items between grouped device batches; an open group
+        popped before it fills must flush on demand, not deadlock."""
+        idx, data = self._index(rng)
+        batches = [data[:6]] + [
+            data[i : i + 2] for i in range(8)
+        ]  # one device batch opens a group of 8, then 8 host-scan items
+        got = list(
+            idx.search_batch_stream(
+                iter(batches), 4, SimilarityMetric.COSINE,
+                depth=1, group=8,
+            )
+        )
+        assert len(got) == len(batches)
+        for queries, (ids, scores) in zip(batches, got):
+            ref_ids, _ = idx.search_batch_arrays(
+                queries, 4, SimilarityMetric.COSINE
+            )
+            np.testing.assert_array_equal(ids, ref_ids)

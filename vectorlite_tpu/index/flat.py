@@ -866,6 +866,7 @@ class FlatIndex:
         metric: SimilarityMetric,
         *,
         depth: int = 2,
+        group: int = 1,
         approx: Optional[bool] = None,
         where: Optional[dict] = None,
     ):
@@ -874,7 +875,11 @@ class FlatIndex:
         for in-flight batches run on a ``depth``-wide worker pool, so
         batch i+1's device scan AND its ~25 ms relay fetch overlap batch
         i's — sequential fetches alone would cap throughput at
-        1/RPC-latency regardless of kernel speed. Yields
+        1/RPC-latency regardless of kernel speed. ``group`` > 1
+        additionally amortizes that fixed per-fetch RPC: G consecutive
+        batches' device results are stacked on-device and fetched in ONE
+        host call (the relay round trip is ~25 ms regardless of payload
+        size, so grouping divides it by G). Yields
         ``(ids [B,k] int64, scores [B,k] f64)`` per input batch, in
         order — the sustained-serving analogue of
         ``search_batch_arrays`` (identical per-batch semantics).
@@ -884,6 +889,7 @@ class FlatIndex:
 
         k = int(k)
         depth = max(1, int(depth))
+        group = max(1, int(group))
         mask = mkey = None
         mcount = 0
         if where is not None:
@@ -902,9 +908,45 @@ class FlatIndex:
             )
             return self._pack_arrays(scores, slots, k, k_eff)
 
+        def finish_group(items):
+            # one stacked fetch for the whole group, then per-batch
+            # host finalize/assembly (identical math to finish_device)
+            s_all, i_all = jax.device_get((
+                jnp.stack([dev[0] for _, dev, _, _ in items]),
+                jnp.stack([dev[1] for _, dev, _, _ in items]),
+            ))
+            out = []
+            for j, (q64, _dev, k_eff, b) in enumerate(items):
+                scores, slots = self._finalize_device(
+                    q64, s_all[j][:b], i_all[j][:b], k_eff, metric
+                )
+                out.append(self._pack_arrays(scores, slots, k, k_eff))
+            return out
+
+        curgroup: list = []
+
+        def flush_group():
+            if not curgroup:
+                return
+            items, holder = list(curgroup), curgroup[0][-1]
+            curgroup.clear()
+            holder["fut"] = pool.submit(
+                finish_group, [it[:4] for it in items]
+            )
+
         def resolve(item):
-            kind, payload = item
-            return payload if kind == "ready" else payload.result()
+            if item[0] == "ready":
+                return item[1]
+            if item[0] == "fut":
+                return item[1].result()
+            _, holder, j = item
+            if "fut" not in holder:
+                # the popped batch belongs to the still-open group
+                # (possible when host-scan "ready" items pad pending):
+                # flush now — resolve runs on the generator thread, so
+                # this cannot race a concurrent flush
+                flush_group()
+            return holder["fut"].result()[j]
 
         pool = ThreadPoolExecutor(
             max_workers=depth, thread_name_prefix="vl-stream-fetch"
@@ -946,15 +988,32 @@ class FlatIndex:
                             q64, q, k_eff, metric, approx,
                             mask=mask, mkey=mkey,
                         )
-                        item = (
-                            "fut",
-                            pool.submit(
-                                finish_device, q64, dev, k_eff, b
-                            ),
-                        )
+                        if group == 1:
+                            item = (
+                                "fut",
+                                pool.submit(
+                                    finish_device, q64, dev, k_eff, b
+                                ),
+                            )
+                        else:
+                            # stacked group fetch needs uniform result
+                            # shapes; a shape change closes the group
+                            if curgroup and (
+                                curgroup[0][1][0].shape != dev[0].shape
+                                or curgroup[0][2] != k_eff
+                            ):
+                                flush_group()
+                            holder = (
+                                curgroup[0][4] if curgroup else {}
+                            )
+                            item = ("g", holder, len(curgroup))
+                            curgroup.append((q64, dev, k_eff, b, holder))
+                            if len(curgroup) >= group:
+                                flush_group()
                 pending.append(item)
-                if len(pending) > depth:
+                if len(pending) > depth * group:
                     yield resolve(pending.popleft())
+            flush_group()
             while pending:
                 yield resolve(pending.popleft())
         finally:
