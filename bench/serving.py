@@ -228,6 +228,9 @@ def main():
                 {"mode": "pipelined", "depth": d, "qps": round(qps)}
             )
         for g in [int(x) for x in args.groups.split(",") if x]:
+            # warm the concatenated-batch jit bucket outside the window
+            big = np.concatenate([queries] * g)
+            idx.search_batch_arrays(big, K, SimilarityMetric.COSINE)
             qps = bench_pipelined(
                 idx, queries, 2, args.seconds, group=g
             )

@@ -876,10 +876,14 @@ class FlatIndex:
         batch i+1's device scan AND its ~25 ms relay fetch overlap batch
         i's — sequential fetches alone would cap throughput at
         1/RPC-latency regardless of kernel speed. ``group`` > 1
-        additionally amortizes that fixed per-fetch RPC: G consecutive
-        batches' device results are stacked on-device and fetched in ONE
-        host call (the relay round trip is ~25 ms regardless of payload
-        size, so grouping divides it by G). Yields
+        additionally amortizes the fixed per-dispatch transport cost
+        (measured ~14 ms per ``device_put`` through the relay REGARDLESS
+        of payload size — bench/probe_serving_wall.py): G consecutive
+        batches are concatenated into ONE query upload + ONE device scan
+        + ONE result fetch, then split back per batch on the host. The
+        larger effective batch also amortizes the corpus HBM read.
+        Per-batch results are identical either way; grouping trades
+        first-batch latency for sustained throughput. Yields
         ``(ids [B,k] int64, scores [B,k] f64)`` per input batch, in
         order — the sustained-serving analogue of
         ``search_batch_arrays`` (identical per-batch semantics).
@@ -909,18 +913,34 @@ class FlatIndex:
             return self._pack_arrays(scores, slots, k, k_eff)
 
         def finish_group(items):
-            # one stacked fetch for the whole group, then per-batch
-            # host finalize/assembly (identical math to finish_device)
-            s_all, i_all = jax.device_get((
-                jnp.stack([dev[0] for _, dev, _, _ in items]),
-                jnp.stack([dev[1] for _, dev, _, _ in items]),
-            ))
-            out = []
-            for j, (q64, _dev, k_eff, b) in enumerate(items):
-                scores, slots = self._finalize_device(
-                    q64, s_all[j][:b], i_all[j][:b], k_eff, metric
+            # ONE query upload + ONE device scan + ONE result fetch for
+            # the whole group (dispatching here, on the worker thread,
+            # also keeps the ~14 ms blocking put off the generator
+            # thread), then row-wise finalize of the block and per-batch
+            # splits — identical math to finish_device because finalize
+            # and rescore are per-row
+            k_eff = items[0][2]
+            q64 = np.concatenate([it[0] for it in items])
+            q = np.concatenate([it[1] for it in items])
+            dev, _ = self._dispatch_arrays(
+                q64, q, k_eff, metric, approx, mask=mask, mkey=mkey
+            )
+            b_total = q.shape[0]
+            scores, slots = jax.device_get(dev)
+            scores, slots = self._finalize_device(
+                q64, scores[:b_total], slots[:b_total], k_eff, metric
+            )
+            out, off = [], 0
+            for _q64, _q, k_e, b, _h in items:
+                out.append(
+                    self._pack_arrays(
+                        scores[off : off + b],
+                        slots[off : off + b],
+                        k,
+                        k_e,
+                    )
                 )
-                out.append(self._pack_arrays(scores, slots, k, k_eff))
+                off += b
             return out
 
         curgroup: list = []
@@ -930,9 +950,7 @@ class FlatIndex:
                 return
             items, holder = list(curgroup), curgroup[0][-1]
             curgroup.clear()
-            holder["fut"] = pool.submit(
-                finish_group, [it[:4] for it in items]
-            )
+            holder["fut"] = pool.submit(finish_group, items)
 
         def resolve(item):
             if item[0] == "ready":
@@ -983,33 +1001,28 @@ class FlatIndex:
                             "ready",
                             self._pack_arrays(scores, slots, k, k_eff),
                         )
-                    else:
+                    elif group == 1:
                         dev, _ = self._dispatch_arrays(
                             q64, q, k_eff, metric, approx,
                             mask=mask, mkey=mkey,
                         )
-                        if group == 1:
-                            item = (
-                                "fut",
-                                pool.submit(
-                                    finish_device, q64, dev, k_eff, b
-                                ),
-                            )
-                        else:
-                            # stacked group fetch needs uniform result
-                            # shapes; a shape change closes the group
-                            if curgroup and (
-                                curgroup[0][1][0].shape != dev[0].shape
-                                or curgroup[0][2] != k_eff
-                            ):
-                                flush_group()
-                            holder = (
-                                curgroup[0][4] if curgroup else {}
-                            )
-                            item = ("g", holder, len(curgroup))
-                            curgroup.append((q64, dev, k_eff, b, holder))
-                            if len(curgroup) >= group:
-                                flush_group()
+                        item = (
+                            "fut",
+                            pool.submit(
+                                finish_device, q64, dev, k_eff, b
+                            ),
+                        )
+                    else:
+                        # defer dispatch: the group concatenates into
+                        # one upload/scan/fetch. A k_eff change (a
+                        # mutation mid-stream) closes the open group
+                        if curgroup and curgroup[0][2] != k_eff:
+                            flush_group()
+                        holder = curgroup[0][4] if curgroup else {}
+                        item = ("g", holder, len(curgroup))
+                        curgroup.append((q64, q, k_eff, b, holder))
+                        if len(curgroup) >= group:
+                            flush_group()
                 pending.append(item)
                 if len(pending) > depth * group:
                     yield resolve(pending.popleft())
