@@ -21,27 +21,30 @@ link wiring runs on the TPU:
    insert (they carry the upper-layer routing structure and the entry
    point).
 
-Measured trade-off (clustered 384-d embeddings, ef=64 recall@10):
+Measured trade-off (clustered 384-d embeddings, recall@10; the 1M row
+is the round-3 acceptance run, `bench/report_bulk_1m.json`, with one
+NN-descent refine round — `VECTORLITE_BULK_REFINE=1`, the default):
 
-=========  ==============  =============  ===============  =============
-scale      classic rate    bulk rate      classic recall   bulk recall
-=========  ==============  =============  ===============  =============
-100K       2.2K/s          0.7K/s         0.969            **1.000**
-1M         0.6K/s          **0.85K/s**    0.906            0.856
-=========  ==============  =============  ===============  =============
+=========  ==============  =============  =================  ==================
+scale      classic rate    bulk rate      classic recall     bulk+refine recall
+=========  ==============  =============  =================  ==================
+100K       2.2K/s          0.7K/s         0.969 (ef=64)      **1.000** (ef=64)
+1M         2.1K/s          1.6K/s         0.9305/0.9555      **0.9539/0.9859**
+                                          (ef=64/128)        (ef=64/128)
+=========  ==============  =============  =================  ==================
 
-(1M bulk recall was 0.831 with nearest-only candidates; mid-range mixing
-recovered +2.5pt at no cost.)
-
-Below ~200K rows bulk graphs are exact-kNN quality (recall 1.0); at 1M
-the purely-local kNN links navigate worse than the classic build's
-incremental ef-search structure (a known kNN-graph-vs-NSW effect —
-candidate exactness is not the limit: the exact and block-approximate
-kernels measure identical 1M recall). Until an NN-descent + shortcut
-pass closes that gap (PLAN.md), bulk is **opt-in**:
-``VECTORLITE_BULK_BUILD=always`` (or ``auto``, which engages it below
-the 200K quality crossover). Manhattan has no matmul form and keeps the
-classic path.
+Without refine, 1M bulk recall is 0.856 (ef=64): purely-local kNN links
+navigate worse than the classic build's incremental ef-search structure
+(a known kNN-graph-vs-NSW effect). One NN-descent + diversity re-link
+round (`hnsw_refine_l0`) closes it and overshoots: the refined M=16
+graph beats even the classic high-accuracy M=32 profile (0.984 at
+ef=128) while using half the edge memory. Build rate on this 1-core
+host is 0.74x classic (phase split at 1M: device kNN scan 240 s, link
+110 s, upper 45 s, refine 207 s — the host-bound link/refine phases
+parallelize on real multi-core serving hosts). Bulk stays **opt-in** as
+the recall-per-byte choice: ``VECTORLITE_BULK_BUILD=always`` (or
+``auto``, which engages it below the 200K quality crossover). Manhattan
+has no matmul form and keeps the classic path.
 """
 
 from __future__ import annotations
