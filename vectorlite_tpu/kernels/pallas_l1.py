@@ -57,20 +57,16 @@ def _l1_tile_kernel(
     qt = q.T  # [D, B]
     b = q.shape[0]
 
-    def dim_block(i, acc):
+    # Statically-unrolled dim loop (dim/_DIM_CHUNK blocks of static
+    # slices): Mosaic has no dynamic_slice lowering for VMEM *values*
+    # (only for refs via pl.ds), so a fori_loop-with-dynamic_slice
+    # formulation fails to compile on real TPU hardware.
+    l1 = jnp.zeros((b, tile_n), jnp.float32)
+    for lo in range(0, dim - dim % _DIM_CHUNK, _DIM_CHUNK):
         # [C, 1, TILE] vs [C, B, 1] -> [C, B, TILE] abs-diff, summed over C
-        vc = jax.lax.dynamic_slice(
-            vt, (i * _DIM_CHUNK, 0), (_DIM_CHUNK, tile_n)
-        )[:, None, :]
-        qc = jax.lax.dynamic_slice(
-            qt, (i * _DIM_CHUNK, 0), (_DIM_CHUNK, b)
-        )[:, :, None]
-        return acc + jnp.sum(jnp.abs(qc - vc), axis=0)
-
-    l1 = jax.lax.fori_loop(
-        0, dim // _DIM_CHUNK, dim_block,
-        jnp.zeros((b, tile_n), jnp.float32),
-    )
+        vc = vt[lo : lo + _DIM_CHUNK][:, None, :]
+        qc = qt[lo : lo + _DIM_CHUNK][:, :, None]
+        l1 = l1 + jnp.sum(jnp.abs(qc - vc), axis=0)
     if dim % _DIM_CHUNK:
         base = dim - dim % _DIM_CHUNK
         for c in range(dim % _DIM_CHUNK):
