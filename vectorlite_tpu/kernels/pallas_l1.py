@@ -47,28 +47,37 @@ def _l1_tile_kernel(
     valid_ref,  # [TILE, 1] int8
     out_s_ref,  # [1, B, K]
     out_i_ref,  # [1, B, K]
+    vt_ref,  # [D, TILE] f32 VMEM scratch (transposed tile)
+    qt_ref,  # [D, B] f32 VMEM scratch (transposed queries)
     *,
     k: int,
     tile_n: int,
     dim: int,
 ):
     q = q_ref[:].astype(jnp.float32)
-    vt = v_ref[:].astype(jnp.float32).T  # [D, TILE]; one VMEM relayout
-    qt = q.T  # [D, B]
     b = q.shape[0]
+    # One VMEM relayout each into scratch; the dim loop then does
+    # *dynamic ref loads* (pl.ds on a ref — supported by Mosaic) rather
+    # than lax.dynamic_slice on a value (no TC lowering exists) or a
+    # static unroll (whose dim/_DIM_CHUNK live [C, B, TILE] temporaries
+    # blow the 100 MB scoped-VMEM limit at B=256: measured 112 MB).
+    vt_ref[:] = v_ref[:].astype(jnp.float32).T
+    qt_ref[:] = q.T
 
-    # Statically-unrolled dim loop (dim/_DIM_CHUNK blocks of static
-    # slices): Mosaic has no dynamic_slice lowering for VMEM *values*
-    # (only for refs via pl.ds), so a fori_loop-with-dynamic_slice
-    # formulation fails to compile on real TPU hardware.
-    l1 = jnp.zeros((b, tile_n), jnp.float32)
-    for lo in range(0, dim - dim % _DIM_CHUNK, _DIM_CHUNK):
-        # [C, 1, TILE] vs [C, B, 1] -> [C, B, TILE] abs-diff, summed over C
-        vc = vt[lo : lo + _DIM_CHUNK][:, None, :]
-        qc = qt[lo : lo + _DIM_CHUNK][:, :, None]
-        l1 = l1 + jnp.sum(jnp.abs(qc - vc), axis=0)
+    def dim_block(i, acc):
+        # [C, 1, TILE] vs [C, B, 1] -> [C, B, TILE] abs-diff, summed
+        # over C; sublane-aligned starts (i * 8)
+        vc = vt_ref[pl.ds(i * _DIM_CHUNK, _DIM_CHUNK), :][:, None, :]
+        qc = qt_ref[pl.ds(i * _DIM_CHUNK, _DIM_CHUNK), :][:, :, None]
+        return acc + jnp.sum(jnp.abs(qc - vc), axis=0)
+
+    l1 = jax.lax.fori_loop(
+        0, dim // _DIM_CHUNK, dim_block,
+        jnp.zeros((b, tile_n), jnp.float32),
+    )
     if dim % _DIM_CHUNK:
         base = dim - dim % _DIM_CHUNK
+        vt = vt_ref[:]
         for c in range(dim % _DIM_CHUNK):
             l1 = l1 + jnp.abs(q[:, base + c : base + c + 1] - vt[base + c])
 
@@ -141,6 +150,10 @@ def pallas_search_topk_l1(
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, tile_n), jnp.float32),
+            pltpu.VMEM((d, b), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
