@@ -201,11 +201,11 @@ def sharded_search_topk_int8(
 
 
 @partial(
-    jax.jit, static_argnames=("metric", "k", "chunk", "mesh")
+    jax.jit, static_argnames=("metric", "k", "chunk", "mesh", "packed")
 )
 def sharded_search_pq(
     codes: jax.Array,  # [cap, M] uint8, row-sharded over mesh
-    codebooks: jax.Array,  # [M, 256, dsub] f32, replicated
+    codebooks: jax.Array,  # [M, kc, dsub] f32, replicated
     sqnorms: jax.Array,  # [cap] f32 exact squared norms, row-sharded
     valid: jax.Array,  # [cap] bool, row-sharded
     queries: jax.Array,  # [B, D] f32, replicated (pre-rotated by caller)
@@ -214,6 +214,7 @@ def sharded_search_pq(
     k: int,
     chunk: int,
     mesh: Mesh,
+    packed: bool = False,
 ):
     """PQ-profile distributed top-k: the streaming ADC scan
     (kernels/pq.py) runs per shard — each device holds only its slice
@@ -236,6 +237,7 @@ def sharded_search_pq(
             metric=metric,
             k=min(k, rows_per_shard),
             chunk=min(chunk, rows_per_shard),
+            packed=packed,
         )
         return _merge_local_topk(s, i, rows_per_shard, k)
 

@@ -227,6 +227,18 @@ def _quantize_rows_int8_np(rows32: np.ndarray):
     return q.astype(np.int8), scale
 
 
+def _pq_bits() -> int:
+    """PQ code width: 4 (default — kc=16/dsub=2 nibble-packed codes,
+    the MXU-friendly ScaNN-style config; same bytes/row as 8-bit at
+    dim/4 subspaces with better pool recall at the 256 floor) or 8
+    (classic byte codes, kc=256/dsub=4). VECTORLITE_PQ_BITS overrides;
+    read at wholesale build time only."""
+    from ..utils import env_number
+
+    bits = int(env_number("VECTORLITE_PQ_BITS", 4))
+    return bits if bits in (4, 8) else 4
+
+
 def _hbm_budget_bytes() -> int:
     """The auto-profile HBM budget (VECTORLITE_AUTO_BF16_GB override),
     shared by the dtype ladder and the scan-copy decision so the two can
@@ -440,6 +452,7 @@ class FlatIndex:
         self._dev_codes: Optional[jax.Array] = None  # pq profile only
         self._dev_codebooks: Optional[jax.Array] = None  # pq profile only
         self._pq_rot: Optional[jax.Array] = None  # OPQ-lite rotation
+        self._pq_packed = False  # 4-bit codes, two per stored byte
         self._pq_active = False  # pq cache built and serving
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
@@ -1596,12 +1609,20 @@ class FlatIndex:
         dominated by the scan, and the rescore is O(B * k_sel * D)."""
         if self._pq:
             # PQ ranking error is much larger than int8's (the row
-            # itself is ~32x compressed): a 128-candidate floor + 4x
-            # oversample measured recall@10 0.975 at 50K/384-d with
-            # the default M = dim/4 (tests/test_pq.py pins the gate)
+            # itself is ~16-32x compressed): a wide pool floor + 4x
+            # oversample. The 4-bit profile needs the wider floor:
+            # measured pool recall@10 at 30K/384-d clustered cosine is
+            # 0.906/0.975 at pool 128/256 (4-bit) vs 0.950 at 128
+            # (8-bit) — same code bytes, and the pool cost is a small
+            # exact-ADC einsum plus the host rescore
             from ..utils import env_number
 
-            floor = int(env_number("VECTORLITE_PQ_POOL_MIN", 128))
+            floor = int(
+                env_number(
+                    "VECTORLITE_PQ_POOL_MIN",
+                    256 if _pq_bits() == 4 else 128,
+                )
+            )
             return min(self._capacity, next_pow2(max(4 * k_pad, floor)))
         if self._quantized or self._prospective_dtype() != jnp.float32:
             return min(self._capacity, next_pow2(2 * k_pad))
@@ -1828,6 +1849,7 @@ class FlatIndex:
                             _PQ_ENCODE_BUCKET // 2, rows_per_shard
                         ),
                         mesh=self._mesh,
+                        packed=self._pq_packed,
                     )
                 return pq_search_topk(
                     self._dev_codes,
@@ -1838,6 +1860,7 @@ class FlatIndex:
                     metric=sel_metric,
                     k=min(k_pad, self._capacity),
                     chunk=min(_PQ_ENCODE_BUCKET // 2, self._capacity),
+                    packed=self._pq_packed,
                 )
             if self._mesh is not None:
                 # per-shard scan + all-gather merge. Speed mode rides
@@ -2257,14 +2280,19 @@ class FlatIndex:
                     train_codebooks,
                 )
 
+                bits = _pq_bits()
+                kc = 16 if bits == 4 else 256
                 m = pq_subspaces(
                     self.dim,
                     int(
                         env_number(
-                            "VECTORLITE_PQ_M", max(1, self.dim // 4)
+                            "VECTORLITE_PQ_M",
+                            max(1, self.dim // (2 if bits == 4 else 4)),
                         )
                     ),
                 )
+                # two 4-bit codes per stored byte (even M only)
+                self._pq_packed = bits == 4 and m % 2 == 0
                 # OPQ-lite: decided only at wholesale build time so
                 # dirty-append encodes always match the live cache
                 self._pq_rot = (
@@ -2290,7 +2318,7 @@ class FlatIndex:
                         jnp.asarray(sample32) @ self._pq_rot
                     )
                 self._dev_codebooks = train_codebooks(
-                    sample32, m, iters=10
+                    sample32, m, kc=kc, iters=10
                 )
             # encode everything below capacity in fixed buckets. Each
             # bucket casts f64 -> f32 on its own (NO full-capacity f32
@@ -2306,7 +2334,12 @@ class FlatIndex:
                 )
                 if self._pq_rot is not None:
                     rows = rows @ self._pq_rot
-                return encode_rows(self._dev_codebooks, rows)
+                codes = encode_rows(self._dev_codebooks, rows)
+                if self._pq_packed:
+                    from ..kernels.pq import pack_nibbles
+
+                    codes = pack_nibbles(codes)
+                return codes
 
             # f64 pairwise product sums reduce straight to [cap] — no
             # [cap, D] f32 matrix temp here either
@@ -2323,6 +2356,8 @@ class FlatIndex:
                 from ..dist.sharding import row_sharding
 
                 m_sub = int(self._dev_codebooks.shape[0])
+                if self._pq_packed:
+                    m_sub //= 2
                 codes_np = np.empty(
                     (self._capacity, m_sub), dtype=np.uint8
                 )
@@ -2371,6 +2406,10 @@ class FlatIndex:
                 else rows32
             )
             codes_burst = encode_rows(self._dev_codebooks, enc_rows)
+            if self._pq_packed:
+                from ..kernels.pq import pack_nibbles
+
+                codes_burst = pack_nibbles(codes_burst)
             if self._mesh is not None:
                 from ..dist.sharding import update_rows_sharded
 

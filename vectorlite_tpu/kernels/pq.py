@@ -1,28 +1,38 @@
 """Product-quantization serving rung: codebook training, encoding, and
-streaming ADC search.
+MXU one-hot ADC search.
 
 Extends the Flat index capacity ladder (f32 -> bf16 -> int8, see
-index/flat.py) with a ~`dim*8/M`-fold compressed rung: rows are split
-into M subspaces of dsub = dim/M dims, each quantized to the nearest of
-256 learned centroids, so a row stores as M uint8 codes (48 bytes at
-384-d/M=48 vs 1536 f32 bytes — 32x). 10M rows fit in ~0.5 GB of HBM;
-100M in ~5 GB. Selection scores are asymmetric-distance (ADC) lookups;
-winners are ALWAYS re-scored in exact f64 on the host from the
-uncompressed truth (the same `_exact_rescore` contract the int8 rung
-uses), so returned scores match the scalar reference formulas
-(reference: src/lib.rs:425-572) and only *ranking* is approximate.
+index/flat.py) with a ~16x-compressed rung. Two code widths:
 
-TPU mapping:
+* **4-bit (default)** — kc=16 centroids over dsub=2-dim subspaces
+  (M = dim/2), two codes nibble-packed per byte: 96 bytes/row at
+  384-d. The ScaNN-style config (see PAPERS.md): same bytes/row as
+  8-bit at M=dim/4 but a 16x-smaller one-hot contraction, which is
+  what makes the MXU formulation fast.
+* **8-bit** — kc=256 over dsub=4 subspaces, one byte per code
+  (VECTORLITE_PQ_BITS=8).
 
-* **Training** is Lloyd's k-means vmapped over subspaces — assignment
-  and the centroid update are both matmuls ([S,256] distance +
+10M rows fit in ~1 GB of HBM; winners are ALWAYS re-scored in exact
+f64 on the host from the uncompressed truth (the same `_exact_rescore`
+contract the int8 rung uses), so returned scores match the scalar
+reference formulas (reference: src/lib.rs:425-572) and only *ranking*
+is approximate.
+
+TPU mapping (round-3 hardware lesson: per-element LUT *gathers* and
+per-chunk sorts are the two things the VPU cannot do — the textbook
+CPU-ADC loop measured 861 ms/batch at 1M x 384 b=256; this design
+replaced it):
+
+* **Training** is Lloyd's k-means scanned over subspaces — assignment
+  and the centroid update are both matmuls ([S,kc] distance +
   one-hot.T @ X), so the whole trainer runs on the MXU under one jit.
 * **Encoding** is the same assignment matmul, chunked to a fixed shape.
-* **Search** builds a per-query LUT ([B, M, 256], one einsum), then
-  accumulates scores chunk-by-chunk with a fori over subspaces (each
-  step one [B, chunk] gather) and merges a running top-k across chunks
-  with lax.scan — no [B, N] intermediate ever materializes, same
-  streaming property as the Pallas scan kernels.
+* **Search** (`pq_search_topk`) builds a per-query LUT ([B, M, kc],
+  one einsum), evaluates every lookup as ONE bf16 matmul per chunk
+  against the on-the-fly one-hot of the codes, selects with
+  ``approx_max_k`` fused onto the matmul epilogue (the amk engine's
+  PartialReduce), and exact-f32-rescores the merged pool — no [B, N]
+  intermediate, no sort, no gather on the scan path.
 * Cosine/euclidean rank on the ADC dot plus the EXACT stored f32
   squared norms (4 bytes/row; better than reconstruction norms).
   Manhattan uses a per-subspace L1 LUT — all four metrics are ADC-able.
@@ -75,27 +85,28 @@ def pq_subspaces(dim: int, m_requested: int) -> int:
 
 
 def _kmeans_subspace(x, init, key, *, iters: int):
-    """Lloyd's iterations for one subspace: x [S, d], init [256, d].
+    """Lloyd's iterations for one subspace: x [S, d], init [kc, d].
     Empty clusters are re-seeded from random sample rows (a common
     PQ-codebook refinement; without it dead centroids waste code
     space)."""
     s = x.shape[0]
+    kc = init.shape[0]
     xsq = jnp.sum(x * x, axis=1)  # [S]
 
     def step(carry, key_i):
         c = carry
-        csq = jnp.sum(c * c, axis=1)  # [256]
-        # [S, 256] squared distances via the MXU
+        csq = jnp.sum(c * c, axis=1)  # [kc]
+        # [S, kc] squared distances via the MXU
         d2 = xsq[:, None] - 2.0 * (x @ c.T) + csq[None, :]
         assign = jnp.argmin(d2, axis=1)  # [S]
         onehot = (
-            assign[:, None] == jnp.arange(K_CODES)[None, :]
+            assign[:, None] == jnp.arange(kc)[None, :]
         ).astype(x.dtype)
-        counts = jnp.sum(onehot, axis=0)  # [256]
-        sums = onehot.T @ x  # [256, d]
+        counts = jnp.sum(onehot, axis=0)  # [kc]
+        sums = onehot.T @ x  # [kc, d]
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
-        # dead centroid -> random row (keeps all 256 codes useful)
-        reseed = x[jax.random.randint(key_i, (K_CODES,), 0, s)]
+        # dead centroid -> random row (keeps all kc codes useful)
+        reseed = x[jax.random.randint(key_i, (kc,), 0, s)]
         new_c = jnp.where((counts > 0)[:, None], new_c, reseed)
         return new_c, None
 
@@ -121,27 +132,48 @@ def train_codebooks(
     sample32: np.ndarray,  # [S, D] f32 live-row sample
     m: int,
     *,
+    kc: int = K_CODES,
     iters: int = 10,
     seed: int = 0,
 ) -> jax.Array:
-    """Learn per-subspace codebooks [M, 256, dsub] (f32, on device).
+    """Learn per-subspace codebooks [M, kc, dsub] (f32, on device).
 
     Init is a random distinct-row draw per subspace; S should be >= a
     few thousand (the index gates the PQ rung on a minimum corpus
-    size)."""
+    size). ``kc`` is the codebook size: 256 for classic byte codes,
+    16 for the 4-bit profile (two codes per stored byte)."""
     s, dim = sample32.shape
     dsub = dim // m
     x = jnp.asarray(sample32, dtype=jnp.float32).reshape(s, m, dsub)
     x = jnp.transpose(x, (1, 0, 2))  # [M, S, dsub]
     key = jax.random.PRNGKey(seed)
     k_init, k_seed = jax.random.split(key)
-    # distinct init rows per subspace (with replacement only when S<256,
+    # distinct init rows per subspace (with replacement only when S<kc,
     # which the caller's minimum-size gate prevents)
-    idx = jax.random.permutation(k_init, s)[:K_CODES]
-    init = x[:, idx % s, :]  # [M, 256, dsub]
+    idx = jax.random.permutation(k_init, s)[:kc]
+    init = x[:, idx % s, :]  # [M, kc, dsub]
     return _kmeans_all(
         x, init, jax.random.split(k_seed, m), iters=iters
     )
+
+
+def pack_nibbles(codes) -> jax.Array:
+    """[N, M] 4-bit codes (values 0..15) -> [N, M/2] packed bytes.
+
+    Byte j holds code 2j in the high nibble and 2j+1 in the low one.
+    M must be even (the index keeps codes unpacked for odd M)."""
+    codes = jnp.asarray(codes, jnp.uint8)
+    n, m = codes.shape
+    pairs = codes.reshape(n, m // 2, 2)
+    return (pairs[:, :, 0] << 4) | pairs[:, :, 1]
+
+
+def _unpack_nibbles(packed):
+    """[N, M/2] packed bytes -> [N, M] codes; inverse of pack_nibbles."""
+    n = packed.shape[0]
+    hi = packed >> 4
+    lo = packed & jnp.uint8(0xF)
+    return jnp.stack([hi, lo], axis=2).reshape(n, -1)
 
 
 @jax.jit
@@ -185,10 +217,30 @@ def _adc_lut(queries, codebooks, metric):
     return jnp.einsum("bmd,mcd->bmc", q, codebooks)
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "chunk"))
+#: extra surrogate-ranked candidates carried into the exact-f32 ADC
+#: rescore so bf16 selection error at the pool boundary cannot evict a
+#: true ADC top-k member (same margin idea as amk.K_SEL_MIN, but the
+#: displacement here is only bf16 LUT rounding, not corpus rounding)
+_EXACT_MARGIN = 32
+
+
+def _rank_surrogate(adc, metric, sq_chunk):
+    """Monotonic selection surrogate on the ADC dot (see kernels/amk.py
+    for the derivation; PQ ranks the same way — division/sqrt never
+    ride the [B, chunk] fusion)."""
+    if metric is SimilarityMetric.COSINE:
+        return adc * jax.lax.rsqrt(jnp.maximum(sq_chunk, 1e-30))[None, :]
+    if metric is SimilarityMetric.EUCLIDEAN:
+        return adc - 0.5 * sq_chunk[None, :]
+    if metric is SimilarityMetric.MANHATTAN:
+        return -adc  # adc IS the L1 distance; smaller is better
+    return adc
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "chunk", "packed"))
 def pq_search_topk(
-    codes: jax.Array,  # [cap, M] uint8
-    codebooks: jax.Array,  # [M, 256, dsub] f32
+    codes: jax.Array,  # [cap, M] uint8 (or [cap, M/2] when packed)
+    codebooks: jax.Array,  # [M, kc, dsub] f32
     sqnorms: jax.Array,  # [cap] f32 EXACT row squared norms
     valid: jax.Array,  # [cap] bool
     queries: jax.Array,  # [B, D] f32
@@ -196,14 +248,38 @@ def pq_search_topk(
     metric: SimilarityMetric,
     k: int,
     chunk: int = 65536,
+    packed: bool = False,
 ):
-    """Streaming ADC top-k: (scores [B, k], slots [B, k]).
+    """MXU ADC top-k: (scores [B, k], slots [B, k]).
 
-    Scores are the ADC similarity approximations (callers exact-rescore
-    winners from host truth); invalid slots are -inf. Ties break toward
-    the lower slot, matching every other kernel here."""
-    cap = codes.shape[0]
+    Round-3 hardware finding: the textbook per-subspace LUT *gather*
+    formulation is pathological on TPU (lane-axis dynamic gathers, and
+    lax.top_k's full sort per chunk — measured 861 ms/batch at
+    1M x 384 b=256). The TPU-native formulation is matmul-as-lookup:
+
+    * **Selection** — per chunk, ONE ``[B, M*kc] x [chunk, M*kc]``
+      bf16 contraction where the corpus operand is the flattened
+      one-hot of the codes (built on the fly from the uint8 code
+      matrix; XLA fuses the compare-cast into the matmul operand
+      stream) — the MXU evaluates every subspace LUT lookup as part of
+      a dense product. ``approx_max_k`` (the same PartialReduce engine
+      the amk scan uses) selects per-chunk winners fused onto that
+      matmul's epilogue; no [B, N] intermediate and no sort.
+    * **Exact stage** — the merged surrogate pool (plus
+      ``_EXACT_MARGIN``) is re-scored in exact f32: row-gather of the
+      winners' codes, small one-hot einsum against the f32 LUT, the
+      full metric formula, slot-sorted tie-break. Returned scores are
+      therefore f32-accurate ADC values (= reconstruction similarity),
+      and callers still exact-rescore in f64 from host truth.
+
+    4-bit codes (kc=16, ``packed=True``: two codes per byte) make the
+    one-hot contraction affordable — M*kc = dim*8 lanes at dsub=2 —
+    and halve the HBM code bytes; kc=256 remains supported for the
+    classic byte-code profile. Invalid slots are -inf. Ties break
+    toward the lower slot, matching every other kernel here."""
     b = queries.shape[0]
+    m, kc, dsub = codebooks.shape
+    cap = codes.shape[0]
     # a chunk narrower than k would silently drop true winners (each
     # chunk can contribute at most its full width to the merge)
     chunk = min(max(chunk, k), cap)
@@ -213,61 +289,86 @@ def pq_search_topk(
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
         sqnorms = jnp.pad(sqnorms, (0, pad))
         valid = jnp.pad(valid, (0, pad))
-    lut = _adc_lut(queries.astype(jnp.float32), codebooks, metric)
-    qsq = jnp.sum(
-        queries.astype(jnp.float32) ** 2, axis=1, keepdims=True
-    )  # [B, 1]
-    m = codes.shape[1]
+    queries = queries.astype(jnp.float32)
+    lut = _adc_lut(queries, codebooks, metric)  # [B, M, kc] f32
+    if metric is SimilarityMetric.MANHATTAN:
+        # surrogate ranks on -L1; bake the sign into the bf16 operand
+        # so selection is a pure max either way
+        lut_sel = (-lut).astype(jnp.bfloat16).reshape(b, m * kc)
+    else:
+        lut_sel = lut.astype(jnp.bfloat16).reshape(b, m * kc)
+    qsq = jnp.sum(queries * queries, axis=1, keepdims=True)  # [B, 1]
 
-    codes_c = codes.reshape(n_chunks, chunk, m)
+    codes_c = codes.reshape(n_chunks, chunk, codes.shape[1])
     sq_c = sqnorms.reshape(n_chunks, chunk)
     valid_c = valid.reshape(n_chunks, chunk)
-    k_eff = min(k, chunk)
+    k_chunk = min(chunk, k + _EXACT_MARGIN)
+    iota = jnp.arange(kc, dtype=jnp.uint8)
 
-    def score_chunk(codes_chunk, sq_chunk, valid_chunk):
-        def body(i, acc):
-            # one [B, chunk] gather per subspace; acc never exceeds
-            # [B, chunk] so no [B, N] (or [B, M, chunk]) temp exists
-            return acc + jnp.take(
-                lut[:, i, :], codes_chunk[:, i], axis=1
-            )
-        adc = jax.lax.fori_loop(
-            0, m, body, jnp.zeros((b, chunk), jnp.float32)
-        )
-        if metric is SimilarityMetric.DOT_PRODUCT:
-            scores = adc
-        elif metric is SimilarityMetric.COSINE:
-            denom = jnp.sqrt(qsq) * jnp.sqrt(sq_chunk)[None, :]
-            scores = jnp.where(
-                denom > 0.0, adc / jnp.maximum(denom, 1e-30), 0.0
-            )
-        elif metric is SimilarityMetric.EUCLIDEAN:
-            d2 = jnp.maximum(qsq - 2.0 * adc + sq_chunk[None, :], 0.0)
-            scores = 1.0 / (1.0 + jnp.sqrt(d2))
-        else:  # MANHATTAN: adc IS the L1 distance
-            scores = 1.0 / (1.0 + adc)
-        return jnp.where(valid_chunk[None, :], scores, NEG_INF)
+    def onehot_flat(codes_chunk):
+        u = _unpack_nibbles(codes_chunk) if packed else codes_chunk
+        oh = (u[:, :, None] == iota[None, None, :])
+        return oh.astype(jnp.bfloat16).reshape(chunk, m * kc)
 
-    def merge(carry, xs):
-        best_s, best_i = carry
+    def select_chunk(carry, xs):
         codes_chunk, sq_chunk, valid_chunk, base = xs
-        scores = score_chunk(codes_chunk, sq_chunk, valid_chunk)
-        cs, ci = jax.lax.top_k(scores, k_eff)
-        ci = ci + base
-        # carry first: on ties top_k keeps the earlier position, which
-        # is the lower global slot (earlier chunk)
-        all_s = jnp.concatenate([best_s, cs], axis=1)
-        all_i = jnp.concatenate([best_i, ci], axis=1)
-        sel_s, sel_pos = jax.lax.top_k(all_s, k)
-        sel_i = jnp.take_along_axis(all_i, sel_pos, axis=1)
-        return (sel_s, sel_i), None
+        adc = jax.lax.dot_general(
+            lut_sel,
+            onehot_flat(codes_chunk),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk] (negated already for manhattan)
+        if metric is SimilarityMetric.MANHATTAN:
+            rank = adc  # = -L1 via the negated operand: max == nearest
+        else:
+            rank = _rank_surrogate(adc, metric, sq_chunk)
+        rank = jnp.where(valid_chunk[None, :], rank, NEG_INF)
+        cs, ci = jax.lax.approx_max_k(rank, k_chunk, recall_target=0.95)
+        return carry, (cs, ci + base)
 
-    init = (
-        jnp.full((b, k), NEG_INF, jnp.float32),
-        jnp.zeros((b, k), jnp.int32),
+    _, (pool_s, pool_i) = jax.lax.scan(
+        select_chunk, None, (codes_c, sq_c, valid_c,
+                             jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
     )
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (scores, slots), _ = jax.lax.scan(
-        merge, init, (codes_c, sq_c, valid_c, bases)
-    )
-    return scores, slots
+    # [B, n_chunks * k_chunk] merged surrogate pool
+    pool_s = jnp.moveaxis(pool_s, 0, 1).reshape(b, -1)
+    pool_i = jnp.moveaxis(pool_i, 0, 1).reshape(b, -1)
+    p0 = min(pool_s.shape[1], k + _EXACT_MARGIN)
+    if pool_s.shape[1] > p0:
+        _, top_pos = jax.lax.top_k(pool_s, p0)
+        pool_i = jnp.take_along_axis(pool_i, top_pos, axis=1)
+
+    # ---- exact-f32 ADC stage over the pool -------------------------
+    # slot-sort first: coalesced gather + lowest-slot tie-break in one
+    # move (duplicates are impossible — chunks are disjoint and
+    # approx_max_k returns distinct indices within a chunk)
+    pool_i = jnp.sort(pool_i, axis=1)
+    cand = codes[pool_i]  # [B, P, M_stored] row gather
+    u = _unpack_nibbles(cand.reshape(-1, cand.shape[-1])) if packed \
+        else cand.reshape(-1, cand.shape[-1])
+    oh = (u[:, :, None] == iota[None, None, :]).astype(jnp.float32)
+    adc = jnp.einsum(
+        "bpc,bc->bp",
+        oh.reshape(b, p0, m * kc),
+        lut.reshape(b, m * kc),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, P] exact-f32 ADC dot (or L1 distance for manhattan)
+    sq_cand = sqnorms[pool_i]
+    if metric is SimilarityMetric.DOT_PRODUCT:
+        exact = adc
+    elif metric is SimilarityMetric.COSINE:
+        denom = jnp.sqrt(qsq) * jnp.sqrt(sq_cand)
+        exact = jnp.where(denom > 0.0, adc / jnp.maximum(denom, 1e-30), 0.0)
+    elif metric is SimilarityMetric.EUCLIDEAN:
+        d2 = jnp.maximum(qsq - 2.0 * adc + sq_cand, 0.0)
+        exact = 1.0 / (1.0 + jnp.sqrt(d2))
+    else:  # MANHATTAN
+        exact = 1.0 / (1.0 + adc)
+    exact = jnp.where(valid[pool_i], exact, NEG_INF)
+    s_top, pos = jax.lax.top_k(exact, min(k, p0))
+    i_top = jnp.take_along_axis(pool_i, pos, axis=1)
+    if s_top.shape[1] < k:  # cap smaller than k after clamping
+        padw = k - s_top.shape[1]
+        s_top = jnp.pad(s_top, ((0, 0), (0, padw)), constant_values=NEG_INF)
+        i_top = jnp.pad(i_top, ((0, 0), (0, padw)))
+    return s_top, i_top
