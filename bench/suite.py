@@ -495,7 +495,9 @@ def bench_flat8m():
                 queries, K, SimilarityMetric.COSINE
             )
             first_s = time.perf_counter() - t0  # sync + compile
-            if rung != "pq":
+            if rung != "pq" and on_tpu:
+                # (off-TPU the auto ladder intentionally stays f32 —
+                # the CPU run only smoke-tests the plumbing)
                 dt = idx._dev_values.dtype
                 assert str(dt) == (
                     "int8" if rung == "int8" else "bfloat16"
@@ -774,6 +776,7 @@ def main():
         "hnswf16": lambda: bench_hnswf16(args.full),
         "e2e": bench_e2e,
         "flat4m": bench_flat4m,
+        "flat8m": bench_flat8m,
         "manhattan1m": bench_manhattan1m,
         "filtered1m": bench_filtered1m,
         "pq1m": bench_pq1m,
