@@ -472,7 +472,11 @@ def bench_flat8m():
 
     ids = np.arange(n, dtype=np.uint64)
     out = {"config": "flat_8m_x384_b256", "n": n}
-    for rung, budget_gb in (("int8", None), ("bf16", 14.0), ("pq", None)):
+    # budget overrides pin each rung: at cap 8M the row bytes are
+    # 3.22 GB, so x2 (bf16) needs <= budget and x4 (f32) must exceed
+    # it; the default 6 GB budget sits exactly ON the bf16 boundary,
+    # so int8 needs an explicit 4 GB budget
+    for rung, budget_gb in (("int8", 4.0), ("bf16", 8.0), ("pq", None)):
         env = {}
         if budget_gb is not None:
             env["VECTORLITE_AUTO_BF16_GB"] = str(budget_gb)

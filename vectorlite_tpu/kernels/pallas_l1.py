@@ -44,9 +44,10 @@ _DIM_CHUNK = 8
 def _l1_tile_kernel(
     q_ref,  # [B, D] f32 queries
     v_ref,  # [TILE, D] corpus tile
-    valid_ref,  # [TILE, 1] int8
-    out_s_ref,  # [1, B, K]
-    out_i_ref,  # [1, B, K]
+    valid_ref,  # [TILE//128, 128] (lane-packed per-row column; see note below) int8
+    out_s_ref,  # [1, K, B] (B in lanes — a [.., B, K] layout lane-pads
+    #   K 8x; see pallas_scan._tile_kernel)
+    out_i_ref,  # [1, K, B]
     vt_ref,  # [D, TILE] f32 VMEM scratch (transposed tile)
     qt_ref,  # [D, B] f32 VMEM scratch (transposed queries)
     *,
@@ -92,8 +93,8 @@ def _l1_tile_kernel(
         best = jnp.max(scores, axis=1, keepdims=True)
         cand = jnp.where(scores >= best, col_ids, tile_n)
         bidx = jnp.min(cand, axis=1, keepdims=True)
-        out_s_ref[0, :, pl.ds(i, 1)] = best
-        out_i_ref[0, :, pl.ds(i, 1)] = bidx + tile_base
+        out_s_ref[0, pl.ds(i, 1), :] = best.reshape(1, b)
+        out_i_ref[0, pl.ds(i, 1), :] = (bidx + tile_base).reshape(1, b)
         return jnp.where(col_ids == bidx, NEG_INF, scores)
 
     jax.lax.fori_loop(0, k, select, scores, unroll=True)
@@ -119,7 +120,7 @@ def pallas_search_topk_l1(
     """
     n, d = values.shape
     b = queries.shape[0]
-    assert n % tile_n == 0, (n, tile_n)
+    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
     n_tiles = n // tile_n
     k_tile = min(k, tile_n)
 
@@ -136,20 +137,20 @@ def pallas_search_topk_l1(
                 (tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, k_tile, b), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, k_tile, b), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, k_tile, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, k_tile, b), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, tile_n), jnp.float32),
@@ -165,11 +166,11 @@ def pallas_search_topk_l1(
     )(
         queries,
         values,
-        valid.astype(jnp.int8).reshape(n, 1),
+        valid.astype(jnp.int8).reshape(n // 128, 128),
     )
 
-    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * k_tile)
-    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * k_tile)
+    s_flat = jnp.moveaxis(out_s, 2, 0).reshape(b, n_tiles * k_tile)
+    i_flat = jnp.moveaxis(out_i, 2, 0).reshape(b, n_tiles * k_tile)
     s_top, pos = jax.lax.top_k(s_flat, k)
     i_top = jnp.take_along_axis(i_flat, pos, axis=1)
     return s_top, i_top

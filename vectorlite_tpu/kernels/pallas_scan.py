@@ -46,10 +46,12 @@ def _tile_kernel(
     q_ref,  # [B, D] queries (VMEM, full)
     qsq_ref,  # [B, 1] query squared norms
     v_ref,  # [TILE, D] corpus tile
-    sq_ref,  # [TILE, 1] row squared norms
-    valid_ref,  # [TILE, 1] row validity (int8)
-    out_s_ref,  # [1, B, K] tile-local top-k scores
-    out_i_ref,  # [1, B, K] tile-local top-k global row ids
+    sq_ref,  # [TILE//128, 128] (lane-packed per-row column; see note below) row squared norms
+    valid_ref,  # [TILE//128, 128] (lane-packed per-row column; see note below) row validity (int8)
+    out_s_ref,  # [1, K, B] tile-local top-k scores (B in lanes: k is
+    #   usually 16, and a [.., B, K] layout would lane-pad K 8x — 1 GB
+    #   of padded HBM temp at 8M rows)
+    out_i_ref,  # [1, K, B] tile-local top-k global row ids
     *,
     metric: SimilarityMetric,
     k: int,
@@ -68,12 +70,12 @@ def _tile_kernel(
         ),
     )
 
-    sq_v = sq_ref[:].reshape(1, tile_n)  # [1, TILE]
+    sq_v = sq_ref[:].reshape(1, tile_n)  # [TILE//128, 128] (lane-packed per-row column; see note below)
     if metric is SimilarityMetric.DOT_PRODUCT:
         scores = dot
     elif metric is SimilarityMetric.COSINE:
         q_norm = jnp.sqrt(qsq_ref[:])  # [B, 1]
-        v_norm = jnp.sqrt(sq_v)  # [1, TILE]
+        v_norm = jnp.sqrt(sq_v)  # [TILE//128, 128] (lane-packed per-row column; see note below)
         denom = q_norm * v_norm
         scores = jnp.where(denom > 0.0, dot / jnp.maximum(denom, 1e-30), 0.0)
     elif metric is SimilarityMetric.EUCLIDEAN:
@@ -95,14 +97,23 @@ def _tile_kernel(
         best = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
         cand = jnp.where(scores >= best, col_ids, tile_n)
         bidx = jnp.min(cand, axis=1, keepdims=True)  # [B, 1]
-        out_s_ref[0, :, pl.ds(i, 1)] = best
-        out_i_ref[0, :, pl.ds(i, 1)] = bidx + tile_base
+        out_s_ref[0, pl.ds(i, 1), :] = best.reshape(1, b)
+        out_i_ref[0, pl.ds(i, 1), :] = (bidx + tile_base).reshape(1, b)
         return jnp.where(col_ids == bidx, NEG_INF, scores)
 
     jax.lax.fori_loop(0, k, select, scores, unroll=True)
 
 
 BLOCK = 128  # lane width; one candidate survives per block in approx mode
+
+# Per-row column operands (sqnorms / scales / validity) ship as
+# [N/128, 128] lane-packed blocks: the natural [N, 1] layout lane-pads
+# 128x under T(8,128) — measured 4 GB + 1 GB of padded HLO temps at 8M
+# rows (a hard compile OOM), ~1.6 GB of padded copy traffic at 1M. The
+# kernels reshape each [tile/128, 128] block back to [1, tile] in VMEM;
+# that relayout costs ~2.6 ms/batch at 1M b256 on the exhaustive path —
+# accepted: it buys 8M+ single-chip capacity and the serving default
+# (kernels/amk.py) never runs these kernels.
 
 
 def _scores_tile(
@@ -302,18 +313,18 @@ def pallas_search_block_topk(
         dummy_scale,
         qsq,
         values,
-        sqnorms.reshape(n, 1),  # reused slot; unused for f32 dot
-        sqnorms.reshape(n, 1),
-        valid.astype(jnp.int8).reshape(n, 1),
+        sqnorms.reshape(n // 128, 128),  # reused slot; unused for f32 dot
+        sqnorms.reshape(n // 128, 128),
+        valid.astype(jnp.int8).reshape(n // 128, 128),
     ]
     in_specs = [
         pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
     ]
     return _block_topk_call(
         inputs,
@@ -356,18 +367,18 @@ def pallas_search_block_topk_int8(
         jnp.ones((b, 1), jnp.float32),  # unused (queries stay f32)
         qsq,
         values_q,
-        scales.reshape(n, 1),
-        sqnorms.reshape(n, 1),
-        valid.astype(jnp.int8).reshape(n, 1),
+        scales.reshape(n // 128, 128),
+        sqnorms.reshape(n // 128, 128),
+        valid.astype(jnp.int8).reshape(n // 128, 128),
     ]
     in_specs = [
         pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
     ]
     return _block_topk_call(
         inputs,
@@ -461,11 +472,11 @@ def _tile_kernel_int8(
     qscale_ref,  # [B, 1] f32 query scales
     qsq_ref,  # [B, 1] f32 exact query squared norms
     v_ref,  # [TILE, D] int8 corpus tile
-    vscale_ref,  # [TILE, 1] f32 row scales
-    sq_ref,  # [TILE, 1] f32 exact row squared norms
-    valid_ref,  # [TILE, 1] int8 validity
-    out_s_ref,  # [1, B, K]
-    out_i_ref,  # [1, B, K]
+    vscale_ref,  # [TILE//128, 128] (lane-packed per-row column; see note below) f32 row scales
+    sq_ref,  # [TILE//128, 128] (lane-packed per-row column; see note below) f32 exact row squared norms
+    valid_ref,  # [TILE//128, 128] (lane-packed per-row column; see note below) int8 validity
+    out_s_ref,  # [1, K, B] (see _tile_kernel)
+    out_i_ref,  # [1, K, B]
     *,
     metric: SimilarityMetric,
     k: int,
@@ -504,8 +515,8 @@ def _tile_kernel_int8(
         best = jnp.max(scores, axis=1, keepdims=True)
         cand = jnp.where(scores >= best, col_ids, tile_n)
         bidx = jnp.min(cand, axis=1, keepdims=True)
-        out_s_ref[0, :, pl.ds(i, 1)] = best
-        out_i_ref[0, :, pl.ds(i, 1)] = bidx + tile_base
+        out_s_ref[0, pl.ds(i, 1), :] = best.reshape(1, b)
+        out_i_ref[0, pl.ds(i, 1), :] = (bidx + tile_base).reshape(1, b)
         return jnp.where(col_ids == bidx, NEG_INF, scores)
 
     jax.lax.fori_loop(0, k, select, scores, unroll=True)
@@ -528,7 +539,7 @@ def pallas_search_topk_int8(
 ):
     n, d = values_q.shape
     b = queries.shape[0]
-    assert n % tile_n == 0, (n, tile_n)
+    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
     n_tiles = n // tile_n
     k_tile = min(k, tile_n)
 
@@ -549,26 +560,26 @@ def pallas_search_topk_int8(
                 (tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, k_tile, b), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, k_tile, b), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, k_tile, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, k_tile, b), jnp.int32),
         ],
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
@@ -582,13 +593,13 @@ def pallas_search_topk_int8(
         jnp.ones((b, 1), jnp.float32),  # unused (queries stay f32)
         qsq,
         values_q,
-        scales.reshape(n, 1),
-        sqnorms.reshape(n, 1),
-        valid.astype(jnp.int8).reshape(n, 1),
+        scales.reshape(n // 128, 128),
+        sqnorms.reshape(n // 128, 128),
+        valid.astype(jnp.int8).reshape(n // 128, 128),
     )
 
-    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * k_tile)
-    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * k_tile)
+    s_flat = jnp.moveaxis(out_s, 2, 0).reshape(b, n_tiles * k_tile)
+    i_flat = jnp.moveaxis(out_i, 2, 0).reshape(b, n_tiles * k_tile)
     s_top, pos = jax.lax.top_k(s_flat, k)
     i_top = jnp.take_along_axis(i_flat, pos, axis=1)
     return s_top, i_top
@@ -614,7 +625,7 @@ def pallas_search_topk(
     """
     n, d = values.shape
     b = queries.shape[0]
-    assert n % tile_n == 0, (n, tile_n)
+    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
     n_tiles = n // tile_n
     k_tile = min(k, tile_n)
 
@@ -635,23 +646,23 @@ def pallas_search_topk(
                 (tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_n, 1), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (tile_n // 128, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, k_tile, b), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, b, k_tile), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, k_tile, b), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b, k_tile), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, k_tile, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, k_tile, b), jnp.int32),
         ],
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
@@ -664,14 +675,14 @@ def pallas_search_topk(
         queries,
         qsq,
         values,
-        sqnorms.reshape(n, 1),
-        valid.astype(jnp.int8).reshape(n, 1),
+        sqnorms.reshape(n // 128, 128),
+        valid.astype(jnp.int8).reshape(n // 128, 128),
     )
 
     # Final exact merge over the per-tile winners ([n_tiles, B, K] ->
     # [B, n_tiles*K], tile-major so ties keep global row order).
-    s_flat = jnp.moveaxis(out_s, 0, 1).reshape(b, n_tiles * k_tile)
-    i_flat = jnp.moveaxis(out_i, 0, 1).reshape(b, n_tiles * k_tile)
+    s_flat = jnp.moveaxis(out_s, 2, 0).reshape(b, n_tiles * k_tile)
+    i_flat = jnp.moveaxis(out_i, 2, 0).reshape(b, n_tiles * k_tile)
     s_top, pos = jax.lax.top_k(s_flat, k)
     i_top = jnp.take_along_axis(i_flat, pos, axis=1)
     return s_top, i_top
