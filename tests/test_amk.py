@@ -154,6 +154,60 @@ def test_int8_select_candidates_contain_truth(metric, rng):
     assert hit >= 0.95, hit
 
 
+@pytest.mark.parametrize("metric", METRICS)
+def test_watermark_fast_path_matches_gather_path(metric, rng):
+    """tombstones=False + live_hi (the no-validity-gather rescore fast
+    path, round-3 rescore probes) must equal the gather path on a
+    contiguous live prefix with dead tail capacity."""
+    n, live, d, b, k = 1024, 700, 64, 8, 10
+    values = rng.normal(size=(n, d)).astype(np.float32)
+    values[live:] = 0.0  # dead capacity tail (host truth is calloc'd)
+    valid = np.zeros(n, bool)
+    valid[:live] = True
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    vj = jnp.asarray(values)
+    sq = jnp.sum(vj * vj, axis=-1)
+    s1, i1 = amk_search_topk_rescored(
+        vj, vj, sq, jnp.asarray(valid), jnp.asarray(queries),
+        metric=metric, k=k, k_sel=64,
+    )
+    s2, i2 = amk_search_topk_rescored(
+        vj, vj, sq, jnp.asarray(valid), jnp.asarray(queries),
+        metric=metric, k=k, k_sel=64,
+        tombstones=False, live_hi=jnp.int32(live),
+    )
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_watermark_masks_augmented_tail_neighbors(rng):
+    """Augmentation neighborhoods of a candidate at the watermark edge
+    cross into dead tail slots; the arithmetic validity must exclude
+    them even when the tail rows hold garbage (not zeros)."""
+    n, live, d, k = 512, 300, 32, 8
+    values = rng.normal(size=(n, d)).astype(np.float32)
+    base = rng.normal(size=d).astype(np.float32)
+    values[live - 1] = base  # top hit right at the edge
+    # garbage tail rows that would dominate scoring if unmasked
+    values[live:] = base * 100.0
+    valid = np.zeros(n, bool)
+    valid[:live] = True
+    queries = base[None, :].astype(np.float32)
+    vj = jnp.asarray(values)
+    sq = jnp.sum(vj * vj, axis=-1)
+    s, i = amk_search_topk_rescored(
+        vj, vj, sq, jnp.asarray(valid), jnp.asarray(queries),
+        metric=SimilarityMetric.DOT_PRODUCT, k=k, k_sel=64,
+        tombstones=False, live_hi=jnp.int32(live),
+    )
+    i = np.asarray(i)[0]
+    s = np.asarray(s)[0]
+    assert i[0] == live - 1
+    assert np.all(i[s > -np.inf] < live)
+
+
 def test_duplicate_burst_augmentation(rng):
     """A run of consecutively-inserted near-duplicates must all be
     returnable: locality augmentation + dedupe in the rescore pool

@@ -185,6 +185,43 @@ class TestMeshFlatIndex:
                 np.asarray(s_amk), np.asarray(s_ref), rtol=1e-5, atol=1e-6
             )
 
+    def test_mesh_amk_watermark_fast_path(self, mesh, rng):
+        """tombstones=False + live_hi: each shard derives its local
+        watermark from the replicated global scalar; results must match
+        the validity-gather path on a contiguous live prefix."""
+        from vectorlite_tpu.dist.sharding import sharded_search_amk
+
+        n, live, d, b, k = 1024, 577, 48, 8, 10
+        values = rng.normal(size=(n, d)).astype(np.float32)
+        values[live:] = 0.0
+        valid = np.zeros(n, bool)
+        valid[:live] = True
+        values = jnp.asarray(values)
+        sqnorms = jnp.sum(values * values, axis=-1)
+        queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+        sv, ss, svd = shard_corpus(
+            mesh, values, sqnorms, jnp.asarray(valid)
+        )
+        for metric in (
+            SimilarityMetric.COSINE,
+            SimilarityMetric.EUCLIDEAN,
+        ):
+            s_ref, i_ref = sharded_search_amk(
+                sv, sv, ss, svd, queries,
+                metric=metric, k=k, k_sel=64,
+                recall_target=0.99, mesh=mesh,
+            )
+            s_fp, i_fp = sharded_search_amk(
+                sv, sv, ss, svd, queries,
+                metric=metric, k=k, k_sel=64,
+                recall_target=0.99, mesh=mesh,
+                tombstones=False, live_hi=jnp.int32(live),
+            )
+            assert np.array_equal(np.asarray(i_fp), np.asarray(i_ref))
+            np.testing.assert_allclose(
+                np.asarray(s_fp), np.asarray(s_ref), rtol=1e-5, atol=1e-6
+            )
+
     def test_delete_and_incremental_insert(self, mesh, rng):
         n, d = 300, 16
         data = rng.normal(size=(n, d))

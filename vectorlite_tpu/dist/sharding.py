@@ -107,7 +107,9 @@ def sharded_search_topk(
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "k", "k_sel", "recall_target", "mesh"),
+    static_argnames=(
+        "metric", "k", "k_sel", "recall_target", "mesh", "tombstones"
+    ),
 )
 def sharded_search_amk(
     values_scan: jax.Array,  # [cap, D] bf16 scan copy (or f32 rows), sharded
@@ -121,6 +123,8 @@ def sharded_search_amk(
     k_sel: int,
     recall_target: float,
     mesh: Mesh,
+    tombstones: bool = True,
+    live_hi: jax.Array | None = None,
 ):
     """Mesh speed mode: the flagship single-chip engine — fused matmul +
     ApproxTopK candidate selection + exact-f32 device re-score
@@ -130,11 +134,30 @@ def sharded_search_amk(
     approximation lives only in each shard's candidate selection, the
     same contract as single-chip. ApproxTopK lowers to a per-device
     PartialReduce (a local op), so no cross-shard communication happens
-    until the k-winner gather."""
+    until the k-winner gather.
+
+    ``tombstones=False`` + ``live_hi`` (a replicated scalar: the global
+    contiguous live watermark) lets each shard's rescore stage skip the
+    per-candidate validity gather: rows are block-sharded, so shard ``i``
+    holds global rows ``[i*rows_per_shard, ...)`` and its local
+    watermark is ``clip(live_hi - i*rows_per_shard, 0, rows_per_shard)``
+    (see amk._exact_rescore_device)."""
     from ..kernels.amk import amk_search_topk_rescored
 
-    def local_shard(vs, ve, sq, va, q):
+    if live_hi is None:
+        tombstones = True
+
+    def local_shard(vs, ve, sq, va, q, lh):
         rows_per_shard = vs.shape[0]
+        if tombstones:
+            shard_hi = None
+        else:
+            shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+            shard_hi = jnp.clip(
+                lh.astype(jnp.int32) - shard * rows_per_shard,
+                0,
+                rows_per_shard,
+            )
         s, i = amk_search_topk_rescored(
             vs,
             ve,
@@ -145,9 +168,13 @@ def sharded_search_amk(
             k=min(k, rows_per_shard),
             k_sel=min(k_sel, rows_per_shard),
             recall_target=recall_target,
+            tombstones=tombstones,
+            live_hi=shard_hi,
         )
         return _merge_local_topk(s, i, rows_per_shard, k)
 
+    if live_hi is None:
+        live_hi = jnp.int32(0)
     return jax.shard_map(
         local_shard,
         mesh=mesh,
@@ -157,10 +184,11 @@ def sharded_search_amk(
             P(SHARD_AXIS),
             P(SHARD_AXIS),
             P(None, None),
+            P(),
         ),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
-    )(values_scan, values_exact, sqnorms, valid, queries)
+    )(values_scan, values_exact, sqnorms, valid, queries, live_hi)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "mesh"))

@@ -117,8 +117,10 @@ def _chunk_candidates(
         # distance conversion below feeds the C++ heuristic); shared
         # with the serving scan so the metric formulas live once —
         # returns descending-by-score, invalid rows at -inf
+        # validity is the contiguous prefix [0, batch_end) — the
+        # watermark fast path needs no per-candidate validity gather
         scores, rows = _exact_rescore_device(
-            rows, values, sqnorms, valid_rows, queries, metric, k
+            rows, values, None, queries, metric, k, batch_end
         )
     else:
         from ..kernels.topk import search_topk

@@ -456,6 +456,12 @@ class FlatIndex:
         self._pq_active = False  # pq cache built and serving
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
+        # cached device scalar of the live watermark (tombstone-free
+        # corpora skip the rescore validity gather; the relay makes a
+        # per-call device_put of even 4 bytes expensive, so it uploads
+        # only when _size changes)
+        self._dev_live_hi: Optional[jax.Array] = None
+        self._dev_live_hi_val = -1
         self._dirty_lo = 0
         self._dirty_hi = 0
         self._mask_dirty = True
@@ -1900,6 +1906,7 @@ class FlatIndex:
                         self._capacity,
                         max(K_SEL_MIN, next_pow2(2 * k_pad)),
                     )
+                    tomb = self._count != self._size
                     return sharded_search_amk(
                         scan,
                         self._dev_values,
@@ -1911,6 +1918,8 @@ class FlatIndex:
                         k_sel=k_sel,
                         recall_target=recall_target(),
                         mesh=self._mesh,
+                        tombstones=tomb,
+                        live_hi=None if tomb else self._live_hi_scalar(),
                     )
                 return sharded_search_topk(
                     self._dev_values,
@@ -2034,6 +2043,7 @@ class FlatIndex:
                         self._capacity,
                         max(K_SEL_MIN, next_pow2(2 * k_pad)),
                     )
+                    tomb = self._count != self._size
                     return amk_search_topk_rescored(
                         scan,
                         self._dev_values,
@@ -2044,6 +2054,8 @@ class FlatIndex:
                         k=k_pad,
                         k_sel=k_sel,
                         recall_target=recall_target(),
+                        tombstones=tomb,
+                        live_hi=None if tomb else self._live_hi_scalar(),
                     )
                 if approx and self._dev_scan is not None:
                     # legacy speed mode (VECTORLITE_AMK=0): bf16 scan
@@ -2159,6 +2171,14 @@ class FlatIndex:
         self._dev_valid = None
         self._dirty_lo, self._dirty_hi = 0, self._size
         self._mask_dirty = True
+
+    def _live_hi_scalar(self) -> jax.Array:
+        """Device scalar of the live watermark for the no-tombstone
+        rescore fast path; re-uploaded only when ``_size`` moves."""
+        if self._dev_live_hi_val != self._size:
+            self._dev_live_hi = jnp.asarray(np.int32(self._size))
+            self._dev_live_hi_val = self._size
+        return self._dev_live_hi
 
     def _sync_device(self) -> None:
         from ..core.metrics import quantize_rows_int8
