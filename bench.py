@@ -198,6 +198,11 @@ def main() -> None:
     valid = jnp.ones(N, dtype=bool)
     queries = jnp.asarray(queries_f32)
 
+    # a fresh index with no deletes serves the watermark fast path
+    # (tombstones=False: rescore validity is slot < live_hi, no
+    # per-candidate mask gather) — mirror index/flat.py's dispatch
+    live_hi = jnp.asarray(np.int32(N))
+
     def run(rt=0.99):
         # default large-corpus serving profile (index/flat.py): bf16
         # scan copy -> fused matmul+ApproxTopK -> exact-f32 device
@@ -212,6 +217,8 @@ def main() -> None:
             k=K,
             k_sel=128,
             recall_target=rt,
+            tombstones=False,
+            live_hi=live_hi,
         )
 
     def run_block():
