@@ -61,11 +61,15 @@ def main():
     sqn = jnp.sum(dv * dv, axis=1)
     valid = jnp.ones((N,), bool)
 
+    live_hi = jnp.asarray(np.int32(N))
+
     def arm(scan, scales, aug):
+        # tombstones=False/live_hi mirrors the shipped fresh-index
+        # dispatch (the watermark rescore, post side-gather fix)
         return lambda: amk_search_topk_rescored(
             scan, dv, sqn, valid, dq,
             metric=SimilarityMetric.COSINE, k=K, augment=aug,
-            scan_scales=scales,
+            scan_scales=scales, tombstones=False, live_hi=live_hi,
         )
 
     arms = {
