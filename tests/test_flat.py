@@ -654,9 +654,11 @@ class TestSearchBatchStream:
             np.testing.assert_array_equal(ids, ref_ids)
             np.testing.assert_allclose(scores, ref_scores, rtol=1e-12)
 
-    def test_grouped_fetch_shape_change_flushes(self, rng):
-        """A batch-size change mid-group closes the open group (stacked
-        fetch needs uniform shapes); order and values still match."""
+    def test_grouped_fetch_mixed_batch_sizes(self, rng):
+        """Varying batch sizes within one group are concatenated into a
+        single dispatch (only a k_eff change closes an open group —
+        flat.py flush_group); each result must slice back to its own
+        batch's boundaries, in order, with exact values."""
         idx, data = self._index(rng)
         sizes = [6, 6, 9, 9, 9, 5, 6]
         batches = [

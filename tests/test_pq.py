@@ -238,6 +238,20 @@ class TestFlatIndexPQ:
         index.search(corpus(1, seed=2)[0], 1, M.COSINE)
         assert index._dev_codebooks is not cb_before  # retrained
 
+    def test_pool_floor_frozen_at_build(self, monkeypatch):
+        """The _selection_k pool floor keys off the LIVE cache's code
+        width, frozen at wholesale build: flipping VECTORLITE_PQ_BITS
+        afterwards (e.g. a bench harness mutating env) must not shrink
+        the 4-bit profile's 256 floor to 8-bit's 128 — measured pool
+        recall@10 drops 0.975 -> 0.906 if it does."""
+        index = FlatIndex(D, device_dtype="pq")
+        self._fill(index, 2048)
+        index.search(corpus(1, seed=1)[0], 1, M.COSINE)
+        assert index._pq_bits_active == 4
+        floor_before = index._selection_k(1, False)
+        monkeypatch.setenv("VECTORLITE_PQ_BITS", "8")
+        assert index._selection_k(1, False) == floor_before == 256
+
     def test_rotation_rescues_anisotropic_recall(self, monkeypatch):
         """OPQ-lite: on an eigen-decay (real-embedding-like) corpus the
         default rotation must clearly beat plain PQ (measured 0.76 ->

@@ -103,14 +103,12 @@ def _matmul(queries, values):
 def int8_quantize(rows):
     """Symmetric per-row int8 quantization: ``codes * scale ~ rows``.
 
-    Returns (int8 [N, D], f32 scales [N]). Zero rows get scale 1 so the
-    codes stay 0 (and dequantize to 0)."""
-    amax = jnp.max(jnp.abs(rows), axis=1)
-    scales = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
-    codes = jnp.clip(
-        jnp.round(rows / scales[:, None]), -127, 127
-    ).astype(jnp.int8)
-    return codes, scales
+    One implementation serves every int8 consumer (storage rung, scan
+    copy, probes): this is core.metrics.quantize_rows_int8, re-exported
+    here so kernel callers don't reach across layers."""
+    from ..core.metrics import quantize_rows_int8
+
+    return quantize_rows_int8(rows)
 
 
 def _int8_scan_dot(queries, values_s8, scan_scales):
@@ -119,11 +117,7 @@ def _int8_scan_dot(queries, values_s8, scan_scales):
     at 1M x 384 b=256 — half the HBM reads and the int8 MXU rate).
     Queries are quantized per-row on device; both scales fold back in
     f32 after the contraction."""
-    qmax = jnp.max(jnp.abs(queries), axis=1)
-    qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0).astype(jnp.float32)
-    q_s8 = jnp.clip(
-        jnp.round(queries / qscale[:, None]), -127, 127
-    ).astype(jnp.int8)
+    q_s8, qscale = int8_quantize(queries)
     dot = jax.lax.dot_general(
         q_s8,
         values_s8,

@@ -228,12 +228,13 @@ def _rank_surrogate(adc, metric, sq_chunk):
     """Monotonic selection surrogate on the ADC dot (see kernels/amk.py
     for the derivation; PQ ranks the same way — division/sqrt never
     ride the [B, chunk] fusion)."""
+    # MANHATTAN never reaches here: select_chunk ranks it directly on
+    # the pre-negated bf16 LUT operand (negating again would be wrong)
+    assert metric is not SimilarityMetric.MANHATTAN
     if metric is SimilarityMetric.COSINE:
         return adc * jax.lax.rsqrt(jnp.maximum(sq_chunk, 1e-30))[None, :]
     if metric is SimilarityMetric.EUCLIDEAN:
         return adc - 0.5 * sq_chunk[None, :]
-    if metric is SimilarityMetric.MANHATTAN:
-        return -adc  # adc IS the L1 distance; smaller is better
     return adc
 
 
