@@ -102,6 +102,27 @@ def main():
     out["t_e2e_ms"] = timeit(
         lambda: idx.search_batch_arrays(q64, K, SimilarityMetric.COSINE)
     )
+
+    # pipelined stream: device scan of batch i+D overlaps the relay
+    # fetch + host f64 rescore of batch i (the production sustained
+    # path); fresh query batches so no relay/jit caching flatters it
+    qs = [
+        (lambda a: a / np.linalg.norm(a, axis=1, keepdims=True))(
+            rng.normal(size=(B, D))
+        )
+        for _ in range(24)
+    ]
+    for depth in (2, 4):
+        t0 = time.perf_counter()
+        res = list(
+            idx.search_batch_stream(
+                iter(qs), K, SimilarityMetric.COSINE, depth=depth
+            )
+        )
+        dt = time.perf_counter() - t0
+        assert len(res) == len(qs)
+        out[f"t_stream_d{depth}_ms"] = dt / len(qs) * 1e3
+        out[f"qps_stream_d{depth}"] = len(qs) * B / dt
     accounted = (
         out["t_kernel_ms"]
         + out["t_fetch_ms"]
