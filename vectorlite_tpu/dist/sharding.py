@@ -229,7 +229,8 @@ def sharded_search_topk_int8(
 
 
 @partial(
-    jax.jit, static_argnames=("metric", "k", "chunk", "mesh", "packed")
+    jax.jit,
+    static_argnames=("metric", "k", "chunk", "mesh", "packed", "pallas"),
 )
 def sharded_search_pq(
     codes: jax.Array,  # [cap, M] uint8, row-sharded over mesh
@@ -243,6 +244,7 @@ def sharded_search_pq(
     chunk: int,
     mesh: Mesh,
     packed: bool = False,
+    pallas: bool = False,
 ):
     """PQ-profile distributed top-k: the streaming ADC scan
     (kernels/pq.py) runs per shard — each device holds only its slice
@@ -266,6 +268,7 @@ def sharded_search_pq(
             k=min(k, rows_per_shard),
             chunk=min(chunk, rows_per_shard),
             packed=packed,
+            pallas=pallas,
         )
         return _merge_local_topk(s, i, rows_per_shard, k)
 

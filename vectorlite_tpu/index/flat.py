@@ -1838,7 +1838,7 @@ class FlatIndex:
                 # k+_EXACT_MARGIN pool trim (kernels/pq.py). The wide
                 # _selection_k pool + the caller's exact f64 rescore
                 # absorb all three (measured 0.9656 recall@10 at 1M)
-                from ..kernels.pq import pq_search_topk
+                from ..kernels.pq import pq_pallas_default, pq_search_topk
 
                 sel_metric = metric
                 if self._pq_rot is not None:
@@ -1872,6 +1872,7 @@ class FlatIndex:
                         ),
                         mesh=self._mesh,
                         packed=self._pq_packed,
+                        pallas=pq_pallas_default(),
                     )
                 return pq_search_topk(
                     self._dev_codes,
@@ -1883,6 +1884,7 @@ class FlatIndex:
                     k=min(k_pad, self._capacity),
                     chunk=min(_PQ_ENCODE_BUCKET // 2, self._capacity),
                     packed=self._pq_packed,
+                    pallas=pq_pallas_default(),
                 )
             if self._mesh is not None:
                 # per-shard scan + all-gather merge. Speed mode rides

@@ -40,11 +40,14 @@ replaced it):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.metrics import SimilarityMetric
 
@@ -224,6 +227,180 @@ def _adc_lut(queries, codebooks, metric):
 _EXACT_MARGIN = 32
 
 
+#: corpus-tile rows per Pallas grid step (must divide the chunk width)
+_PQ_TILE = 1024
+
+#: Mosaic's default scoped-VMEM limit (16 MiB) is too small for the
+#: one-hot expansion value; mirror pallas_scan's raised budget.
+_PQ_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024
+)
+
+
+def pq_pallas_default() -> bool:
+    """Whether PQ selection should ride the fused Pallas rank kernel:
+    real TPU backend (the XLA formulation is correct everywhere; the
+    Pallas kernel exists to kill the one-hot HBM materialization, a
+    TPU-only cost) and not explicitly disabled."""
+    if os.environ.get("VECTORLITE_PQ_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _lut_flat_pallas(lut_sel_bf16: jax.Array, *, packed: bool) -> jax.Array:
+    """Permute the [B, M, kc] selection LUT into the flat lane order the
+    Pallas rank kernel's on-the-fly one-hot uses.
+
+    The kernel expands a codes tile by LANE-TILING the stored byte
+    matrix (``jnp.tile`` — the only cheap whole-row broadcast on the
+    VPU), so one-hot column ``j`` decomposes as ``rblk = j // ms_pad``,
+    ``m = j % ms_pad`` with the CENTROID in the major position:
+
+      packed:   rblk = 2*c + h  ->  column j <-> lut[:, 2*m + h, c]
+                (h = 0 selects the byte's HIGH nibble = even subspace,
+                 matching pack_nibbles' ``code_{2j} << 4`` order)
+      unpacked: rblk = c        ->  column j <-> lut[:, m, c]
+
+    Stored-byte columns are zero-padded up to a 128 multiple so every
+    VMEM layout in the kernel is lane-aligned; the padded LUT columns
+    are zero, so padding bytes (nibbles 0/0) contribute exactly 0 to
+    the ADC sum for every metric."""
+    b, m, kc = lut_sel_bf16.shape
+    if packed:
+        ms = m // 2
+        ms_pad = _round_up(ms, 128)
+        lr = lut_sel_bf16.reshape(b, ms, 2, kc)
+        lr = jnp.pad(lr, ((0, 0), (0, ms_pad - ms), (0, 0), (0, 0)))
+        # -> [B, kc, 2, ms_pad]; flat column = (2c + h) * ms_pad + m
+        return jnp.transpose(lr, (0, 3, 2, 1)).reshape(
+            b, kc * 2 * ms_pad
+        )
+    m_pad = _round_up(m, 128)
+    lr = jnp.pad(lut_sel_bf16, ((0, 0), (0, m_pad - m), (0, 0)))
+    return jnp.transpose(lr, (0, 2, 1)).reshape(b, kc * m_pad)
+
+
+def _pq_rank_kernel(
+    lut_ref,  # [B, reps * ms_pad] bf16 (permuted; negated for manhattan)
+    codes_ref,  # [TILE, ms_pad] uint8
+    sq_ref,  # [TILE // 128, 128] f32 exact squared norms, lane-packed
+    valid_ref,  # [TILE // 128, 128] int8 validity, lane-packed
+    out_ref,  # [B, TILE] f32 selection rank
+    *,
+    metric: SimilarityMetric,
+    kc: int,
+    packed: bool,
+    tile_n: int,
+):
+    """One corpus tile of the PQ selection rank, fused in VMEM.
+
+    The XLA formulation materializes the [chunk, M*kc] one-hot operand
+    in HBM (kOutput fusion feeding the convolution — ~2x the whole
+    kernel's HBM traffic; see pq_search_topk's docstring). Here the
+    expansion lives and dies in VMEM: lane-tile the raw code bytes
+    (jnp.tile — the proven fold-kernel broadcast), decode the nibble
+    arithmetically, compare against the lane's (centroid, half) id, and
+    feed the bf16 one-hot straight into the MXU contraction with the
+    permuted LUT. The selection surrogate (kernels/amk.py derivation)
+    and the validity mask fuse into the same step, so the only HBM
+    traffic is the code bytes in and the [B, chunk] rank out."""
+    u = codes_ref[:].astype(jnp.int32)  # [T, ms_pad]
+    ms_pad = u.shape[1]
+    reps = 2 * kc if packed else kc
+    u_rep = jnp.tile(u, (1, reps))  # [T, reps * ms_pad]
+    j = jax.lax.broadcasted_iota(jnp.int32, u_rep.shape, 1)
+    rblk = j // ms_pad
+    if packed:
+        c = rblk >> 1
+        nib = jnp.where(rblk & 1 == 0, (u_rep >> 4) & 0xF, u_rep & 0xF)
+        oh = (nib == c).astype(jnp.bfloat16)
+    else:
+        oh = (u_rep == rblk).astype(jnp.bfloat16)
+    adc = jax.lax.dot_general(
+        lut_ref[:],
+        oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, T]
+    sq = sq_ref[:].reshape(1, tile_n)
+    if metric is SimilarityMetric.COSINE:
+        rank = adc * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
+    elif metric is SimilarityMetric.EUCLIDEAN:
+        rank = adc - 0.5 * sq
+    else:  # DOT_PRODUCT, or MANHATTAN on the pre-negated LUT
+        rank = adc
+    ok = valid_ref[:].reshape(1, tile_n) != 0
+    out_ref[:] = jnp.where(ok, rank, NEG_INF)
+
+
+def _pallas_chunk_rank(
+    lut_flat,  # [B, reps * ms_pad] bf16
+    codes_chunk,  # [chunk, ms_pad] uint8 (lane-padded)
+    sq_chunk,  # [chunk] f32
+    valid_chunk,  # [chunk] bool
+    *,
+    metric: SimilarityMetric,
+    kc: int,
+    packed: bool,
+    tile_n: int,
+    interpret: bool,
+):
+    """[B, chunk] selection rank via the fused Pallas kernel."""
+    chunk, ms_pad = codes_chunk.shape
+    b, lanes = lut_flat.shape
+    kernel = partial(
+        _pq_rank_kernel, metric=metric, kc=kc, packed=packed,
+        tile_n=tile_n,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(chunk // tile_n,),
+        in_specs=[
+            pl.BlockSpec(
+                (b, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, ms_pad),
+                lambda j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_n // 128, 128),
+                lambda j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_n // 128, 128),
+                lambda j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, chunk), jnp.float32),
+        compiler_params=_PQ_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * chunk * lanes,
+            bytes_accessed=chunk * ms_pad + b * lanes * 2 + b * chunk * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        lut_flat,
+        codes_chunk,
+        sq_chunk.reshape(chunk // 128, 128),
+        valid_chunk.astype(jnp.int8).reshape(chunk // 128, 128),
+    )
+
+
 def _rank_surrogate(adc, metric, sq_chunk):
     """Monotonic selection surrogate on the ADC dot (see kernels/amk.py
     for the derivation; PQ ranks the same way — division/sqrt never
@@ -238,7 +415,12 @@ def _rank_surrogate(adc, metric, sq_chunk):
     return adc
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "chunk", "packed"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k", "chunk", "packed", "pallas", "tile_n", "interpret"
+    ),
+)
 def pq_search_topk(
     codes: jax.Array,  # [cap, M] uint8 (or [cap, M/2] when packed)
     codebooks: jax.Array,  # [M, kc, dsub] f32
@@ -250,6 +432,9 @@ def pq_search_topk(
     k: int,
     chunk: int = 65536,
     packed: bool = False,
+    pallas: bool = False,
+    tile_n: int = _PQ_TILE,
+    interpret: bool = False,
 ):
     """MXU ADC top-k: (scores [B, k], slots [B, k]).
 
@@ -290,14 +475,23 @@ def pq_search_topk(
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
         sqnorms = jnp.pad(sqnorms, (0, pad))
         valid = jnp.pad(valid, (0, pad))
+    # the fused Pallas rank path (selection only; the exact stage below
+    # is shared): requires lane-tileable chunks and a small codebook
+    # (kc <= 32 keeps the expanded operand within VMEM; the 8-bit
+    # kc=256 profile stays on the XLA formulation)
+    use_pallas = pallas and kc <= 32 and chunk % tile_n == 0
     queries = queries.astype(jnp.float32)
     lut = _adc_lut(queries, codebooks, metric)  # [B, M, kc] f32
     if metric is SimilarityMetric.MANHATTAN:
         # surrogate ranks on -L1; bake the sign into the bf16 operand
         # so selection is a pure max either way
-        lut_sel = (-lut).astype(jnp.bfloat16).reshape(b, m * kc)
+        lut_sel3 = (-lut).astype(jnp.bfloat16)
     else:
-        lut_sel = lut.astype(jnp.bfloat16).reshape(b, m * kc)
+        lut_sel3 = lut.astype(jnp.bfloat16)
+    if use_pallas:
+        lut_sel = _lut_flat_pallas(lut_sel3, packed=packed)
+    else:
+        lut_sel = lut_sel3.reshape(b, m * kc)
     qsq = jnp.sum(queries * queries, axis=1, keepdims=True)  # [B, 1]
 
     codes_c = codes.reshape(n_chunks, chunk, codes.shape[1])
@@ -313,17 +507,34 @@ def pq_search_topk(
 
     def select_chunk(carry, xs):
         codes_chunk, sq_chunk, valid_chunk, base = xs
-        adc = jax.lax.dot_general(
-            lut_sel,
-            onehot_flat(codes_chunk),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, chunk] (negated already for manhattan)
-        if metric is SimilarityMetric.MANHATTAN:
-            rank = adc  # = -L1 via the negated operand: max == nearest
+        if use_pallas:
+            # pad stored-byte columns to the kernel's lane multiple
+            # INSIDE the scan body (per-chunk, never a whole-corpus
+            # copy); zero bytes hit the zeroed LUT pad columns -> +0
+            ms = codes_chunk.shape[1]
+            ms_pad = _round_up(ms, 128)
+            cc = (
+                codes_chunk
+                if ms_pad == ms
+                else jnp.pad(codes_chunk, ((0, 0), (0, ms_pad - ms)))
+            )
+            rank = _pallas_chunk_rank(
+                lut_sel, cc, sq_chunk, valid_chunk,
+                metric=metric, kc=kc, packed=packed, tile_n=tile_n,
+                interpret=interpret,
+            )
         else:
-            rank = _rank_surrogate(adc, metric, sq_chunk)
-        rank = jnp.where(valid_chunk[None, :], rank, NEG_INF)
+            adc = jax.lax.dot_general(
+                lut_sel,
+                onehot_flat(codes_chunk),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, chunk] (negated already for manhattan)
+            if metric is SimilarityMetric.MANHATTAN:
+                rank = adc  # = -L1 via negated operand: max == nearest
+            else:
+                rank = _rank_surrogate(adc, metric, sq_chunk)
+            rank = jnp.where(valid_chunk[None, :], rank, NEG_INF)
         cs, ci = jax.lax.approx_max_k(rank, k_chunk, recall_target=0.95)
         return carry, (cs, ci + base)
 
