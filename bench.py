@@ -122,9 +122,10 @@ def main() -> None:
                         "measured_at": prev["when"],
                         "note": (
                             "tpu relay congested at record time; value "
-                            "replayed verbatim from this round's last "
-                            "healthy-window bench.py run (bench/"
-                            "last_headline.json), not re-measured"
+                            "replayed verbatim from the best healthy-"
+                            "window bench.py record tracked in bench/"
+                            "last_headline.json (measured_at says "
+                            "when), not re-measured"
                         ),
                     }
                 )
@@ -298,7 +299,20 @@ def main() -> None:
     for _ in range(2):
         time.sleep(30.0)
         epochs.append(measure_epoch())
-    t_exec = min(epochs)
+    # Slope differencing can go negative (or implausibly small) when
+    # the window degrades between an epoch's t_small and t_large
+    # passes; keep only plausible epochs (positive and within 3.3x of
+    # the positive-epoch median — healthy vs degraded windows differ
+    # ~2x, a subtraction artifact differs far more) before taking min.
+    positive = sorted(e for e in epochs if e > 0)
+    if positive:
+        med = positive[len(positive) // 2]
+        t_exec = min(e for e in positive if e >= 0.3 * med)
+    else:  # every epoch was a subtraction artifact; un-differenced
+        # upper bound (includes the fixed relay sync cost)
+        t_exec = min(chain_fn(run, 4 + ITERS) for _ in range(2)) / (
+            4 + ITERS
+        )
     device_qps = BATCH / t_exec
     log(
         f"device search (amk default profile): "
@@ -317,6 +331,11 @@ def main() -> None:
         try:
             chain_fn(fn, 2)
             te = (chain_fn(fn, 4 + ITERS) - chain_fn(fn, 4)) / ITERS
+            if te <= 0:  # window shifted between the two passes
+                te = (chain_fn(fn, 4 + ITERS) - chain_fn(fn, 4)) / ITERS
+            if te <= 0:  # un-differenced upper bound, labeled
+                te = chain_fn(fn, 4 + ITERS) / (4 + ITERS)
+                name += " incl. sync"
             log(
                 f"device search ({name}, secondary): "
                 f"{te * 1e3:.3f} ms/batch ({BATCH / te:,.0f} QPS)"
@@ -343,7 +362,13 @@ def main() -> None:
         with open("bench/last_headline.json") as f:
             prev = json.load(f)
         prev_best = prev.get("best", prev)
-        if prev_best.get("value", 0) > best["value"]:
+        # only comparable if it measured the SAME metric/shape/recall
+        # (the metric string encodes all three); a config change must
+        # not inherit an old config's record
+        if (
+            prev_best.get("metric") == record["metric"]
+            and prev_best.get("value", 0) > best["value"]
+        ):
             best = prev_best
             if record["value"] < 0.75 * prev_best["value"]:
                 record["note"] = (

@@ -52,15 +52,20 @@ def bench_n(n: int, rng, out: dict, label: str, parity: bool, reps=REPS):
         rows = rng.normal(size=(min(n, 262144), D)).astype(np.float32)
         rows /= np.linalg.norm(rows, axis=1, keepdims=True)
         cb = train_codebooks(rows[:65536], m, kc=16, iters=4)
-        chunks = []
+        chunks, sqs = [], []
         for lo in range(0, n, 262144):
             take = min(262144, n - lo)
-            chunks.append(
-                np.asarray(encode_rows(cb, jnp.asarray(rows[:take])))
-            )
+            if lo == 0:
+                r = rows[:take]
+            else:  # fresh rows per chunk: duplicate rows would fill
+                # the pool with exact ties and drown the id-parity
+                # signal this probe exists to measure
+                r = rng.normal(size=(take, D)).astype(np.float32)
+                r /= np.linalg.norm(r, axis=1, keepdims=True)
+            chunks.append(np.asarray(encode_rows(cb, jnp.asarray(r))))
+            sqs.append(np.einsum("nd,nd->n", r, r).astype(np.float32))
         codes_u = np.concatenate(chunks)[:n]
-        sq_np = np.einsum("nd,nd->n", rows, rows).astype(np.float32)
-        sq = jnp.asarray(np.resize(sq_np, n))
+        sq = jnp.asarray(np.concatenate(sqs)[:n])
     else:
         # random codes/codebooks: formulation timing only (identical
         # compute shape; recall is the parity run's job)

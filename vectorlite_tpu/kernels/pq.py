@@ -330,12 +330,10 @@ def _pq_rank_kernel(
         preferred_element_type=jnp.float32,
     )  # [B, T]
     sq = sq_ref[:].reshape(1, tile_n)
-    if metric is SimilarityMetric.COSINE:
-        rank = adc * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
-    elif metric is SimilarityMetric.EUCLIDEAN:
-        rank = adc - 0.5 * sq
-    else:  # DOT_PRODUCT, or MANHATTAN on the pre-negated LUT
+    if metric is SimilarityMetric.MANHATTAN:  # pre-negated LUT
         rank = adc
+    else:  # same surrogate math as the XLA branch, one definition
+        rank = _rank_surrogate(adc, metric, sq)
     ok = valid_ref[:].reshape(1, tile_n) != 0
     out_ref[:] = jnp.where(ok, rank, NEG_INF)
 
@@ -408,10 +406,11 @@ def _rank_surrogate(adc, metric, sq_chunk):
     # MANHATTAN never reaches here: select_chunk ranks it directly on
     # the pre-negated bf16 LUT operand (negating again would be wrong)
     assert metric is not SimilarityMetric.MANHATTAN
+    sq = sq_chunk if sq_chunk.ndim == 2 else sq_chunk[None, :]
     if metric is SimilarityMetric.COSINE:
-        return adc * jax.lax.rsqrt(jnp.maximum(sq_chunk, 1e-30))[None, :]
+        return adc * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
     if metric is SimilarityMetric.EUCLIDEAN:
-        return adc - 0.5 * sq_chunk[None, :]
+        return adc - 0.5 * sq
     return adc
 
 
@@ -479,7 +478,9 @@ def pq_search_topk(
     # is shared): requires lane-tileable chunks and a small codebook
     # (kc <= 32 keeps the expanded operand within VMEM; the 8-bit
     # kc=256 profile stays on the XLA formulation)
-    use_pallas = pallas and kc <= 32 and chunk % tile_n == 0
+    use_pallas = (
+        pallas and kc <= 32 and chunk % tile_n == 0 and tile_n % 128 == 0
+    )
     queries = queries.astype(jnp.float32)
     lut = _adc_lut(queries, codebooks, metric)  # [B, M, kc] f32
     if metric is SimilarityMetric.MANHATTAN:
