@@ -41,6 +41,7 @@ replaced it):
 from __future__ import annotations
 
 import os
+import warnings
 from functools import partial
 
 import jax
@@ -329,11 +330,7 @@ def _pq_rank_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, T]
-    sq = sq_ref[:].reshape(1, tile_n)
-    if metric is SimilarityMetric.MANHATTAN:  # pre-negated LUT
-        rank = adc
-    else:  # same surrogate math as the XLA branch, one definition
-        rank = _rank_surrogate(adc, metric, sq)
+    rank = _rank_surrogate(adc, metric, sq_ref[:].reshape(1, tile_n))
     ok = valid_ref[:].reshape(1, tile_n) != 0
     out_ref[:] = jnp.where(ok, rank, NEG_INF)
 
@@ -399,19 +396,20 @@ def _pallas_chunk_rank(
     )
 
 
-def _rank_surrogate(adc, metric, sq_chunk):
+def _rank_surrogate(adc, metric, sq):
     """Monotonic selection surrogate on the ADC dot (see kernels/amk.py
     for the derivation; PQ ranks the same way — division/sqrt never
-    ride the [B, chunk] fusion)."""
-    # MANHATTAN never reaches here: select_chunk ranks it directly on
-    # the pre-negated bf16 LUT operand (negating again would be wrong)
-    assert metric is not SimilarityMetric.MANHATTAN
-    sq = sq_chunk if sq_chunk.ndim == 2 else sq_chunk[None, :]
+    ride the [B, chunk] fusion). `sq` must already be 2-D ([1, chunk]).
+
+    MANHATTAN passes through: the -L1 sign is baked into the bf16 LUT
+    operand upstream (pq_search_topk), so the ADC dot is already the
+    rank — negating again here would be wrong.
+    """
     if metric is SimilarityMetric.COSINE:
         return adc * jax.lax.rsqrt(jnp.maximum(sq, 1e-30))
     if metric is SimilarityMetric.EUCLIDEAN:
         return adc - 0.5 * sq
-    return adc
+    return adc  # DOT_PRODUCT, or MANHATTAN on the pre-negated LUT
 
 
 @partial(
@@ -481,6 +479,20 @@ def pq_search_topk(
     use_pallas = (
         pallas and kc <= 32 and chunk % tile_n == 0 and tile_n % 128 == 0
     )
+    if pallas and not use_pallas and kc <= 32:
+        # the kc > 32 fallback is documented design (the 8-bit profile
+        # stays on XLA: its expanded one-hot operand would blow VMEM),
+        # but a tiling violation is a caller surprise — say so
+        # (trace-time, once per compiled config) instead of silently
+        # measuring the XLA formulation under a "pallas" label
+        warnings.warn(
+            "pq_search_topk: pallas=True ignored (needs "
+            f"chunk % tile_n == 0 and tile_n % 128 == 0; got "
+            f"chunk={chunk}, tile_n={tile_n}); using the XLA "
+            "formulation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     queries = queries.astype(jnp.float32)
     lut = _adc_lut(queries, codebooks, metric)  # [B, M, kc] f32
     if metric is SimilarityMetric.MANHATTAN:
@@ -531,10 +543,7 @@ def pq_search_topk(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [B, chunk] (negated already for manhattan)
-            if metric is SimilarityMetric.MANHATTAN:
-                rank = adc  # = -L1 via negated operand: max == nearest
-            else:
-                rank = _rank_surrogate(adc, metric, sq_chunk)
+            rank = _rank_surrogate(adc, metric, sq_chunk[None, :])
             rank = jnp.where(valid_chunk[None, :], rank, NEG_INF)
         cs, ci = jax.lax.approx_max_k(rank, k_chunk, recall_target=0.95)
         return carry, (cs, ci + base)
