@@ -109,7 +109,11 @@ def main() -> None:
             # in the record; a fresh run in a healthy window overwrites.
             with open("bench/last_headline.json") as f:
                 prev = json.load(f)
-            prev = {**prev, **prev.get("best", {})}
+            # Replay the LAST measured record verbatim (top-level
+            # fields), never the merged best-ever — consumers parsing
+            # `value` must see an actual measurement. The round's best
+            # healthy-window record rides alongside, structurally
+            # labeled, for anyone who wants the ceiling.
             log(f"replaying last healthy-window record from {prev['when']}")
             print(
                 json.dumps(
@@ -119,10 +123,12 @@ def main() -> None:
                         "unit": prev["unit"],
                         "vs_baseline": prev["vs_baseline"],
                         "stale": True,
+                        "replayed": True,
                         "measured_at": prev["when"],
+                        "best_healthy_window": prev.get("best"),
                         "note": (
                             "tpu relay congested at record time; value "
-                            "replayed verbatim from the best healthy-"
+                            "replayed verbatim from the last healthy-"
                             "window bench.py record tracked in bench/"
                             "last_headline.json (measured_at says "
                             "when), not re-measured"
@@ -157,6 +163,7 @@ def main() -> None:
                     # this host in BENCH_r02.json
                     "vs_baseline": round(101056 / 24.04, 1),
                     "stale": True,
+                    "replayed": True,
                     "measured_at": "2026-08-17 08:25",
                     "note": (
                         "tpu relay unresponsive at record time (outage: "
@@ -353,6 +360,13 @@ def main() -> None:
         "unit": "queries/s",
         "vs_baseline": round(device_qps / baseline, 2),
     }
+    # Epoch provenance (ADVICE r3): the headline is min-of-plausible-
+    # epochs; persist the full epoch list + median so the claim can be
+    # qualified ("min 3.6 of median 3.7") without re-running.
+    if positive:
+        record["epochs_ms"] = [round(e * 1e3, 3) for e in epochs]
+        record["epoch_median_ms"] = round(med * 1e3, 3)
+        record["epoch_min_ms"] = round(t_exec * 1e3, 3)
     # Degraded-window annotation: if this measurement sits well below
     # the round's best healthy-window record of the SAME engine/shape,
     # say so in the record rather than letting one contended window

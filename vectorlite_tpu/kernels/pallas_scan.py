@@ -15,8 +15,9 @@ matmul). Cosine/euclidean ride the cached squared norms; ties break toward
 the lower global row index, matching the XLA path's insertion-order
 tie-break (reference stable sort: src/index/flat.rs:116).
 
-Manhattan has no matmul form and stays on the tiled XLA path
-(core/metrics.py).
+Manhattan has no matmul form; large corpora route to the dedicated
+fused L1 kernel (kernels/pallas_l1.py, see index/flat.py's dispatch),
+small ones to the tiled XLA path (core/metrics.py).
 """
 
 from __future__ import annotations

@@ -476,10 +476,39 @@ def pq_search_topk(
     # is shared): requires lane-tileable chunks and a small codebook
     # (kc <= 32 keeps the expanded operand within VMEM; the 8-bit
     # kc=256 profile stays on the XLA formulation)
-    use_pallas = (
-        pallas and kc <= 32 and chunk % tile_n == 0 and tile_n % 128 == 0
+    # scoped-VMEM footprint of one grid step (ADVICE r3): the kernel's
+    # int32 lane-tiled codes + bf16 one-hot intermediates scale with
+    # b and the code width; exceeding the raised budget is a
+    # compile-time Mosaic failure, so estimate it in the gate and keep
+    # oversized configs on the XLA formulation instead.
+    _ms = (codes.shape[1])  # stored byte columns (already /2 if packed)
+    _ms_pad = _round_up(_ms, 128)
+    _lanes = (2 * kc if packed else kc) * _ms_pad
+    vmem_est = (
+        b * _lanes * 2  # resident LUT block (bf16)
+        + tile_n * _ms_pad  # codes tile (uint8)
+        + tile_n * _lanes * 6  # lane-tiled int32 codes + bf16 one-hot
+        + b * tile_n * 4  # rank tile out (f32)
     )
-    if pallas and not use_pallas and kc <= 32:
+    vmem_ok = vmem_est <= _PQ_COMPILER_PARAMS.vmem_limit_bytes
+    use_pallas = (
+        pallas
+        and kc <= 32
+        and chunk % tile_n == 0
+        and tile_n % 128 == 0
+        and vmem_ok
+    )
+    if pallas and kc <= 32 and not vmem_ok:
+        warnings.warn(
+            "pq_search_topk: pallas=True ignored (estimated per-step "
+            f"VMEM footprint {vmem_est / 2**20:.0f} MiB exceeds the "
+            f"{_PQ_COMPILER_PARAMS.vmem_limit_bytes / 2**20:.0f} MiB "
+            "scoped budget; shrink the query batch or tile_n); using "
+            "the XLA formulation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    elif pallas and not use_pallas and kc <= 32:
         # the kc > 32 fallback is documented design (the 8-bit profile
         # stays on XLA: its expanded one-hot operand would blow VMEM),
         # but a tiling violation is a caller surprise — say so
