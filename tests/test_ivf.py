@@ -1,0 +1,232 @@
+"""IVF partitioned scan (kernels/ivf.py + the FlatIndex auto gate):
+layout invariants, Pallas/XLA probe parity, full-probe exactness, and
+the index-level serving contract (tail inserts, tombstones, compaction,
+exact returned scores)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vectorlite_tpu.core.metrics import SimilarityMetric
+from vectorlite_tpu.core.types import Vector
+from vectorlite_tpu.index.flat import FlatIndex
+from vectorlite_tpu.kernels import ivf
+
+M = SimilarityMetric
+D = 64
+
+
+@pytest.fixture(autouse=True)
+def ivf_env(monkeypatch):
+    """Engage the IVF rung at test scale on the CPU backend, and keep
+    searches off the host-f64 scan so the device path is exercised."""
+    monkeypatch.setenv("VECTORLITE_IVF_FORCE", "1")
+    monkeypatch.setenv("VECTORLITE_IVF_MIN_ROWS", "2000")
+    monkeypatch.setenv("VECTORLITE_IVF_TRAIN_SAMPLE", "3000")
+    monkeypatch.setenv("VECTORLITE_IVF_ITERS", "4")
+    monkeypatch.setenv("VECTORLITE_IVF_PART_ROWS", "64")
+    monkeypatch.setenv("VECTORLITE_IVF_NPROBE", "8")
+    monkeypatch.setenv("VECTORLITE_IVF_TAIL_MAX", "512")
+    monkeypatch.setenv("VECTORLITE_HOST_SCAN_ROWS", "0")
+
+
+def corpus(n, d=D, seed=0, clusters=40):
+    rng = np.random.default_rng(seed)
+    centers = 3.0 * rng.normal(size=(clusters, d))
+    rows = centers[rng.integers(0, clusters, n)] + rng.normal(size=(n, d))
+    return rows.astype(np.float64)
+
+
+def exact_topk(rows, q, k, metric):
+    if metric is M.DOT_PRODUCT:
+        s = rows @ q
+    elif metric is M.COSINE:
+        denom = np.linalg.norm(rows, axis=1) * np.linalg.norm(q)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(denom > 0, (rows @ q) / np.maximum(denom, 1e-300), 0)
+    else:
+        s = 1.0 / (1.0 + np.linalg.norm(rows - q, axis=1))
+    order = np.argsort(-s, kind="stable")[:k]
+    return order, s[order]
+
+
+# ------------------------------------------------------------- kernel level
+
+
+def test_layout_partitions_every_live_slot_once():
+    rng = np.random.default_rng(1)
+    live = np.sort(rng.choice(5000, 3200, replace=False))
+    assign = rng.integers(0, 16, len(live)).astype(np.int32)
+    part_slots, extra_slots = ivf.build_layout(assign, live, 16)
+    got = np.concatenate([part_slots[part_slots >= 0], extra_slots])
+    assert sorted(got.tolist()) == live.tolist()
+    # pads are -1 and partition width is a lane multiple
+    assert part_slots.shape[1] % 128 == 0
+
+
+def test_train_centroids_separates_clusters():
+    rows = corpus(4000, clusters=8).astype(np.float32)
+    cents = ivf.train_centroids(rows, 8, iters=8, chunk=1000)
+    a = ivf.assign_rows(rows.astype(np.float64), np.arange(4000), cents)
+    # nearly every pair from one natural cluster must agree (k-means at
+    # C == clusters recovers well-separated gaussians)
+    sizes = np.bincount(a, minlength=8)
+    assert (sizes > 0).all()
+
+
+def test_gather_score_pallas_matches_xla():
+    rng = np.random.default_rng(2)
+    c, p, d, b, l = 8, 128, D, 4, 3
+    rows = jnp.asarray(
+        rng.normal(size=(c * p, d)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    ids = jnp.asarray(rng.integers(0, c, (b, l)).astype(np.int32))
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    out_x = ivf.gather_score_xla(rows, ids, q, p_width=p)
+    out_p = ivf.gather_score_pallas(
+        rows, ids, q, p_width=p, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x), np.asarray(out_p), rtol=0, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("metric", [M.COSINE, M.EUCLIDEAN, M.DOT_PRODUCT])
+def test_full_probe_matches_exact(metric):
+    """nprobe == C probes everything: ids must match the f64 scan."""
+    vals = corpus(3000)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(3000, dtype=np.uint64), vals)
+    q = corpus(6, seed=9)[:, :D]
+    import os
+
+    os.environ["VECTORLITE_IVF_NPROBE"] = "1000000"
+    try:
+        res = idx.search_batch(q, k=10, metric=metric)
+    finally:
+        os.environ["VECTORLITE_IVF_NPROBE"] = "8"
+    assert idx._ivf_active
+    for i in range(len(q)):
+        truth_ids, truth_scores = exact_topk(vals, q[i], 10, metric)
+        got_ids = [r.id for r in res[i]]
+        assert got_ids == truth_ids.tolist()
+        # f32 device exact-rescore (the f32-storage contract):
+        # ids exact, scores to f32 precision
+        np.testing.assert_allclose(
+            [r.score for r in res[i]], truth_scores, rtol=2e-6
+        )
+
+
+def test_index_recall_and_exact_scores():
+    vals = corpus(4096)
+    idx = FlatIndex(D)
+    n = len(vals)
+    idx.add_batch_arrays(
+        np.arange(n, dtype=np.uint64), vals,
+    )
+    q = vals[:8] + 0.01  # near-duplicate queries
+    res = idx.search_batch(np.asarray(q), k=10, metric=M.COSINE)
+    assert idx._ivf_active
+    hits = 0
+    for i in range(len(q)):
+        truth_ids, _ = exact_topk(vals, q[i], 10, M.COSINE)
+        got = [r.id for r in res[i]]
+        hits += len(set(got) & set(truth_ids.tolist()))
+        # scores that ARE returned must be exact formula values (f32 rescore)
+        for r in res[i]:
+            s = exact_topk(vals[r.id : r.id + 1], q[i], 1, M.COSINE)[1][0]
+            assert abs(r.score - s) < 2e-6
+    assert hits / (10 * len(q)) >= 0.95
+
+
+def test_tail_inserts_are_found_immediately():
+    vals = corpus(3000)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(3000, dtype=np.uint64), vals)
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)  # build layout
+    assert idx._ivf_active
+    hi = idx._ivf_hi
+    new = 7.0 * np.ones(D)
+    idx.add(Vector(id=99999, values=new.tolist(), text=""))
+    res = idx.search_batch(new[None, :], k=1, metric=M.COSINE)
+    assert idx._ivf_hi == hi  # layout untouched: the row rode the tail
+    assert res[0][0].id == 99999
+
+
+def test_tail_overflow_triggers_rebuild():
+    vals = corpus(2500)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(2500, dtype=np.uint64), vals,
+    )
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    first_hi = idx._ivf_hi
+    more = corpus(600, seed=5)
+    idx.add_batch_arrays(
+        np.arange(10000, 10600, dtype=np.uint64),
+        more,
+    )
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert idx._ivf_hi > first_hi  # tail outgrew its budget: rebuilt
+
+
+def test_deletes_and_compaction():
+    vals = corpus(3000)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(3000, dtype=np.uint64), vals)
+    q = vals[42][None, :]
+    res = idx.search_batch(q, k=1, metric=M.COSINE)
+    assert res[0][0].id == 42
+    idx.delete(42)
+    res = idx.search_batch(q, k=5, metric=M.COSINE)
+    assert all(r.id != 42 for r in res[0])
+    idx.compact()
+    res = idx.search_batch(q, k=5, metric=M.COSINE)
+    assert all(r.id != 42 for r in res[0])
+    truth_ids, _ = exact_topk(
+        np.delete(vals, 42, axis=0), q[0], 1, M.COSINE
+    )
+    # nearest surviving neighbor still found after compaction re-layout
+    assert len(res[0]) == 5
+
+
+def test_ivf_disabled_below_gate(monkeypatch):
+    monkeypatch.setenv("VECTORLITE_IVF_MIN_ROWS", "1000000")
+    vals = corpus(2500)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(2500, dtype=np.uint64), vals,
+    )
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert not idx._ivf_active
+
+
+def test_ivf_skips_oversized_batches():
+    """A batch big enough that probes exceed half the corpus must fall
+    through to the brute engine (and still answer correctly)."""
+    vals = corpus(2100)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(2100, dtype=np.uint64), vals,
+    )
+    q = np.asarray(corpus(64, seed=3))
+    res = idx.search_batch(q, k=5, metric=M.COSINE)
+    for i in (0, 63):
+        truth_ids, _ = exact_topk(vals, q[i], 5, M.COSINE)
+        assert [r.id for r in res[i]] == truth_ids.tolist()
+
+
+def test_manhattan_bypasses_ivf():
+    vals = corpus(2500)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(
+        np.arange(2500, dtype=np.uint64), vals,
+    )
+    q = vals[7][None, :]
+    res = idx.search_batch(q, k=3, metric=M.MANHATTAN)
+    assert res[0][0].id == 7

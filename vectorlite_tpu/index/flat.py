@@ -458,6 +458,23 @@ class FlatIndex:
         # env knob read later must not re-shape pool floors for codes
         # that were already built — see _selection_k)
         self._pq_bits_active: Optional[int] = None
+        # IVF partitioned-scan state (kernels/ivf.py): a partition-
+        # contiguous bf16 copy of the corpus + slot/norm/validity
+        # tables, built lazily past the size gate. Selection then reads
+        # only the probed partitions instead of the whole corpus — the
+        # scale rung that keeps 8M+ rows *fast* (VERDICT round 3).
+        self._ivf_rows: Optional[jax.Array] = None  # [C*P, D] bf16
+        self._ivf_slots: Optional[jax.Array] = None  # [C*P] int32
+        self._ivf_sq: Optional[jax.Array] = None  # [C*P] f32
+        self._ivf_valid: Optional[jax.Array] = None  # [C*P] bool
+        self._ivf_centroids: Optional[jax.Array] = None  # [C, D] f32
+        self._ivf_cent_sq: Optional[jax.Array] = None  # [C] f32
+        self._ivf_extra: tuple = ()  # (rows, slots, sq, valid) overflow
+        self._ivf_p = 0  # partition pad width P
+        self._ivf_hi = 0  # slots below this are inside the layout
+        self._ivf_active = False
+        self._ivf_slots_np: Optional[np.ndarray] = None
+        self._ivf_extra_slots_np: Optional[np.ndarray] = None
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
         # cached device scalar of the live watermark (tombstone-free
@@ -666,6 +683,7 @@ class FlatIndex:
         self._dev_sqnorms = None
         self._dev_valid = None
         self._dirty_lo, self._dirty_hi = 0, n
+        self._ivf_drop()  # compaction renumbers slots
         self._epoch += 1
         self._mask_dirty = True
 
@@ -1830,6 +1848,22 @@ class FlatIndex:
                 valid = jnp.logical_and(valid, where_dev)
                 approx = False
             queries = jnp.asarray(q)
+            if (
+                approx
+                and self._ivf_active
+                and where_dev is None
+                and metric is not SimilarityMetric.MANHATTAN
+            ):
+                # IVF partitioned scan (kernels/ivf.py): reads only the
+                # probed partitions + the insert tail. Falls through to
+                # the brute engines when the batch is large enough that
+                # one full corpus read amortizes better (see _ivf_topk).
+                # Filtered searches never reach here (approx is forced
+                # False), matching the clustered-survivor rule the
+                # other approximate engines follow.
+                res = self._ivf_topk(queries, k_pad, metric)
+                if res is not None:
+                    return res
             if self._pq_active:
                 # streaming ADC over the code matrix. Approximation
                 # sources, in order of measured impact: the code
@@ -2199,6 +2233,19 @@ class FlatIndex:
         return self._dev_live_hi
 
     def _sync_device(self) -> None:
+        """Bring every device cache up to the host truth: the rung
+        buffers (_sync_device_core) and, past the gate, the IVF
+        partition layout. The mask/dirty flags are snapshotted first
+        because the core sync consumes them."""
+        mask_was_dirty = self._mask_dirty
+        dirty_lo, dirty_hi = self._dirty_lo, self._dirty_hi
+        self._sync_device_core()
+        if self._ivf_wanted():
+            self._sync_device_ivf(mask_was_dirty, dirty_lo, dirty_hi)
+        elif self._ivf_rows is not None:
+            self._ivf_drop()
+
+    def _sync_device_core(self) -> None:
         from ..core.metrics import quantize_rows_int8
 
         if self._pq and self._sync_device_pq():
@@ -2484,6 +2531,250 @@ class FlatIndex:
             self._mask_dirty = False
         self._pq_active = True
         return True
+
+    # ------------------------------------------------------ IVF scale rung
+
+    def _ivf_wanted(self) -> bool:
+        """Gate for the IVF partitioned scan (kernels/ivf.py): explicit
+        opt-out via VECTORLITE_IVF=0, otherwise auto-engage on corpora
+        large enough that brute-force per-batch reads dominate
+        (default 2M live rows; VECTORLITE_IVF_MIN_ROWS overrides — the
+        frontier measurements live in BASELINE.md round 4). Serves the
+        f32/bf16 rungs single-chip; the int8/PQ capacity rungs and mesh
+        sharding keep their existing engines (IVF-under-mesh and
+        IVF-PQ are future compositions)."""
+        from ..utils import env_number
+
+        if env_number("VECTORLITE_IVF", 1) != 1:
+            return False
+        if (
+            self._mesh is not None
+            or self._pq
+            or self._quantized
+            or self._precision_risky
+        ):
+            return False
+        if jax.default_backend() not in ("tpu", "cpu"):
+            return False
+        if jax.default_backend() == "cpu" and not os.environ.get(
+            "VECTORLITE_IVF_FORCE"
+        ):
+            return False  # CPU: tests only (the XLA gather formulation)
+        min_rows = int(env_number("VECTORLITE_IVF_MIN_ROWS", 2_000_000))
+        return self._count >= max(min_rows, 4 * 128)
+
+    def _ivf_drop(self) -> None:
+        self._ivf_rows = None
+        self._ivf_slots = None
+        self._ivf_sq = None
+        self._ivf_valid = None
+        self._ivf_extra = ()
+        self._ivf_active = False
+        self._ivf_hi = 0
+        self._ivf_slots_np = None
+        self._ivf_extra_slots_np = None
+
+    def _sync_device_ivf(
+        self, mask_was_dirty: bool, dirty_lo: int, dirty_hi: int
+    ) -> None:
+        """Maintain the IVF layout next to the rung buffers.
+
+        Invariants: slots below ``_ivf_hi`` live in the partition
+        layout (or its overflow extras); slots in ``[_ivf_hi, _size)``
+        are the *tail*, brute-scanned by every IVF query. Appends
+        therefore never touch the layout; the layout rebuilds wholesale
+        when the tail outgrows its budget, when a dirty burst rewrote a
+        row *below* the watermark (in-place update — rare), or after
+        compaction renumbers slots (_compact drops the cache).
+        Tombstone flips only refresh the gathered validity tables."""
+        from ..utils import env_number
+
+        if self._ivf_rows is not None:
+            if dirty_hi > dirty_lo and dirty_lo < self._ivf_hi:
+                self._ivf_drop()  # in-place rewrite below the watermark
+            else:
+                tail = self._size - self._ivf_hi
+                tail_max = max(
+                    int(env_number("VECTORLITE_IVF_TAIL_MAX", 131072)),
+                    int(0.05 * self._count),
+                )
+                if tail > tail_max:
+                    self._ivf_drop()
+        if self._ivf_rows is None:
+            self._ivf_build()
+            return
+        if mask_was_dirty:
+            self._ivf_refresh_valid()
+
+    def _ivf_build(self) -> None:
+        """Wholesale layout build: k-means coarse centroids (trained on
+        a live-row sample, retrained only when the partition count
+        changes), nearest-centroid assignment of every live row, then
+        the partition-contiguous bf16 copy uploaded in bounded chunks
+        (no full-corpus staging temp — same rule as the PQ encoder)."""
+        from ..kernels import ivf as _ivf
+        from ..utils import env_number
+
+        import ml_dtypes
+
+        live = np.nonzero(self._valid[: self._size])[0]
+        n_live = len(live)
+        part_rows = max(64, int(env_number("VECTORLITE_IVF_PART_ROWS", 512)))
+        c = int(np.clip(next_pow2(max(1, n_live // part_rows)), 64, 65536))
+        if (
+            self._ivf_centroids is None
+            or int(self._ivf_centroids.shape[0]) != c
+        ):
+            sample_n = min(
+                n_live,
+                max(
+                    int(env_number("VECTORLITE_IVF_TRAIN_SAMPLE", 262144)),
+                    2 * c,
+                ),
+            )
+            if sample_n < n_live:
+                sel = np.random.default_rng(0).choice(
+                    live, sample_n, replace=False
+                )
+                sel.sort()
+            else:
+                sel = live
+            sample32 = self._values64[sel].astype(np.float32)
+            self._ivf_centroids = _ivf.train_centroids(
+                sample32,
+                c,
+                iters=int(env_number("VECTORLITE_IVF_ITERS", 8)),
+            )
+            self._ivf_cent_sq = jnp.sum(
+                self._ivf_centroids * self._ivf_centroids, axis=1
+            )
+        assign = _ivf.assign_rows(self._values64, live, self._ivf_centroids)
+        part_slots, extra_slots = _ivf.build_layout(
+            assign,
+            live,
+            c,
+            pad_factor=float(env_number("VECTORLITE_IVF_PAD", 1.25)),
+        )
+        cp, p_width = part_slots.shape[0] * part_slots.shape[1], (
+            part_slots.shape[1]
+        )
+        ps_flat = part_slots.reshape(-1)
+        rows_dev = jnp.zeros((cp, self.dim), dtype=jnp.bfloat16)
+        sq_np = np.zeros(cp, dtype=np.float32)
+        chunk = 262144
+        for lo in range(0, cp, chunk):
+            sl = ps_flat[lo : lo + chunk]
+            cl = np.maximum(sl, 0)
+            rows32 = self._values64[cl].astype(np.float32)
+            rows32[sl < 0] = 0.0
+            sq_np[lo : lo + chunk] = np.einsum(
+                "nd,nd->n", rows32, rows32
+            )
+            rows_dev = update_rows(
+                rows_dev, jnp.asarray(rows32.astype(ml_dtypes.bfloat16)), lo
+            )
+        self._ivf_rows = rows_dev
+        self._ivf_slots = jnp.asarray(ps_flat.astype(np.int32))
+        self._ivf_sq = jnp.asarray(sq_np)
+        self._ivf_slots_np = ps_flat
+        # overflow extras, padded to a lane multiple
+        e = len(extra_slots)
+        e_pad = max(128, next_pow2(e)) if e else 0
+        if e_pad:
+            ex32 = np.zeros((e_pad, self.dim), dtype=np.float32)
+            ex32[:e] = self._values64[extra_slots].astype(np.float32)
+            ex_slots = np.zeros(e_pad, dtype=np.int32)
+            ex_slots[:e] = extra_slots
+            ex_valid = np.zeros(e_pad, dtype=bool)
+            ex_valid[:e] = self._valid[extra_slots]
+            self._ivf_extra = (
+                jnp.asarray(ex32.astype(ml_dtypes.bfloat16)),
+                jnp.asarray(ex_slots),
+                jnp.asarray(np.einsum("nd,nd->n", ex32, ex32)),
+                jnp.asarray(ex_valid),
+            )
+        else:
+            self._ivf_extra = (
+                jnp.zeros((0, self.dim), dtype=jnp.bfloat16),
+                jnp.zeros(0, dtype=jnp.int32),
+                jnp.zeros(0, dtype=jnp.float32),
+                jnp.zeros(0, dtype=bool),
+            )
+        self._ivf_extra_slots_np = extra_slots
+        self._ivf_p = p_width
+        self._ivf_hi = self._size
+        self._ivf_valid = jnp.asarray(
+            (ps_flat >= 0) & self._valid[np.maximum(ps_flat, 0)]
+        )
+        self._ivf_active = True
+
+    def _ivf_refresh_valid(self) -> None:
+        """Tombstone flips: re-gather the layout validity tables from
+        the host mask (the layout itself is untouched)."""
+        ps = self._ivf_slots_np
+        self._ivf_valid = jnp.asarray(
+            (ps >= 0) & self._valid[np.maximum(ps, 0)]
+        )
+        ex = self._ivf_extra_slots_np
+        if len(ex):
+            rows, slots, sq, old_valid = self._ivf_extra
+            e_pad = int(old_valid.shape[0])
+            ex_valid = np.zeros(e_pad, dtype=bool)
+            ex_valid[: len(ex)] = self._valid[ex]
+            self._ivf_extra = (rows, slots, sq, jnp.asarray(ex_valid))
+
+    def _ivf_topk(
+        self, queries: jax.Array, k_pad: int, metric: SimilarityMetric
+    ):
+        """Dispatch the IVF serving step, or return None when brute
+        amk is the better program for this batch (probed bytes would
+        exceed ~half the corpus read: IVF probe traffic scales with
+        B * nprobe * P while brute's one corpus read amortizes over
+        the whole batch)."""
+        from ..kernels import ivf as _ivf
+        from ..kernels.amk import K_SEL_MIN
+        from ..utils import env_number
+
+        b = int(queries.shape[0])
+        c = int(self._ivf_cent_sq.shape[0])
+        nprobe = int(
+            np.clip(int(env_number("VECTORLITE_IVF_NPROBE", _ivf.NPROBE)),
+                    1, c)
+        )
+        if b * nprobe * self._ivf_p > max(1, self._count) // 2:
+            return None
+        tail_len = self._size - self._ivf_hi
+        tail_pad = 0 if tail_len <= 0 else max(256, next_pow2(tail_len))
+        k_sel = min(
+            nprobe * self._ivf_p, max(K_SEL_MIN, next_pow2(2 * k_pad))
+        )
+        tomb = self._count != self._size
+        ex_rows, ex_slots, ex_sq, ex_valid = self._ivf_extra
+        return _ivf.ivf_search_topk_rescored(
+            self._ivf_rows,
+            self._ivf_slots,
+            self._ivf_sq,
+            self._ivf_valid,
+            self._ivf_centroids,
+            self._ivf_cent_sq,
+            ex_rows,
+            ex_slots,
+            ex_sq,
+            ex_valid,
+            self._dev_values,
+            self._dev_valid,
+            queries,
+            jnp.int32(self._ivf_hi),
+            jnp.int32(self._size),
+            metric=metric,
+            k=k_pad,
+            k_sel=k_sel,
+            nprobe=nprobe,
+            p_width=self._ivf_p,
+            tail_pad=tail_pad,
+            use_pallas=jax.default_backend() == "tpu",
+            tombstones=tomb,
+        )
 
     def _sync_device_mesh(self) -> None:
         """Mesh placement: full builds device_put host slices shard-by-shard
