@@ -251,7 +251,12 @@ class TestPretrainedLoadPath:
         assert abs(norm - 1.0) < 1e-5
 
         # identical params + identical token ids => identical embedding
-        ids = loaded._encode("hello world")
+        from vectorlite_tpu.embed.minilm import tokenize_batch
+
+        ids_a, mask_a = tokenize_batch(
+            loaded._tokenizer, ["hello world"], 512
+        )
+        ids = ids_a[0, : int(mask_a[0].sum())].tolist()
         assert ids[0] == 101 and ids[-1] == 102  # CLS ... SEP
         from vectorlite_tpu.embed.minilm import _embed_step
         import jax.numpy as jnp

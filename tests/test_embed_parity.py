@@ -169,7 +169,13 @@ class TestForwardVsNumpyF64:
 
         # reproduce via the numpy forward + explicit CLS/L2 steps
         params = _random_params(config, seed=7)
-        encs = [emb._encode(t) for t in texts]
+        from vectorlite_tpu.embed.minilm import tokenize_batch
+
+        def _encode_one(t):
+            i_a, m_a = tokenize_batch(emb._tokenizer, [t], 512)
+            return i_a[0, : int(m_a[0].sum())].tolist()
+
+        encs = [_encode_one(t) for t in texts]
         L = max(len(e) for e in encs)
         # mirror the bucket padding the embedder applies
         from vectorlite_tpu.embed.minilm import _LEN_BUCKETS

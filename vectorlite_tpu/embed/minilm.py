@@ -306,26 +306,8 @@ class MiniLMEmbedder:
         (indexes consume the block directly via add_batch_arrays)."""
         if not texts:
             return np.zeros((0, self.dimension), np.float32)
-        if hasattr(self._tokenizer, "encode_batch"):
-            # one FFI crossing; the Rust tokenizer parallelizes internally
-            encodings = [
-                list(e.ids[: self._max_len])
-                for e in self._tokenizer.encode_batch(list(texts))
-            ]
-        else:
-            encodings = [self._encode(t) for t in texts]
-        max_len = max(len(e) for e in encodings)
-        l_pad = next(
-            (b for b in _LEN_BUCKETS if b >= max_len), self._max_len
-        )
         b = len(texts)
-        b_pad = 1 << (b - 1).bit_length() if b > 1 else 1
-        ids = np.zeros((b_pad, l_pad), np.int32)
-        mask = np.zeros((b_pad, l_pad), np.int32)
-        for row, enc in enumerate(encodings):
-            enc = enc[:l_pad]
-            ids[row, : len(enc)] = enc
-            mask[row, : len(enc)] = 1
+        ids, mask = tokenize_batch(self._tokenizer, texts, self._max_len)
         out = _embed_step(
             self._params,
             jnp.asarray(ids),
@@ -334,10 +316,76 @@ class MiniLMEmbedder:
         )
         return np.asarray(out)[:b]
 
-    def _encode(self, text: str) -> list[int]:
-        enc = self._tokenizer.encode(text)
-        ids = enc.ids if hasattr(enc, "ids") else enc
-        return list(ids[: self._max_len])
+
+def _sep_id_of(tokenizer) -> Optional[int]:
+    """The tokenizer's [SEP] id, if it has one (HF tokenizers expose
+    token_to_id; the random-init hash tokenizer a class attribute)."""
+    f = getattr(tokenizer, "token_to_id", None)
+    if callable(f):
+        try:
+            sid = f("[SEP]")
+            if sid is not None:
+                return int(sid)
+        except Exception:
+            pass
+    sid = getattr(tokenizer, "SEP", None)
+    return int(sid) if sid is not None else None
+
+
+def tokenize_batch(
+    tokenizer, texts: Sequence[str], max_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize and stage one batch into the padded ``[B_pad, L_pad]``
+    int32 id/mask arrays the jitted forward consumes — THE production
+    staging path, factored out so the real-model harness
+    (tests/test_real_model.py) can pin it against ``transformers``
+    without loading weights.
+
+    * Length bucketing: L_pad is the smallest ``_LEN_BUCKETS`` entry
+      covering the batch's longest sequence (bounded recompiles);
+      B_pad is the next power of two.
+    * Padding uses id 0 — BERT-family ``[PAD]`` — with mask 0, so pad
+      rows/cols contribute nothing to attention.
+    * Truncation preserves the trailing ``[SEP]``: over-long sequences
+      keep their first ``max_len - 1`` tokens plus the separator
+      (sentence-transformers' truncate-then-close semantics). The
+      reference delegates truncation to tokenizer.json
+      (src/embeddings.rs:146, ``encode(text, true)``) which ships
+      none for all-MiniLM-L6-v2 and would overrun the 512-position
+      table on long inputs; slicing without re-closing would feed the
+      encoder a sequence shape it never saw in training.
+    """
+    if hasattr(tokenizer, "encode_batch"):
+        # one FFI crossing; the Rust tokenizer parallelizes internally
+        encodings = [
+            list(e.ids) for e in tokenizer.encode_batch(list(texts))
+        ]
+    else:
+        encodings = []
+        for t in texts:
+            e = tokenizer.encode(t)
+            encodings.append(
+                list(e.ids) if hasattr(e, "ids") else list(e)
+            )
+    sep = _sep_id_of(tokenizer)
+    staged = []
+    for row in encodings:
+        if len(row) > max_len:
+            if sep is not None and row and row[-1] == sep:
+                row = row[: max_len - 1] + [sep]
+            else:
+                row = row[:max_len]
+        staged.append(row)
+    max_seq = max((len(e) for e in staged), default=1)
+    l_pad = next((b for b in _LEN_BUCKETS if b >= max_seq), max_len)
+    b = len(staged)
+    b_pad = 1 << (b - 1).bit_length() if b > 1 else 1
+    ids = np.zeros((b_pad, l_pad), np.int32)
+    mask = np.zeros((b_pad, l_pad), np.int32)
+    for r, e in enumerate(staged):
+        ids[r, : len(e)] = e
+        mask[r, : len(e)] = 1
+    return ids, mask
 
 
 class _HashTokenizer:

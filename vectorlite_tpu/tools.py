@@ -460,6 +460,71 @@ def fsck_dirs(autosave_dir=None, wal_dir=None, deep: bool = False) -> dict:
     return report
 
 
+_HF_REPO = "sentence-transformers/all-MiniLM-L6-v2"
+_MODEL_FILES = ("config.json", "tokenizer.json")
+_WEIGHT_FILES = ("model.safetensors", "pytorch_model.bin")
+
+
+def fetch_model(
+    repo: str = _HF_REPO,
+    dest: Optional[str] = None,
+    revision: str = "main",
+    progress=None,
+) -> Path:
+    """Download the embedding model into the reference's on-disk layout
+    (``./models/all-MiniLM-L6-v2`` — src/embeddings.rs:190) so
+    ``MiniLMEmbedder.from_pretrained()`` and the real-model test
+    harness (tests/test_real_model.py) activate.
+
+    Fetches config.json + tokenizer.json + the first available weight
+    file (model.safetensors, else pytorch_model.bin) from the Hugging
+    Face hub via plain HTTPS — no hub SDK needed. Files already present
+    are kept (delete to re-fetch). Requires network egress; in an
+    air-gapped environment, copy the files in by hand instead — the
+    layout is just those three files in one directory."""
+    import urllib.error
+    import urllib.request
+
+    dest_dir = Path(dest or f"./models/{repo.rsplit('/', 1)[-1]}")
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    base = f"https://huggingface.co/{repo}/resolve/{revision}"
+
+    def grab(name: str, required: bool) -> bool:
+        out = dest_dir / name
+        if out.exists() and out.stat().st_size > 0:
+            if progress:
+                progress(f"{name}: already present, keeping")
+            return True
+        tmp = out.with_suffix(out.suffix + ".part")
+        try:
+            with urllib.request.urlopen(
+                f"{base}/{name}", timeout=60
+            ) as r, open(tmp, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            tmp.replace(out)
+            if progress:
+                progress(f"{name}: {out.stat().st_size} bytes")
+            return True
+        except (urllib.error.URLError, OSError) as e:
+            tmp.unlink(missing_ok=True)
+            if required:
+                raise RuntimeError(
+                    f"failed to fetch {base}/{name}: {e}"
+                ) from e
+            return False
+
+    for name in _MODEL_FILES:
+        grab(name, required=True)
+    if not any((dest_dir / w).exists() for w in _WEIGHT_FILES):
+        if not grab(_WEIGHT_FILES[0], required=False):
+            grab(_WEIGHT_FILES[1], required=True)
+    return dest_dir
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m vectorlite_tpu.tools",
@@ -510,6 +575,20 @@ def main(argv=None) -> int:
             "(default: $VECTORLITE_API_KEY)",
         )
     p = sub.add_parser(
+        "fetch-model",
+        help="download the embedding model into ./models/ "
+        "(activates real-weight embeddings + the real-model tests)",
+    )
+    p.add_argument(
+        "--repo", default=_HF_REPO,
+        help=f"Hugging Face repo id (default: {_HF_REPO})",
+    )
+    p.add_argument(
+        "--dest", default=None,
+        help="target directory (default: ./models/<repo-name>)",
+    )
+    p.add_argument("--revision", default="main")
+    p = sub.add_parser(
         "fsck",
         help="offline health report for autosave/WAL directories",
     )
@@ -524,6 +603,19 @@ def main(argv=None) -> int:
     )
     p.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
+    if args.cmd == "fetch-model":
+        dest = fetch_model(
+            repo=args.repo,
+            dest=args.dest,
+            revision=args.revision,
+            progress=lambda m: print(f"  {m}", file=sys.stderr),
+        )
+        print(f"model ready at {dest}")
+        print(
+            "run `python -m pytest tests/test_real_model.py -q` to "
+            "activate the real-model parity harness"
+        )
+        return 0
     if args.cmd == "fsck":
         if not args.autosave_dir and not args.wal_dir:
             parser.error("fsck needs --autosave-dir and/or --wal-dir")
