@@ -154,3 +154,103 @@ class TestBulkBuild:
             list(data[17]), 5, SimilarityMetric.COSINE, use_device=False
         )
         assert res[0].id == 17
+
+
+    def test_threaded_link_and_refine(self, corpus, monkeypatch):
+        """VECTORLITE_BUILD_THREADS>1 routes link + refine through the
+        row-lock worker pool: the graph must stay consistent (no
+        dangling/self links) and recall must match the sequential
+        build's."""
+        n, d, data, flat = corpus
+        metric = SimilarityMetric.COSINE
+        monkeypatch.setenv("VECTORLITE_BULK_REFINE", "2")
+
+        monkeypatch.setenv("VECTORLITE_BUILD_THREADS", "1")
+        seq = HNSWIndex(d, metric, seed=11, store_f64=False)
+        seq.add_batch([vec(i, data[i]) for i in range(n)])
+
+        monkeypatch.setenv("VECTORLITE_BUILD_THREADS", "4")
+        par = HNSWIndex(d, metric, seed=11, store_f64=False)
+        par.add_batch([vec(i, data[i]) for i in range(n)])
+
+        assert len(par) == n and par._entry >= 0
+        r_seq = self._recall(seq, flat, data, metric)
+        r_par = self._recall(par, flat, data, metric)
+        assert r_par >= r_seq - 0.03, (r_par, r_seq)
+        par._native_drain_dirty()
+        adj = par._adj[0][:n]
+        assert adj.max() < n
+        for v in (0, n // 2, n - 1):
+            row = adj[v]
+            assert v not in row[row >= 0]
+
+
+@needs_native
+class TestBulkAutoPolicy:
+    """VECTORLITE_BULK_BUILD=auto (the default): bulk+refine engages
+    past VECTORLITE_BULK_AUTO_ROWS on a TPU backend, classic below it
+    and on other backends."""
+
+    def _spy(self, monkeypatch):
+        from vectorlite_tpu.index import bulk_build as bb
+
+        calls = []
+        real = bb.bulk_build
+
+        def spy(index, start, count):
+            calls.append((start, count))
+            return real(index, start, count)
+
+        monkeypatch.setattr(bb, "bulk_build", spy)
+        return calls
+
+    def _data(self, n=3000, d=32):
+        return make_embeddings(n, d, seed=3)
+
+    def test_engages_past_threshold_on_tpu(self, monkeypatch):
+        import jax
+
+        monkeypatch.delenv("VECTORLITE_BULK_BUILD", raising=False)
+        monkeypatch.setenv("VECTORLITE_BULK_AUTO_ROWS", "2048")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        calls = self._spy(monkeypatch)
+        data = self._data()
+        idx = HNSWIndex(32, SimilarityMetric.COSINE, store_f64=False)
+        idx.add_batch([vec(i, data[i]) for i in range(len(data))])
+        assert calls, "auto policy must engage bulk past the threshold"
+        res = idx.search(
+            list(data[5]), 1, SimilarityMetric.COSINE, use_device=False
+        )
+        assert res[0].id == 5
+
+    def test_stays_classic_below_threshold(self, monkeypatch):
+        import jax
+
+        monkeypatch.delenv("VECTORLITE_BULK_BUILD", raising=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        calls = self._spy(monkeypatch)  # default threshold: 400K
+        data = self._data()
+        idx = HNSWIndex(32, SimilarityMetric.COSINE, store_f64=False)
+        idx.add_batch([vec(i, data[i]) for i in range(len(data))])
+        assert not calls
+
+    def test_stays_classic_on_non_tpu_backend(self, monkeypatch):
+        monkeypatch.delenv("VECTORLITE_BULK_BUILD", raising=False)
+        monkeypatch.setenv("VECTORLITE_BULK_AUTO_ROWS", "2048")
+        calls = self._spy(monkeypatch)  # real backend here is cpu
+        data = self._data()
+        idx = HNSWIndex(32, SimilarityMetric.COSINE, store_f64=False)
+        idx.add_batch([vec(i, data[i]) for i in range(len(data))])
+        assert not calls
+
+    def test_never_overrides_auto(self, monkeypatch):
+        import jax
+
+        monkeypatch.setenv("VECTORLITE_BULK_BUILD", "never")
+        monkeypatch.setenv("VECTORLITE_BULK_AUTO_ROWS", "1024")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        calls = self._spy(monkeypatch)
+        data = self._data()
+        idx = HNSWIndex(32, SimilarityMetric.COSINE, store_f64=False)
+        idx.add_batch([vec(i, data[i]) for i in range(len(data))])
+        assert not calls

@@ -164,11 +164,16 @@ def bulk_build(index, start: int, count: int) -> None:
     import os
     import time
 
+    from .hnsw import _build_threads
+
     lib = index._nb_lib
     nb = index._nb
     metric = index._metric
     m0 = index.m0
     end_total = start + count
+    # host-bound link/refine phases parallelize over the row-lock pool
+    # (single-core hosts pass 1 and keep the sequential path)
+    threads = _build_threads()
     # VECTORLITE_BULK_PROFILE=1 prints the scan/link/upper phase split
     profile = os.environ.get("VECTORLITE_BULK_PROFILE") == "1"
     t_scan = t_link = t_upper = 0.0
@@ -255,6 +260,7 @@ def bulk_build(index, start: int, count: int) -> None:
             CAND_K,
             cand_idx.ctypes.data_as(c.POINTER(c.c_int32)),
             cand_dist.ctypes.data_as(c.POINTER(c.c_float)),
+            threads,
         )
         t_link += time.perf_counter() - t0
 
@@ -269,7 +275,7 @@ def bulk_build(index, start: int, count: int) -> None:
     )
     t0 = time.perf_counter()
     if rounds > 0:
-        lib.hnsw_refine_l0(nb, rounds)
+        lib.hnsw_refine_l0(nb, rounds, threads)
     t_refine = time.perf_counter() - t0
 
     index._num_nodes = end_total

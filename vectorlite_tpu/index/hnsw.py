@@ -572,20 +572,40 @@ class HNSWIndex:
     def _link_batch(self, start: int, count: int) -> None:
         """Link rows [start, start+count) into the graph natively.
 
-        VECTORLITE_BULK_BUILD=always keeps the TPU bulk build (device kNN
-        scans replace per-insert graph searches, index/bulk_build.py)
-        available as an experiment, but it is DEMOTED from any default:
-        after the SIMD rewrite the classic native build wins everywhere
-        measured (100K x 384: classic 5,750 inserts/s at recall 0.997 vs
-        bulk's round-1 best 730/s at the same recall; at 1M classic also
-        leads on both axes). "auto" therefore engages nothing."""
+        Build-size policy (VECTORLITE_BULK_BUILD, default "auto"): the
+        TPU bulk build + NN-descent refine (index/bulk_build.py)
+        auto-engages when this batch takes the graph past
+        VECTORLITE_BULK_AUTO_ROWS (default 400K) on a TPU backend —
+        the measured regime where it is the recall-per-byte champion
+        (1M x 384 M=16: bulk+refine recall@10 0.9859 @ef128 vs classic
+        0.9555, beating even classic M=32's 0.984 at half the edge
+        memory; bench/report_bulk_1m.json). Below the threshold the
+        classic SIMD build wins both axes (100K x 384: 5,750 inserts/s
+        at recall 0.997 vs bulk ~730/s), so small graphs keep it.
+        "always"/"never" force either path; Manhattan has no matmul
+        form and always builds classic. The link/refine phases thread
+        over the row-lock pool (VECTORLITE_BUILD_THREADS)."""
         import os
 
-        mode = os.environ.get("VECTORLITE_BULK_BUILD", "never")
-        use_bulk = (
-            self._metric is not SimilarityMetric.MANHATTAN
-            and mode == "always"
-        )
+        import jax
+
+        mode = os.environ.get("VECTORLITE_BULK_BUILD", "auto")
+        if mode == "auto":
+            from ..utils import env_number
+
+            threshold = int(
+                env_number("VECTORLITE_BULK_AUTO_ROWS", 400_000)
+            )
+            use_bulk = (
+                self._metric is not SimilarityMetric.MANHATTAN
+                and start + count >= threshold
+                and jax.default_backend() == "tpu"
+            )
+        else:
+            use_bulk = (
+                self._metric is not SimilarityMetric.MANHATTAN
+                and mode == "always"
+            )
         if use_bulk:
             from .bulk_build import bulk_build
 

@@ -126,8 +126,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32,
         p(c.c_int32),
         p(c.c_float),
+        c.c_int32,  # worker threads (1 = single-threaded)
     ]
-    lib.hnsw_refine_l0.argtypes = [c.c_void_p, c.c_int32]
+    lib.hnsw_refine_l0.argtypes = [c.c_void_p, c.c_int32, c.c_int32]
     lib.hnsw_entry.restype = c.c_int64
     lib.hnsw_entry.argtypes = [c.c_void_p]
     lib.hnsw_top_level.restype = c.c_int32

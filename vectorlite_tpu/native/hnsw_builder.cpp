@@ -715,6 +715,107 @@ struct Builder {
 
 }  // namespace
 
+namespace {
+// one node's forward-row diversity selection + link; `locked` selects
+// the row-lock template so the same body serves the single-threaded
+// and worker paths
+template <bool locked>
+void bulk_link_one(Builder* b, const int64_t* node_ids, int32_t c,
+                   const int32_t* cand_idx, const float* cand_dist,
+                   int64_t i, std::vector<int64_t>& kept,
+                   std::vector<Builder::DistNode>& prune_scratch) {
+  int64_t node = node_ids[i];
+  const int32_t* ci = cand_idx + i * c;
+  const float* cd = cand_dist + i * c;
+  kept.clear();
+  for (int32_t j = 0; j < c; ++j) {
+    if (ci[j] < 0) continue;
+    if (static_cast<int>(kept.size()) >= b->m0) break;
+    const float* cv = b->vecs + static_cast<int64_t>(ci[j]) * b->dim;
+    float cn = b->norms[ci[j]];
+    bool keep = true;
+    for (int64_t s : kept) {
+      if (b->dist(cv, cn, s) < cd[j]) {
+        keep = false;
+        break;
+      }
+    }
+    if (keep) kept.push_back(ci[j]);
+  }
+  b->link<locked>(node, kept, 0, prune_scratch);
+}
+}  // namespace
+
+namespace {
+struct RefineScratch {
+  std::vector<Builder::DistNode> cands;
+  std::vector<int64_t> kept;
+  std::vector<int32_t> row_buf;
+  std::vector<uint32_t> seen;
+  uint32_t epoch = 0;
+};
+
+template <bool locked>
+void refine_one(Builder* b, int64_t v, int64_t n, RefineScratch& s) {
+  ++s.epoch;
+  if (s.epoch == 0) {
+    std::fill(s.seen.begin(), s.seen.end(), 0);
+    s.epoch = 1;
+  }
+  s.seen[v] = s.epoch;
+  const float* qv = b->vecs + v * b->dim;
+  float qn = b->norms[v];
+  s.cands.clear();
+  auto copy_row = [&](int64_t node) {
+    if (locked) {
+      std::lock_guard<std::mutex> g(b->row_locks[node & kLockMask]);
+      std::memcpy(s.row_buf.data(), b->row(0, node),
+                  sizeof(int32_t) * b->m0);
+    } else {
+      std::memcpy(s.row_buf.data(), b->row(0, node),
+                  sizeof(int32_t) * b->m0);
+    }
+  };
+  copy_row(v);
+  std::vector<int32_t> direct_rows(s.row_buf.begin(),
+                                   s.row_buf.begin() + b->m0);
+  for (int j = 0; j < b->m0; ++j) {
+    int32_t u = direct_rows[j];
+    if (u < 0 || s.seen[u] == s.epoch) continue;
+    s.seen[u] = s.epoch;
+    s.cands.emplace_back(b->dist(qv, qn, u), u);
+  }
+  int direct = static_cast<int>(s.cands.size());
+  for (int i = 0; i < direct; ++i) {
+    copy_row(s.cands[i].second);
+    for (int j = 0; j < b->m0; ++j) {
+      int32_t w = s.row_buf[j];
+      if (w < 0 || w >= n || s.seen[w] == s.epoch) continue;
+      s.seen[w] = s.epoch;
+      s.cands.emplace_back(b->dist(qv, qn, w), w);
+    }
+  }
+  std::stable_sort(
+      s.cands.begin(), s.cands.end(),
+      [](const Builder::DistNode& a, const Builder::DistNode& x) {
+        return a.first < x.first;
+      });
+  b->select_heuristic(s.cands, b->m0, s.kept);
+  {
+    std::unique_lock<std::mutex> g(b->row_locks[v & kLockMask],
+                                   std::defer_lock);
+    if (locked) g.lock();
+    int32_t* out_row = b->row_ptr_mut(0, v);
+    for (int j = 0; j < b->m0; ++j) {
+      out_row[j] = j < static_cast<int>(s.kept.size())
+                       ? static_cast<int32_t>(s.kept[j])
+                       : -1;
+    }
+  }
+  b->mark_dirty(v);
+}
+}  // namespace
+
 extern "C" {
 
 Builder* hnsw_new(int32_t dim, int32_t metric, int32_t m, int32_t m0,
@@ -784,40 +885,66 @@ void hnsw_draw_levels(Builder* b, int64_t count, int32_t* out) {
 // (ascending by distance). The diversity heuristic runs here with
 // on-demand distance evaluation and early termination — C++ owns the
 // vector buffers, so random row reads are cheap, unlike TPU gathers.
+
+// `threads > 1` runs the link pass hnswlib-style: workers claim nodes
+// off an atomic cursor and all row mutations go through the row-lock
+// pool (the same template path insert_batch_parallel uses). Forward
+// rows stay deterministic per node (they depend only on the candidate
+// arrays); only back-link slot order varies with interleaving, and the
+// refine pass re-canonicalizes rows anyway.
 void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
                                  int64_t count, int32_t c,
                                  const int32_t* cand_idx,
-                                 const float* cand_dist) {
-  std::vector<int64_t> kept;
-  std::vector<Builder::DistNode> prune_scratch;
+                                 const float* cand_dist, int32_t threads) {
+  if (count <= 0) return;
+  // phase A: register every node (norms + watermark) BEFORE any
+  // linking. Candidate lists span the whole batch, so the diversity
+  // heuristic reads candidates' norms regardless of processing order —
+  // registering lazily left intra-batch forward candidates with zero
+  // norms (cosine dist clamps to 1.0: pruning silently skipped) and,
+  // threaded, raced the link workers' norm reads.
   for (int64_t i = 0; i < count; ++i) {
     int64_t node = node_ids[i];
     b->register_node(node);
     b->levels[node] = 0;
     b->mark_dirty(node);
-    const int32_t* ci = cand_idx + i * c;
-    const float* cd = cand_dist + i * c;
-    kept.clear();
-    for (int32_t j = 0; j < c; ++j) {
-      if (ci[j] < 0) continue;
-      if (static_cast<int>(kept.size()) >= b->m0) break;
-      const float* cv = b->vecs + static_cast<int64_t>(ci[j]) * b->dim;
-      float cn = b->norms[ci[j]];
-      bool keep = true;
-      for (int64_t s : kept) {
-        if (b->dist(cv, cn, s) < cd[j]) {
-          keep = false;
-          break;
-        }
-      }
-      if (keep) kept.push_back(ci[j]);
-    }
-    b->link<false>(node, kept, 0, prune_scratch);
-    if (b->entry < 0) {
-      b->entry = node;
-      b->top_level = 0;
-    }
   }
+  int64_t i0 = 0;
+  std::vector<int64_t> kept;
+  std::vector<Builder::DistNode> prune_scratch;
+  if (b->entry < 0) {
+    // seed on the calling thread so workers always see an entry point
+    bulk_link_one<false>(b, node_ids, c, cand_idx, cand_dist, 0, kept,
+                         prune_scratch);
+    b->entry = node_ids[0];
+    b->top_level = 0;
+    i0 = 1;
+  }
+  threads = static_cast<int32_t>(
+      std::max<int64_t>(1, std::min<int64_t>(threads, count - i0)));
+  if (threads <= 1) {
+    for (int64_t i = i0; i < count; ++i) {
+      bulk_link_one<false>(b, node_ids, c, cand_idx, cand_dist, i, kept,
+                           prune_scratch);
+    }
+    return;
+  }
+  b->ensure_row_locks();  // single-threaded here, before workers spawn
+  std::atomic<int64_t> cursor{i0};
+  auto worker = [&]() {
+    std::vector<int64_t> w_kept;
+    std::vector<Builder::DistNode> w_scratch;
+    for (;;) {
+      int64_t i = cursor.fetch_add(1, std::memory_order_relaxed);
+      if (i >= count) break;
+      bulk_link_one<true>(b, node_ids, c, cand_idx, cand_dist, i, w_kept,
+                          w_scratch);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 // NN-descent-style level-0 refinement for bulk-built graphs: re-run the
@@ -827,57 +954,48 @@ void hnsw_bulk_link_heuristic_l0(Builder* b, const int64_t* node_ids,
 // *neighbors* found (the NN-descent convergence argument), and the
 // diversity selection keeps the shortcut edges navigability needs.
 // Symmetric coverage comes from running over all nodes (v appears as a
-// NoN candidate of its own neighbors). Single-threaded by contract
-// (Python holds the collection write lock during builds).
-void hnsw_refine_l0(Builder* b, int32_t rounds) {
+// NoN candidate of its own neighbors). `threads > 1` parallelizes each
+// round over nodes (atomic cursor + row-lock-copied reads/writes, the
+// NN-descent convention: concurrent in-place updates only change which
+// intermediate rows a node happens to see — every candidate is still a
+// real row and the diversity selection is per-node); rounds stay
+// barrier-separated.
+
+void hnsw_refine_l0(Builder* b, int32_t rounds, int32_t threads) {
   int64_t n = b->num_nodes.load(std::memory_order_relaxed);
-  std::vector<Builder::DistNode> cands;
-  std::vector<int64_t> kept;
-  std::vector<uint32_t> seen(b->cap, 0);
-  uint32_t epoch = 0;
-  for (int32_t r = 0; r < rounds; ++r) {
-    for (int64_t v = 0; v < n; ++v) {
-      if (b->levels[v] < 0) continue;
-      ++epoch;
-      if (epoch == 0) {
-        std::fill(seen.begin(), seen.end(), 0);
-        epoch = 1;
+  if (n <= 0 || rounds <= 0) return;
+  threads = static_cast<int32_t>(
+      std::max<int64_t>(1, std::min<int64_t>(threads, n)));
+  if (threads <= 1) {
+    RefineScratch s;
+    s.seen.assign(b->cap, 0);
+    s.row_buf.resize(b->m0);
+    for (int32_t r = 0; r < rounds; ++r) {
+      for (int64_t v = 0; v < n; ++v) {
+        if (b->levels[v] < 0) continue;
+        refine_one<false>(b, v, n, s);
       }
-      seen[v] = epoch;
-      const float* qv = b->vecs + v * b->dim;
-      float qn = b->norms[v];
-      cands.clear();
-      const int32_t* row_v = b->row(0, v);
-      for (int j = 0; j < b->m0; ++j) {
-        int32_t u = row_v[j];
-        if (u < 0 || seen[u] == epoch) continue;
-        seen[u] = epoch;
-        cands.emplace_back(b->dist(qv, qn, u), u);
-      }
-      int direct = static_cast<int>(cands.size());
-      for (int i = 0; i < direct; ++i) {
-        const int32_t* row_u = b->row(0, cands[i].second);
-        for (int j = 0; j < b->m0; ++j) {
-          int32_t w = row_u[j];
-          if (w < 0 || w >= n || seen[w] == epoch) continue;
-          seen[w] = epoch;
-          cands.emplace_back(b->dist(qv, qn, w), w);
-        }
-      }
-      std::stable_sort(cands.begin(), cands.end(),
-                       [](const Builder::DistNode& a,
-                          const Builder::DistNode& x) {
-                         return a.first < x.first;
-                       });
-      b->select_heuristic(cands, b->m0, kept);
-      int32_t* out_row = b->row_ptr_mut(0, v);
-      for (int j = 0; j < b->m0; ++j) {
-        out_row[j] = j < static_cast<int>(kept.size())
-                         ? static_cast<int32_t>(kept[j])
-                         : -1;
-      }
-      b->mark_dirty(v);
     }
+    return;
+  }
+  b->ensure_row_locks();
+  for (int32_t r = 0; r < rounds; ++r) {
+    std::atomic<int64_t> cursor{0};
+    auto worker = [&]() {
+      RefineScratch s;
+      s.seen.assign(b->cap, 0);
+      s.row_buf.resize(b->m0);
+      for (;;) {
+        int64_t v = cursor.fetch_add(1, std::memory_order_relaxed);
+        if (v >= n) break;
+        if (b->levels[v] < 0) continue;
+        refine_one<true>(b, v, n, s);
+      }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
   }
 }
 

@@ -6,7 +6,9 @@
 //      lock, dirty list, scratch pool, atomic num_nodes)
 //   2. concurrent searches + descends against the finished graph
 //      (lock-free row reads + pooled scratches)
-//   3. drain_dirty racing further inserts is NOT exercised — Python's
+//   3. multi-threaded hnsw_bulk_link_heuristic_l0 + hnsw_refine_l0 on
+//      a second builder (the bulk path's worker pools)
+//   4. drain_dirty racing further inserts is NOT exercised — Python's
 //      collection write lock forbids it by contract.
 //
 // Build & run (native/__init__.py is not involved; tests/test_native.py
@@ -80,6 +82,45 @@ int main() {
     return 1;
   }
   hnsw_free(b);
+
+  // phase 3: threaded bulk link + refine on a fresh builder. Candidate
+  // lists are the nearest rows by brute force over a small prefix —
+  // quality is irrelevant here, only the locking discipline is.
+  {
+    std::vector<int32_t> levels2(n, -1), adj2(n * m0, -1);
+    Builder* b2 = hnsw_new(dim, METRIC_COSINE, m, m0, efc, 7);
+    hnsw_bind(b2, vecs.data(), sqn.data(), nrm.data(), levels2.data(),
+              adj2.data(), n);
+    const int32_t c = 12;
+    std::vector<int64_t> nodes(n);
+    std::vector<int32_t> cand(n * c);
+    std::vector<float> cdist(n * c);
+    for (int64_t i = 0; i < n; ++i) {
+      nodes[i] = i;
+      for (int32_t j = 0; j < c; ++j) {
+        int64_t other = (i + 1 + j * 131) % n;
+        cand[i * c + j] = static_cast<int32_t>(other);
+        // any positive pseudo-distance keeps the heuristic branchy
+        cdist[i * c + j] = 0.1f + static_cast<float>((i * 7 + j) % 97);
+      }
+    }
+    hnsw_bulk_link_heuristic_l0(b2, nodes.data(), n, c, cand.data(),
+                                cdist.data(), 8);
+    hnsw_refine_l0(b2, 2, 8);
+    while (hnsw_dirty_count(b2) > 0) {
+      hnsw_drain_dirty(b2, dirty.data(), dirty.size());
+    }
+    std::vector<int32_t> ids2(16);
+    std::vector<float> ds2(16);
+    int got2 =
+        hnsw_search(b2, vecs.data() + 55 * dim, 8, ids2.data(), ds2.data());
+    if (got2 < 1) {
+      std::fprintf(stderr, "FAIL: bulk-built graph empty search\n");
+      return 1;
+    }
+    hnsw_free(b2);
+  }
+
   std::puts("tsan harness OK");
   return 0;
 }
