@@ -230,3 +230,89 @@ def test_manhattan_bypasses_ivf():
     q = vals[7][None, :]
     res = idx.search_batch(q, k=3, metric=M.MANHATTAN)
     assert res[0][0].id == 7
+
+
+# ------------------------------------------------------------- recall guard
+
+
+def test_guard_refuses_iid_highdim():
+    """iid gaussian in high-D has no cell locality (measured ~0.23
+    cell-recall at default nprobe): the guard must keep IVF OFF and the
+    brute engine must keep serving exact results."""
+    rng = np.random.default_rng(5)
+    d = 128
+    vals = rng.standard_normal((4000, d))
+    idx = FlatIndex(d)
+    idx.add_batch_arrays(np.arange(4000, dtype=np.uint64), vals)
+    q = vals[3][None, :]
+    res = idx.search_batch(q, k=5, metric=M.COSINE)
+    assert not idx._ivf_active
+    assert idx._ivf_refused_at == 4000
+    truth_ids, _ = exact_topk(vals, q[0], 5, M.COSINE)
+    assert [r.id for r in res[0]] == truth_ids.tolist()
+
+
+def test_guard_refusal_cache_skips_rebuild_until_doubling(monkeypatch):
+    rng = np.random.default_rng(6)
+    d = 128
+    vals = rng.standard_normal((4000, d))
+    idx = FlatIndex(d)
+    idx.add_batch_arrays(np.arange(4000, dtype=np.uint64), vals)
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert idx._ivf_refused_at == 4000
+    calls = []
+    monkeypatch.setattr(
+        idx, "_ivf_build", lambda: calls.append(1)
+    )
+    # small growth: the refusal cache must short-circuit _ivf_wanted
+    idx.add_batch_arrays(
+        np.arange(4000, 4100, dtype=np.uint64),
+        rng.standard_normal((100, d)),
+    )
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert not calls
+    # doubling re-opens the question
+    idx.add_batch_arrays(
+        np.arange(4100, 8200, dtype=np.uint64),
+        rng.standard_normal((4100, d)),
+    )
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert calls
+
+
+def test_guard_passes_clustered_and_disabled_env(monkeypatch):
+    """Clustered corpora activate (the fixture's corpora always have);
+    VECTORLITE_IVF_GUARD=0 must force-activate even on iid data."""
+    vals = corpus(4096)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(np.arange(4096, dtype=np.uint64), vals)
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert idx._ivf_active and idx._ivf_refused_at == 0
+
+    monkeypatch.setenv("VECTORLITE_IVF_GUARD", "0")
+    rng = np.random.default_rng(7)
+    iid = rng.standard_normal((4000, 128))
+    idx2 = FlatIndex(128)
+    idx2.add_batch_arrays(np.arange(4000, dtype=np.uint64), iid)
+    idx2.search_batch(iid[:1], k=1, metric=M.COSINE)
+    assert idx2._ivf_active
+
+
+def test_guard_nprobe_floor_raises_serving_width(monkeypatch):
+    """When only a wider probe window clears the recall bar, the guard
+    must raise the serving nprobe floor rather than refuse."""
+    monkeypatch.setenv("VECTORLITE_IVF_NPROBE", "1")
+    vals = corpus(4096, clusters=24)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(np.arange(4096, dtype=np.uint64), vals)
+    q = vals[:8] + 0.01
+    res = idx.search_batch(np.asarray(q), k=10, metric=M.COSINE)
+    if not idx._ivf_active:
+        pytest.skip("guard refused at nprobe ladder top for this seed")
+    hits = 0
+    for i in range(len(q)):
+        truth_ids, _ = exact_topk(vals, q[i], 10, M.COSINE)
+        hits += len({r.id for r in res[i]} & set(truth_ids.tolist()))
+    # nprobe=1 alone would miss cross-cell neighbors; the floor (or a
+    # pass at 1) must keep measured recall near the guard threshold
+    assert hits / (10 * len(q)) >= 0.9

@@ -26,6 +26,7 @@ The reference stores ``Vec<Vector>`` and linearly scans + sorts per query
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 from typing import Optional, Sequence
@@ -39,6 +40,8 @@ from ..core.types import SearchResult, Vector
 from ..errors import DimensionMismatch, DuplicateVectorId, VectorNotFound
 from ..kernels.topk import next_pow2, row_sqnorms, search_topk, update_rows
 from .base import validate_batch_arrays
+
+logger = logging.getLogger("vectorlite_tpu.flat")
 
 _MIN_CAPACITY = 256
 
@@ -475,6 +478,8 @@ class FlatIndex:
         self._ivf_active = False
         self._ivf_slots_np: Optional[np.ndarray] = None
         self._ivf_extra_slots_np: Optional[np.ndarray] = None
+        self._ivf_nprobe_floor = 0  # guard-raised probe width (0 = default)
+        self._ivf_refused_at = 0  # live count when the guard last refused
         self._dev_sqnorms: Optional[jax.Array] = None
         self._dev_valid: Optional[jax.Array] = None
         # cached device scalar of the live watermark (tombstone-free
@@ -2561,7 +2566,14 @@ class FlatIndex:
         ):
             return False  # CPU: tests only (the XLA gather formulation)
         min_rows = int(env_number("VECTORLITE_IVF_MIN_ROWS", 2_000_000))
-        return self._count >= max(min_rows, 4 * 128)
+        if self._count < max(min_rows, 4 * 128):
+            return False
+        # measured-recall refusal cache: the guard (_ivf_guard_nprobe)
+        # found the corpus geometry unservable within the probe budget.
+        # Retry only after the corpus doubles (distribution may change).
+        if self._ivf_refused_at and self._count < 2 * self._ivf_refused_at:
+            return False
+        return True
 
     def _ivf_drop(self) -> None:
         self._ivf_rows = None
@@ -2573,6 +2585,10 @@ class FlatIndex:
         self._ivf_hi = 0
         self._ivf_slots_np = None
         self._ivf_extra_slots_np = None
+        self._ivf_nprobe_floor = 0
+        # _ivf_refused_at intentionally survives drops: the refusal
+        # cache is what keeps _ivf_wanted from re-running k-means every
+        # sync on a corpus the guard already measured as unservable.
 
     def _sync_device_ivf(
         self, mask_was_dirty: bool, dirty_lo: int, dirty_hi: int
@@ -2605,6 +2621,74 @@ class FlatIndex:
             return
         if mask_was_dirty:
             self._ivf_refresh_valid()
+
+    def _ivf_guard_nprobe(
+        self, live: np.ndarray, assign: np.ndarray
+    ) -> Optional[int]:
+        """Measured cell-recall auto-guard (the IVF analogue of
+        `_bf16_selection_risky`): partitioning only preserves recall
+        when the corpus has locality structure — on iid high-D data the
+        true neighbors' cells are nearly uncorrelated with the query's
+        (measured 0.23 cell-recall at nprobe=16/C=512-rows-per-cell on
+        iid gaussian vs 1.00 on clustered, round-4 bench), so engaging
+        IVF there silently trades the brute engine's 0.998 recall for
+        garbage. Before activating, sample live rows, compute their
+        exact cosine top-k *within the sample*, and measure what
+        fraction of those neighbors' cells the coarse quantizer ranks
+        inside the probe window. Returns the smallest nprobe on the
+        (default, 2x, 4x) ladder whose measured cell-recall clears
+        ``VECTORLITE_IVF_GUARD_RECALL`` (default 0.985), or None to
+        refuse activation. ``VECTORLITE_IVF_GUARD=0`` skips the guard
+        (operators who have measured their own frontier)."""
+        from ..kernels import ivf as _ivf
+        from ..utils import env_number
+
+        if env_number("VECTORLITE_IVF_GUARD", 1) != 1:
+            return 0
+        thr = float(env_number("VECTORLITE_IVF_GUARD_RECALL", 0.985))
+        n_live = len(live)
+        rng = np.random.default_rng(1)
+        ns = min(n_live, 65536)
+        pos = (
+            np.arange(n_live)
+            if ns == n_live
+            else np.sort(rng.choice(n_live, ns, replace=False))
+        )
+        srows = self._values64[live[pos]].astype(np.float32)
+        scell = assign[pos]
+        norms = np.linalg.norm(srows, axis=1)
+        norms = np.maximum(norms, 1e-30)
+        nq = min(64, ns // 8) or 1
+        qsel = rng.choice(ns, nq, replace=False)
+        q = srows[qsel] / norms[qsel, None]
+        # exact cosine top-k within the sample, self-hit excluded
+        k_t = min(10, ns - 1)
+        scores = (q @ srows.T) / norms[None, :]
+        scores[np.arange(nq), qsel] = -np.inf
+        truth = np.argpartition(-scores, k_t - 1, axis=1)[:, :k_t]
+        truth_cells = scell[truth]  # [nq, k_t]
+        # query -> ranked cells by the serving surrogate (cosine)
+        cents = np.asarray(self._ivf_centroids, dtype=np.float32)
+        csq = np.maximum(np.einsum("cd,cd->c", cents, cents), 1e-30)
+        crank = (q @ cents.T) / np.sqrt(csq)[None, :]
+        order = np.argsort(-crank, axis=1)
+        c = cents.shape[0]
+        base = int(
+            np.clip(int(env_number("VECTORLITE_IVF_NPROBE", _ivf.NPROBE)),
+                    1, c)
+        )
+        for mult in (1, 2, 4):
+            l_probe = min(base * mult, c)
+            window = order[:, :l_probe]
+            hits = sum(
+                float(np.isin(truth_cells[i], window[i]).sum())
+                for i in range(nq)
+            )
+            if hits / (nq * k_t) >= thr:
+                return l_probe if mult > 1 else 0
+            if l_probe == c:
+                break
+        return None
 
     def _ivf_build(self) -> None:
         """Wholesale layout build: k-means coarse centroids (trained on
@@ -2649,6 +2733,24 @@ class FlatIndex:
                 self._ivf_centroids * self._ivf_centroids, axis=1
             )
         assign = _ivf.assign_rows(self._values64, live, self._ivf_centroids)
+        floor = self._ivf_guard_nprobe(live, assign)
+        if floor is None:
+            # measured cell-recall can't reach the bar within the probe
+            # budget (e.g. iid high-D corpora, where ANY partitioning
+            # scheme must scan a large fraction for high recall —
+            # measured 0.23 cell-recall at nprobe=16 on iid gaussian vs
+            # 1.0 on clustered, bench round 4). Brute amk keeps serving
+            # at its measured 0.998+ recall; retry once the corpus
+            # doubles (_ivf_wanted).
+            self._ivf_refused_at = self._count
+            self._ivf_drop()
+            logger.info(
+                "IVF guard: cell-recall below target within the probe "
+                "budget at %d rows; keeping the brute engine",
+                self._count,
+            )
+            return
+        self._ivf_nprobe_floor = floor
         part_slots, extra_slots = _ivf.build_layout(
             assign,
             live,
@@ -2707,6 +2809,7 @@ class FlatIndex:
             (ps_flat >= 0) & self._valid[np.maximum(ps_flat, 0)]
         )
         self._ivf_active = True
+        self._ivf_refused_at = 0
 
     def _ivf_refresh_valid(self) -> None:
         """Tombstone flips: re-gather the layout validity tables from
@@ -2738,8 +2841,14 @@ class FlatIndex:
         b = int(queries.shape[0])
         c = int(self._ivf_cent_sq.shape[0])
         nprobe = int(
-            np.clip(int(env_number("VECTORLITE_IVF_NPROBE", _ivf.NPROBE)),
-                    1, c)
+            np.clip(
+                max(
+                    int(env_number("VECTORLITE_IVF_NPROBE", _ivf.NPROBE)),
+                    self._ivf_nprobe_floor,  # guard-measured recall floor
+                ),
+                1,
+                c,
+            )
         )
         if b * nprobe * self._ivf_p > max(1, self._count) // 2:
             return None
