@@ -958,20 +958,29 @@ class FlatIndex:
             )
             return self._pack_arrays(scores, slots, k, k_eff)
 
-        def finish_group(items):
-            # ONE query upload + ONE device scan + ONE result fetch for
-            # the whole group (dispatching here, on the worker thread,
-            # also keeps the ~14 ms blocking put off the generator
-            # thread), then row-wise finalize of the block and per-batch
-            # splits — identical math to finish_device because finalize
-            # and rescore are per-row
+        def dispatch_group(items):
+            # ONE query upload + ONE device dispatch for the whole group.
+            # Runs on the dedicated upload thread: the ~14 ms blocking
+            # relay put (bench/probe_serving_wall.py) stays off the
+            # generator thread AND off the fetch workers, so group i+1's
+            # upload overlaps group i's scan + fetch instead of queueing
+            # behind it (round-3's single-stage form serialized
+            # put→scan→fetch per worker, which is why grouping lost to
+            # plain pipelining — VERDICT r3 item 5).
             k_eff = items[0][2]
             q64 = np.concatenate([it[0] for it in items])
             q = np.concatenate([it[1] for it in items])
             dev, _ = self._dispatch_arrays(
                 q64, q, k_eff, metric, approx, mask=mask, mkey=mkey
             )
-            b_total = q.shape[0]
+            return q64, dev, q.shape[0]
+
+        def finish_group(disp_fut, items):
+            # fetch + row-wise finalize of the block, then per-batch
+            # splits — identical math to finish_device because finalize
+            # and rescore are per-row
+            q64, dev, b_total = disp_fut.result()
+            k_eff = items[0][2]
             scores, slots = jax.device_get(dev)
             scores, slots = self._finalize_device(
                 q64, scores[:b_total], slots[:b_total], k_eff, metric
@@ -996,7 +1005,8 @@ class FlatIndex:
                 return
             items, holder = list(curgroup), curgroup[0][-1]
             curgroup.clear()
-            holder["fut"] = pool.submit(finish_group, items)
+            disp_fut = upload_pool.submit(dispatch_group, items)
+            holder["fut"] = pool.submit(finish_group, disp_fut, items)
 
         def resolve(item):
             if item[0] == "ready":
@@ -1014,6 +1024,9 @@ class FlatIndex:
 
         pool = ThreadPoolExecutor(
             max_workers=depth, thread_name_prefix="vl-stream-fetch"
+        )
+        upload_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="vl-stream-upload"
         )
         try:
             for queries in batches:
@@ -1077,6 +1090,7 @@ class FlatIndex:
                 yield resolve(pending.popleft())
         finally:
             pool.shutdown(wait=False)
+            upload_pool.shutdown(wait=False)
 
     def __len__(self) -> int:
         return self._count
