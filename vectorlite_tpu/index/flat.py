@@ -48,6 +48,19 @@ _MIN_CAPACITY = 256
 #: rows per PQ encode dispatch — bounds the per-bucket [rows, 256]
 #: assignment temp (~134 MB f32) and keeps the jit cache small.
 _PQ_ENCODE_BUCKET = 1 << 17
+
+
+def _pq_scan_chunk() -> int:
+    """Corpus rows per PQ selection scan step. Wider chunks amortize
+    per-step overhead (operand staging, amk dispatch) AND shrink the
+    merged surrogate pool (n_chunks * k_chunk wide) that the global
+    trim sorts — at 8M a 64K chunk makes a 128-step scan whose merged
+    pool dwarfs the final pool 100x. The [B, chunk] f32 rank buffer is
+    the only footprint that grows (256 MB at 256 x 256K) — scratch, not
+    resident. VECTORLITE_PQ_CHUNK overrides."""
+    from ..utils import env_number
+
+    return max(1024, int(env_number("VECTORLITE_PQ_CHUNK", 1 << 18)))
 _MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
 
 #: Above this capacity the fused Pallas tiled scan takes over from the
@@ -1673,12 +1686,20 @@ class FlatIndex:
                 if self._pq_bits_active is not None
                 else _pq_bits()
             )
-            floor = int(
-                env_number(
-                    "VECTORLITE_PQ_POOL_MIN",
-                    256 if bits == 4 else 128,
-                )
-            )
+            # the floor also scales with corpus size: pool recall at a
+            # fixed width decays as N grows (more near-ties per query —
+            # measured 0.9656 recall@10 at 1M vs 0.9422 at 8M with the
+            # same 256 pool, bench/report_flat8m.json r3). One doubling
+            # per 8x rows past 1M keeps the pool/N ratio's decay
+            # sub-linear for ~nothing: the exact-ADC stage and the host
+            # f64 rescore are both O(B * pool * D) on tiny operands.
+            if bits == 4:
+                live, base, thresh = max(1, self._size), 256, 2 << 20
+                while base < 2048 and live > thresh:
+                    base, thresh = base * 2, thresh * 8
+            else:
+                base = 128
+            floor = int(env_number("VECTORLITE_PQ_POOL_MIN", base))
             return min(self._capacity, next_pow2(max(4 * k_pad, floor)))
         if self._quantized or self._prospective_dtype() != jnp.float32:
             return min(self._capacity, next_pow2(2 * k_pad))
@@ -1920,9 +1941,7 @@ class FlatIndex:
                         queries,
                         metric=sel_metric,
                         k=k_pad,  # per-shard cap happens inside
-                        chunk=min(
-                            _PQ_ENCODE_BUCKET // 2, rows_per_shard
-                        ),
+                        chunk=min(_pq_scan_chunk(), rows_per_shard),
                         mesh=self._mesh,
                         packed=self._pq_packed,
                         pallas=pq_pallas_default(),
@@ -1935,7 +1954,7 @@ class FlatIndex:
                     queries,
                     metric=sel_metric,
                     k=min(k_pad, self._capacity),
-                    chunk=min(_PQ_ENCODE_BUCKET // 2, self._capacity),
+                    chunk=min(_pq_scan_chunk(), self._capacity),
                     packed=self._pq_packed,
                     pallas=pq_pallas_default(),
                 )
@@ -2407,7 +2426,7 @@ class FlatIndex:
                 )
                 sample_n = min(
                     self._size,
-                    int(env_number("VECTORLITE_PQ_TRAIN_SAMPLE", 16384)),
+                    int(env_number("VECTORLITE_PQ_TRAIN_SAMPLE", 32768)),
                 )
                 live = np.nonzero(self._valid[: self._size])[0]
                 if len(live) > sample_n:
@@ -2423,7 +2442,8 @@ class FlatIndex:
                         jnp.asarray(sample32) @ self._pq_rot
                     )
                 self._dev_codebooks = train_codebooks(
-                    sample32, m, kc=kc, iters=10
+                    sample32, m, kc=kc,
+                    iters=int(env_number("VECTORLITE_PQ_TRAIN_ITERS", 16)),
                 )
             # encode everything below capacity in fixed buckets. Each
             # bucket casts f64 -> f32 on its own (NO full-capacity f32
