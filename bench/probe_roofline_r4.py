@@ -98,17 +98,26 @@ def main():
     qd = qs[0]
     jax.block_until_ready((v32, vbf, sqn, valid, qd))
 
-    # f64 ground truth per batch
-    v64 = data.astype(np.float64)
-    vn = np.linalg.norm(v64, axis=1)[None, :]
-    truths = []
-    for q in qs:
-        q64 = np.asarray(q).astype(np.float64)
-        ts = (q64 @ v64.T) / (
-            np.linalg.norm(q64, axis=1, keepdims=True) * vn
+    # f64 ground truth per batch (cached: ~6 min of 1-core f64 matmul)
+    gt_path = f"/tmp/gt_roofline_{N}_{D}_{B}_{RECALL_BATCHES}.npz"
+    if os.path.exists(gt_path):
+        z = np.load(gt_path)
+        truths = [z[f"t{i}"] for i in range(RECALL_BATCHES)]
+        log("ground truth loaded from cache")
+    else:
+        v64 = data.astype(np.float64)
+        vn = np.linalg.norm(v64, axis=1)[None, :]
+        truths = []
+        for q in qs:
+            q64 = np.asarray(q).astype(np.float64)
+            ts = (q64 @ v64.T) / (
+                np.linalg.norm(q64, axis=1, keepdims=True) * vn
+            )
+            truths.append(np.argsort(-ts, axis=1)[:, :K])
+        np.savez(
+            gt_path, **{f"t{i}": t for i, t in enumerate(truths)}
         )
-        truths.append(np.argsort(-ts, axis=1)[:, :K])
-    log("ground truth ready")
+        log("ground truth ready")
 
     def recall(fn, batches=1):
         hits = total = 0
@@ -140,15 +149,18 @@ def main():
     anchor("t0")
 
     # ---- stage table ------------------------------------------------
+    # NB: big arrays are ARGUMENTS, never closures — a closed-over
+    # corpus gets inlined into the HLO and the remote compiler hangs /
+    # rejects it (verify-skill gotcha, observed live this round).
     @jax.jit
-    def matmul_floor(q):
+    def matmul_floor(q, vbf):
         return jnp.max(amk._matmul(q, vbf)), jnp.int32(0)
 
-    out["stage_matmul_floor_ms"] = timeit(lambda: matmul_floor(qd))
+    out["stage_matmul_floor_ms"] = timeit(lambda: matmul_floor(qd, vbf))
     log(f"matmul floor: {out['stage_matmul_floor_ms']:.3f} ms")
 
     @functools.partial(jax.jit, static_argnames=("rt", "agg"))
-    def sel_only(q, rt=0.99, agg=True):
+    def sel_only(q, vbf, sqn, valid, rt=0.99, agg=True):
         dot = amk._matmul(q, vbf)
         rank = jnp.where(
             valid[None, :], amk._rank_scores(dot, met, sqn), -np.inf
@@ -159,10 +171,12 @@ def main():
         return jnp.max(s), jnp.min(i)
 
     out["stage_sel_noagg_rt99_ms"] = timeit(
-        lambda: sel_only(qd, agg=False)
+        lambda: sel_only(qd, vbf, sqn, valid, agg=False)
     )
-    out["stage_sel_rt99_ms"] = timeit(lambda: sel_only(qd))
-    out["stage_sel_rt95_ms"] = timeit(lambda: sel_only(qd, rt=0.95))
+    out["stage_sel_rt99_ms"] = timeit(lambda: sel_only(qd, vbf, sqn, valid))
+    out["stage_sel_rt95_ms"] = timeit(
+        lambda: sel_only(qd, vbf, sqn, valid, rt=0.95)
+    )
     out["stage_engine_rt99_ms"] = timeit(lambda: base(qd))
     out["stage_engine_rt95_ms"] = timeit(lambda: base(qd, 0.95))
     r99, m99 = recall(lambda q: base(q), RECALL_BATCHES)
@@ -209,7 +223,8 @@ def main():
     @functools.partial(
         jax.jit, static_argnames=("F", "rt", "strided", "k_sel")
     )
-    def fold_engine(q, F=2, rt=0.99, strided=False, k_sel=128):
+    def fold_engine(q, vbf, v32, sqn, valid, F=2, rt=0.99,
+                    strided=False, k_sel=128):
         dot = amk._matmul(q, vbf)
         rank = jnp.where(
             valid[None, :], amk._rank_scores(dot, met, sqn), -np.inf
@@ -244,10 +259,14 @@ def main():
         key = f"fold{F}{'s' if strided else 'a'}_rt{rt}"
         try:
             out[key + "_ms"] = timeit(
-                lambda: fold_engine(qd, F=F, rt=rt, strided=strided)
+                lambda: fold_engine(
+                    qd, vbf, v32, sqn, valid, F=F, rt=rt, strided=strided
+                )
             )
             r, m = recall(
-                lambda q: fold_engine(q, F=F, rt=rt, strided=strided),
+                lambda q: fold_engine(
+                    q, vbf, v32, sqn, valid, F=F, rt=rt, strided=strided
+                ),
                 RECALL_BATCHES,
             )
             out[key + "_recall"], out[key + "_missed"] = r, m
