@@ -227,18 +227,21 @@ def main():
             results.append(
                 {"mode": "pipelined", "depth": d, "qps": round(qps)}
             )
-        for g in [int(x) for x in args.groups.split(",") if x]:
+        for spec in [x for x in args.groups.split(",") if x]:
+            # "G" sweeps at depth 2; "D:G" pins the fetch-pool depth too
+            d, _, g = spec.rpartition(":")
+            d, g = (int(d) if d else 2), int(g)
             # warm the concatenated-batch jit bucket outside the window
             big = np.concatenate([queries] * g)
             idx.search_batch_arrays(big, K, SimilarityMetric.COSINE)
             qps = bench_pipelined(
-                idx, queries, 2, args.seconds, group=g
+                idx, queries, d, args.seconds, group=g
             )
-            log(f"pipelined depth=2 group={g}: {qps:,.0f} QPS sustained")
+            log(f"pipelined depth={d} group={g}: {qps:,.0f} QPS sustained")
             results.append(
                 {
                     "mode": "pipelined",
-                    "depth": 2,
+                    "depth": d,
                     "group": g,
                     "qps": round(qps),
                 }
