@@ -80,25 +80,13 @@ def main():
     met = SimilarityMetric.COSINE
     rng = np.random.default_rng(0)
     data = rng.standard_normal((N, D), dtype=np.float32)
-    v32 = jax.device_put(jnp.asarray(data))
-    vbf = v32.astype(jnp.bfloat16)
-    sqn = jnp.sum(v32 * v32, axis=1)
-    valid = jnp.ones((N,), bool)
-    live_hi = jnp.asarray(N, jnp.int32)
-
-    # query batches: [0] for timing, all for finalist recall
-    qs = [
-        jax.device_put(
-            jnp.asarray(
-                rng.standard_normal((B, D), dtype=np.float32)
-            )
-        )
+    qs_np = [
+        rng.standard_normal((B, D), dtype=np.float32)
         for _ in range(RECALL_BATCHES)
     ]
-    qd = qs[0]
-    jax.block_until_ready((v32, vbf, sqn, valid, qd))
 
-    # f64 ground truth per batch (cached: ~6 min of 1-core f64 matmul)
+    # f64 ground truth FIRST (cached: ~6 min of 1-core f64 matmul) —
+    # before any device work, so a hung relay upload can't waste it
     gt_path = f"/tmp/gt_roofline_{N}_{D}_{B}_{RECALL_BATCHES}.npz"
     if os.path.exists(gt_path):
         z = np.load(gt_path)
@@ -108,8 +96,8 @@ def main():
         v64 = data.astype(np.float64)
         vn = np.linalg.norm(v64, axis=1)[None, :]
         truths = []
-        for q in qs:
-            q64 = np.asarray(q).astype(np.float64)
+        for qn in qs_np:
+            q64 = qn.astype(np.float64)
             ts = (q64 @ v64.T) / (
                 np.linalg.norm(q64, axis=1, keepdims=True) * vn
             )
@@ -117,7 +105,20 @@ def main():
         np.savez(
             gt_path, **{f"t{i}": t for i, t in enumerate(truths)}
         )
+        del v64
         log("ground truth ready")
+
+    log("uploading corpus...")
+    t_up = time.perf_counter()
+    v32 = jax.device_put(jnp.asarray(data))
+    vbf = v32.astype(jnp.bfloat16)
+    sqn = jnp.sum(v32 * v32, axis=1)
+    valid = jnp.ones((N,), bool)
+    live_hi = jnp.asarray(N, jnp.int32)
+    qs = [jax.device_put(jnp.asarray(qn)) for qn in qs_np]
+    qd = qs[0]
+    jax.block_until_ready((v32, vbf, sqn, valid, qd))
+    log(f"corpus on device in {time.perf_counter() - t_up:.1f}s")
 
     def recall(fn, batches=1):
         hits = total = 0
