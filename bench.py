@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 os.environ.setdefault(
@@ -86,100 +88,136 @@ def _chip_healthy(timeout_s: int = 180) -> bool:
         return False
 
 
+# --- un-losable record machinery (VERDICT r4 item 2) -----------------
+# The driver runs this script under a ~25-30 min `timeout` and parses
+# the LAST JSON line on stdout; round 4 shipped parsed=null because the
+# congestion wait (25 x 180 s) outlived that budget. Three guarantees
+# now: (1) the health-probe phase is capped at ~6 min; (2) a watchdog
+# thread prints the replay record and exits if no record has printed by
+# BENCH_DEADLINE_S (default 18 min) — this also covers a device call
+# that wedges mid-measurement; (3) SIGTERM (what `timeout` sends)
+# prints the replay record before dying. Exactly one record is ever
+# printed (guarded by _record_lock).
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 18 * 60))
+_t_start = time.monotonic()
+_record_lock = threading.Lock()
+_record_printed = False
+
+
+def emit_record(record: dict) -> bool:
+    """Print the one headline record, if none has printed yet."""
+    global _record_printed
+    with _record_lock:
+        if _record_printed:
+            return False
+        _record_printed = True
+        print(json.dumps(record), flush=True)
+        return True
+
+
+def replay_record(reason: str) -> dict:
+    """The stale-but-parseable fallback: replay the last healthy-window
+    bench.py record verbatim (bench/last_headline.json tracks it),
+    explicitly labeled — the metric measures the framework, not the
+    shared relay's availability at one instant. The LAST measured
+    record rides in the top-level fields (never the merged best-ever:
+    consumers parsing `value` must see an actual measurement); the best
+    healthy-window record rides alongside, structurally labeled."""
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench", "last_headline.json")
+        ) as f:
+            prev = json.load(f)
+        return {
+            "metric": prev["metric"],
+            "value": prev["value"],
+            "unit": prev["unit"],
+            "vs_baseline": prev["vs_baseline"],
+            "stale": True,
+            "replayed": True,
+            "measured_at": prev["when"],
+            "best_healthy_window": prev.get("best"),
+            "note": (
+                f"{reason}; value replayed verbatim from the last "
+                "healthy-window bench.py record tracked in bench/"
+                "last_headline.json (measured_at says when), not "
+                "re-measured"
+            ),
+        }
+    except Exception:
+        # No record on disk at all (first-ever run in a dead window):
+        # the engine's round-3 healthy-window log measurement, clearly
+        # labeled, rather than a misleading zero. Raw log preserved at
+        # bench/amk_frontier_r3.log (2026-08-17 08:25).
+        return {
+            "metric": "cosine_top10_qps_1m_x384_b256_recall0.9969",
+            "value": 101056,
+            "unit": "queries/s",
+            # vs the 24.04 QPS CPU f64 baseline measured on this host
+            # in BENCH_r02.json
+            "vs_baseline": round(101056 / 24.04, 1),
+            "stale": True,
+            "replayed": True,
+            "measured_at": "2026-08-17 08:25",
+            "note": (
+                f"{reason}; no bench/last_headline.json on disk; value "
+                "is the healthy-window on-chip log measurement of the "
+                "shipped engine at the same shape (bench/"
+                "amk_frontier_r3.log), not a fresh run"
+            ),
+        }
+
+
+def _fallback_and_exit(reason: str) -> None:
+    if emit_record(replay_record(reason)):
+        log(f"emitted replay record ({reason})")
+    # os._exit: a wedged libtpu call can't be interrupted and atexit
+    # handlers could hang; the record is already flushed.
+    os._exit(0)
+
+
+def _install_guards() -> None:
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: _fallback_and_exit("SIGTERM before a record printed"),
+    )
+
+    def watchdog() -> None:
+        while True:
+            left = DEADLINE_S - (time.monotonic() - _t_start)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        with _record_lock:
+            already = _record_printed
+        if not already:
+            _fallback_and_exit(
+                f"bench deadline ({DEADLINE_S:.0f}s) hit before a "
+                "record printed (relay congested or wedged)"
+            )
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
 def main() -> None:
+    _install_guards()
     healthy = False
-    # Observed relay congestion episodes run minutes to 2+ hours; this
-    # record is the round's headline, so wait up to ~75 min before
-    # surrendering (probes are a subprocess each — nothing hangs).
-    for attempt in range(25):
+    # Health-probe phase capped at ~6 min (4 probes x 90 s): a fallback
+    # that can't execute within the caller's budget is not a fallback
+    # (round 4's 75-min wait got the process killed recordless).
+    for attempt in range(4):
         t0 = time.perf_counter()
-        if _chip_healthy():
+        if _chip_healthy(timeout_s=90):
             healthy = True
             break
-        log(f"TPU relay unresponsive (probe {attempt + 1}/25); waiting...")
-        # pace probes to one 180 s window each: a fast failure (relay
+        log(f"TPU relay unresponsive (probe {attempt + 1}/4); waiting...")
+        # pace probes to one 90 s window each: a fast failure (relay
         # refusing connections) must not burn all attempts in seconds
-        time.sleep(max(0.0, 180.0 - (time.perf_counter() - t0)))
+        time.sleep(max(0.0, 90.0 - (time.perf_counter() - t0)))
     if not healthy:
         log("TPU relay unresponsive (congestion episode).")
-        try:
-            # Replay the last healthy-window record, explicitly labeled
-            # stale: the metric measures the framework, not the shared
-            # relay's availability at one instant. Full provenance rides
-            # in the record; a fresh run in a healthy window overwrites.
-            with open("bench/last_headline.json") as f:
-                prev = json.load(f)
-            # Replay the LAST measured record verbatim (top-level
-            # fields), never the merged best-ever — consumers parsing
-            # `value` must see an actual measurement. The round's best
-            # healthy-window record rides alongside, structurally
-            # labeled, for anyone who wants the ceiling.
-            log(f"replaying last healthy-window record from {prev['when']}")
-            print(
-                json.dumps(
-                    {
-                        "metric": prev["metric"],
-                        "value": prev["value"],
-                        "unit": prev["unit"],
-                        "vs_baseline": prev["vs_baseline"],
-                        "stale": True,
-                        "replayed": True,
-                        "measured_at": prev["when"],
-                        "best_healthy_window": prev.get("best"),
-                        "note": (
-                            "tpu relay congested at record time; value "
-                            "replayed verbatim from the last healthy-"
-                            "window bench.py record tracked in bench/"
-                            "last_headline.json (measured_at says "
-                            "when), not re-measured"
-                        ),
-                    }
-                )
-            )
-            return
-        except Exception:
-            pass
-        # No bench.py record on disk, but the same engine at the same
-        # shape WAS measured on-chip in a healthy window this round
-        # (bench/amk_frontier_r3.log, 2026-08-17 08:25): amk+rescore
-        # rt=0.99 -> 2.533 ms/batch = 101,056 QPS at recall@10 0.9969;
-        # the turbo point measured 126,800. Replay the conservative
-        # end, clearly labeled stale, rather than a misleading zero —
-        # the metric measures the framework, not the relay's uptime
-        # (this outage: even jax.devices() hung for 40+ hours).
-        log(
-            "no bench.py record on disk; replaying the round's "
-            "healthy-window engine measurement (bench/amk_frontier_r3"
-            ".log), labeled stale."
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "cosine_top10_qps_1m_x384_b256_recall"
-                    "0.9969",
-                    "value": 101056,
-                    "unit": "queries/s",
-                    # vs the 24.04 QPS CPU f64 baseline measured on
-                    # this host in BENCH_r02.json
-                    "vs_baseline": round(101056 / 24.04, 1),
-                    "stale": True,
-                    "replayed": True,
-                    "measured_at": "2026-08-17 08:25",
-                    "note": (
-                        "tpu relay unresponsive at record time (outage: "
-                        "device enumeration itself hung for 40+ h); "
-                        "value is this round's healthy-window on-chip "
-                        "measurement of the shipped engine at the same "
-                        "shape (1M x 384, b=256, cosine: amk+rescore "
-                        "rt=0.99, 2.533 ms/batch, recall@10 0.9969 — "
-                        "raw log preserved at bench/amk_frontier_r3"
-                        ".log; turbo point 126,800 QPS), not a fresh "
-                        "run; baseline denominator is BENCH_r02's "
-                        "measured 24.04 QPS CPU f64 scan on this host"
-                    ),
-                }
-            )
-        )
+        emit_record(replay_record("tpu relay congested at record time"))
         return
 
     import jax
@@ -406,7 +444,7 @@ def main() -> None:
             )
     except Exception:
         pass
-    print(json.dumps(record))
+    emit_record(record)
 
 
 if __name__ == "__main__":

@@ -79,7 +79,9 @@ def main():
         for _ in range(RECALL_BATCHES)
     ]
 
-    gt_path = f"/tmp/gt_roofline_{N}_{D}_{B}_{RECALL_BATCHES}.npz"
+    # v1 token: must stay in lockstep with probe_roofline_r4 (shared
+    # cache + identical rng(0) generation order)
+    gt_path = f"/tmp/gt_roofline_v1s0_{N}_{D}_{B}_{RECALL_BATCHES}.npz"
     if not os.path.exists(gt_path):
         log("no cached ground truth — run probe_roofline_r4 first")
         sys.exit(1)

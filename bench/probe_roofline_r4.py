@@ -87,7 +87,9 @@ def main():
 
     # f64 ground truth FIRST (cached: ~6 min of 1-core f64 matmul) —
     # before any device work, so a hung relay upload can't waste it
-    gt_path = f"/tmp/gt_roofline_{N}_{D}_{B}_{RECALL_BATCHES}.npz"
+    # v1 token: bump when corpus/query generation changes — the cache
+    # would otherwise silently serve stale truth for new data
+    gt_path = f"/tmp/gt_roofline_v1s0_{N}_{D}_{B}_{RECALL_BATCHES}.npz"
     if os.path.exists(gt_path):
         z = np.load(gt_path)
         truths = [z[f"t{i}"] for i in range(RECALL_BATCHES)]

@@ -186,6 +186,15 @@ def main():
     out = {"config": "scale8m_r4", "n": N, "calib_t0_ms": calibration()}
     log(f"calibration anchor: {out['calib_t0_ms']} ms")
 
+    path = os.path.join(os.path.dirname(__file__), "report_scale8m.json")
+
+    def checkpoint():
+        # write-then-overwrite after every section: a timeout kill at
+        # any point must leave the measured sections on disk (the
+        # round-4 lesson — BENCH_r04 went null for lack of exactly this)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
     # ---------------- clustered corpus: IVF frontier ----------------
     if not args.skip_ivf:
         log("[ivf] generating clustered 8M corpus...")
@@ -222,6 +231,8 @@ def main():
                 )
             finally:
                 os.environ.pop("VECTORLITE_IVF_NPROBE", None)
+            out["ivf_clustered"] = ivf
+            checkpoint()
         # brute anchor on the same index/corpus: an absurd nprobe makes
         # _ivf_topk decline (probed bytes > half the corpus) and the
         # brute amk engine serves — same rows, same window
@@ -235,6 +246,7 @@ def main():
         out["ivf_clustered"] = ivf
         del idx
         out["calib_t1_ms"] = calibration()
+        checkpoint()
 
     # ---------------- iid corpus: PQ ladder + brute re-measure ------
     if not (args.skip_pq and args.skip_brute):
@@ -255,6 +267,7 @@ def main():
         out["iid_bf16_brute"] = row
         del idx
         out["calib_t2_ms"] = calibration()
+        checkpoint()
 
     if not args.skip_pq:
         idx, ingest_s = build_index(
@@ -274,12 +287,9 @@ def main():
         out["iid_pq"] = pq
         del idx
         out["calib_t3_ms"] = calibration()
+        checkpoint()
 
-    path = os.path.join(
-        os.path.dirname(__file__), "report_scale8m.json"
-    )
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+    checkpoint()
     log(f"wrote {path}")
     print(json.dumps(out))
 

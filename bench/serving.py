@@ -229,8 +229,17 @@ def main():
             )
         for spec in [x for x in args.groups.split(",") if x]:
             # "G" sweeps at depth 2; "D:G" pins the fetch-pool depth too
-            d, _, g = spec.rpartition(":")
-            d, g = (int(d) if d else 2), int(g)
+            parts = spec.split(":")
+            if len(parts) > 2 or not all(
+                x.lstrip("-").isdigit() for x in parts if x
+            ):
+                raise SystemExit(
+                    f"--groups entry {spec!r}: expected G or D:G integers"
+                )
+            d = int(parts[0]) if len(parts) == 2 and parts[0] else 2
+            g = int(parts[-1])
+            if d < 1 or g < 1:
+                raise SystemExit(f"--groups entry {spec!r}: must be >= 1")
             # warm the concatenated-batch jit bucket outside the window
             big = np.concatenate([queries] * g)
             idx.search_batch_arrays(big, K, SimilarityMetric.COSINE)

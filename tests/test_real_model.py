@@ -93,6 +93,41 @@ def test_special_token_ids(real_tokenizer):
 
 
 @needs_tokenizer
+def test_vocab_slice_matches_real_tokenizer(real_tokenizer):
+    """The checked-in vocab slice is the ONE hand-authored surface the
+    always-on golden derivation rests on (tests/test_wordpiece_ref.py);
+    here every (token, id) pair is machine-verified against the real
+    tokenizer.json (reference: src/embeddings.rs:149)."""
+    data = json.loads(
+        (GOLDEN.parent / "vocab_slice_minilm.json").read_text()
+    )
+    for token, wid in data["vocab"].items():
+        assert real_tokenizer.token_to_id(token) == wid, token
+
+
+@needs_tokenizer
+def test_full_battery_regenerates_identically(real_tokenizer):
+    """VERDICT r4 item 8: once the real tokenizer is present, the full
+    tricky-string battery (scripts/gen_tokenizer_goldens.py's TRICKY)
+    must regenerate id-for-id through BOTH the raw tokenizer and the
+    serving path's tokenize_batch — and any battery case already in the
+    goldens file must match byte-identically (a stale or hand-edited
+    regeneration fails here, not silently)."""
+    golden = json.loads(GOLDEN.read_text())
+    on_disk = {c["text"]: c["ids"] for c in golden["cases"]}
+    ids, mask = tokenize_batch(real_tokenizer, TRICKY, 512)
+    for row, text in enumerate(TRICKY):
+        n = int(mask[row].sum())
+        got = ids[row, :n].tolist()
+        raw = real_tokenizer.encode(text).ids
+        sep = real_tokenizer.token_to_id("[SEP]")
+        want = raw[:511] + [sep] if len(raw) > 512 else raw
+        assert got == want, text[:40]
+        if text in on_disk:
+            assert got == on_disk[text], text[:40]
+
+
+@needs_tokenizer
 def test_pinned_token_id_goldens(real_tokenizer):
     """Checked-in fixtures through the production staging path."""
     cases = json.loads(GOLDEN.read_text())["cases"]

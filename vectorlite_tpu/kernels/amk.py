@@ -190,18 +190,19 @@ def _exact_rescore_device(
     return s_top, jnp.take_along_axis(i_sel, pos, axis=1)
 
 
-#: rows pulled in on each side of an augmented candidate
+#: rows pulled in on each side of an augmented candidate (default)
 _AUGMENT_RADIUS = 4
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "metric", "k", "k_sel", "recall_target", "augment", "tombstones"
+        "metric", "k", "k_sel", "recall_target", "augment", "tombstones",
+        "augment_radius",
     ),
 )
 def amk_search_topk_rescored(
-    values_scan: jax.Array,  # [N, D] bf16 scan copy (or the f32 rows)
+    values_scan: jax.Array,  # [N, D] bf16/int8 scan copy (or the f32 rows)
     values_exact: jax.Array,  # [N, D] f32 exact rows (may alias scan)
     sqnorms: jax.Array,  # [N] f32 exact squared norms
     valid: jax.Array,  # [N] bool
@@ -212,6 +213,7 @@ def amk_search_topk_rescored(
     k_sel: int = K_SEL_MIN,
     recall_target: float = RECALL_TARGET,
     augment: int = 8,
+    augment_radius: int = _AUGMENT_RADIUS,
     scan_scales: jax.Array | None = None,
     tombstones: bool = True,
     live_hi: jax.Array | None = None,
@@ -251,7 +253,7 @@ def amk_search_topk_rescored(
         # neighborhood into the exact-rescore pool; the rescore dedupes
         # and re-ranks exactly.
         top = i_sel[:, :augment]  # rank-ordered (pre row-sort)
-        offs = jnp.arange(-_AUGMENT_RADIUS, _AUGMENT_RADIUS + 1)
+        offs = jnp.arange(-augment_radius, augment_radius + 1)
         aug = jnp.clip(
             top[:, :, None] + offs[None, None, :], 0, n - 1
         ).reshape(top.shape[0], -1)
