@@ -50,17 +50,23 @@ _MIN_CAPACITY = 256
 _PQ_ENCODE_BUCKET = 1 << 17
 
 
-def _pq_scan_chunk() -> int:
+def _pq_scan_chunk(bits: int = 4) -> int:
     """Corpus rows per PQ selection scan step. Wider chunks amortize
     per-step overhead (operand staging, amk dispatch) AND shrink the
     merged surrogate pool (n_chunks * k_chunk wide) that the global
     trim sorts — at 8M a 64K chunk makes a 128-step scan whose merged
     pool dwarfs the final pool 100x. The [B, chunk] f32 rank buffer is
     the only footprint that grows (256 MB at 256 x 256K) — scratch, not
-    resident. VECTORLITE_PQ_CHUNK overrides."""
+    resident. The wide default is only measured on the 4-bit profile;
+    the opt-in 8-bit path (kc=256) keeps the old 64K chunk — its
+    per-chunk one-hot operand is 8x wider ([chunk, m*kc] bf16), and a
+    256K chunk would gamble ~12 GB of HLO temp on XLA fusing the
+    compare-cast into the matmul operand stream (ADVICE r4).
+    VECTORLITE_PQ_CHUNK overrides either."""
     from ..utils import env_number
 
-    return max(1024, int(env_number("VECTORLITE_PQ_CHUNK", 1 << 18)))
+    default = (1 << 18) if bits == 4 else (1 << 16)
+    return max(1024, int(env_number("VECTORLITE_PQ_CHUNK", default)))
 _MAX_K_BUCKET = 1024  # openapi k bound (reference: docs/openapi.yaml:624-630)
 
 #: Above this capacity the fused Pallas tiled scan takes over from the
@@ -463,7 +469,10 @@ class FlatIndex:
         # never dispatch against a reference captured before a sync.
         self._dev_lock = threading.Lock()
         self._dev_values: Optional[jax.Array] = None
-        self._dev_scan: Optional[jax.Array] = None  # bf16 speed-mode copy
+        self._dev_scan: Optional[jax.Array] = None  # speed-mode scan copy
+        # per-row quantization scales when the scan copy is int8
+        # (None while the scan copy is bf16 or absent)
+        self._dev_scan_scales: Optional[jax.Array] = None
         self._dev_scales: Optional[jax.Array] = None  # int8 profile only
         self._dev_codes: Optional[jax.Array] = None  # pq profile only
         self._dev_codebooks: Optional[jax.Array] = None  # pq profile only
@@ -696,6 +705,7 @@ class FlatIndex:
         # compaction — the rows are a subset, only their slots moved)
         self._dev_values = None
         self._dev_scan = None
+        self._dev_scan_scales = None
         self._dev_scales = None
         self._dev_codes = None
         self._dev_sqnorms = None
@@ -1605,6 +1615,23 @@ class FlatIndex:
             <= _hbm_budget_bytes() * n_dev
         )
 
+    def _scan_copy_dtype(self):
+        """Dtype of the speed-mode scan copy.
+
+        int8 (default): the round-4/5 probes measured the s8 x s8 ->
+        s32 fused selection at 1.96 ms vs bf16's 2.51 at 1M x 384
+        b=256 (bench/report_int8_probe.json — the scan bytes, not the
+        MXU rate, bound selection) with candidate recall@10 = 1.0 at
+        k_sel=128; the exact-f32 rescore restores exact scores either
+        way. bf16 remains selectable (VECTORLITE_SCAN_DTYPE=bf16) for
+        corpora whose per-row dynamic range quantizes poorly — the
+        same _bf16_selection_risky guard already refuses the scan copy
+        outright on adversarial data."""
+        import os
+
+        name = os.environ.get("VECTORLITE_SCAN_DTYPE", "int8").lower()
+        return jnp.bfloat16 if name in ("bf16", "bfloat16") else jnp.int8
+
     def _resolve_approx(
         self,
         approx: Optional[bool],
@@ -1690,9 +1717,12 @@ class FlatIndex:
             # fixed width decays as N grows (more near-ties per query —
             # measured 0.9656 recall@10 at 1M vs 0.9422 at 8M with the
             # same 256 pool, bench/report_flat8m.json r3). One doubling
-            # per 8x rows past 1M keeps the pool/N ratio's decay
-            # sub-linear for ~nothing: the exact-ADC stage and the host
-            # f64 rescore are both O(B * pool * D) on tiny operands.
+            # per 8x high-water rows past 2M (8M->512, 64M->1024) keeps
+            # the pool/N ratio's decay sub-linear for ~nothing: the
+            # exact-ADC stage and the host f64 rescore are both
+            # O(B * pool * D) on tiny operands. High-water (_size, not
+            # live count) is deliberate: the pool never shrinks when
+            # deletes tombstone rows, it only stops growing.
             if bits == 4:
                 live, base, thresh = max(1, self._size), 256, 2 << 20
                 while base < 2048 and live > thresh:
@@ -1941,7 +1971,11 @@ class FlatIndex:
                         queries,
                         metric=sel_metric,
                         k=k_pad,  # per-shard cap happens inside
-                        chunk=min(_pq_scan_chunk(), rows_per_shard),
+                        chunk=min(_pq_scan_chunk(
+                            self._pq_bits_active
+                            if self._pq_bits_active is not None
+                            else _pq_bits()
+                        ), rows_per_shard),
                         mesh=self._mesh,
                         packed=self._pq_packed,
                         pallas=pq_pallas_default(),
@@ -1954,7 +1988,11 @@ class FlatIndex:
                     queries,
                     metric=sel_metric,
                     k=min(k_pad, self._capacity),
-                    chunk=min(_pq_scan_chunk(), self._capacity),
+                    chunk=min(_pq_scan_chunk(
+                        self._pq_bits_active
+                        if self._pq_bits_active is not None
+                        else _pq_bits()
+                    ), self._capacity),
                     packed=self._pq_packed,
                     pallas=pq_pallas_default(),
                 )
@@ -2144,6 +2182,11 @@ class FlatIndex:
                         k=k_pad,
                         k_sel=k_sel,
                         recall_target=recall_target(),
+                        scan_scales=(
+                            self._dev_scan_scales
+                            if scan.dtype == jnp.int8
+                            else None
+                        ),
                         tombstones=tomb,
                         live_hi=None if tomb else self._live_hi_scalar(),
                     )
@@ -2254,6 +2297,7 @@ class FlatIndex:
         # bounded by one capacity generation.
         self._dev_values = None
         self._dev_scan = None
+        self._dev_scan_scales = None
         self._dev_scales = None
         self._dev_codes = None
         self._dev_codebooks = None
@@ -2340,13 +2384,20 @@ class FlatIndex:
                 self._device_dtype == jnp.float32
                 and self._scan_copy_wanted()
             ):
-                import ml_dtypes
+                if self._scan_copy_dtype() == jnp.int8:
+                    q, scales = _quantize_rows_int8_np(vals32)
+                    self._dev_scan = jnp.asarray(q)
+                    self._dev_scan_scales = jnp.asarray(scales)
+                else:
+                    import ml_dtypes
 
-                self._dev_scan = jnp.asarray(
-                    vals32.astype(ml_dtypes.bfloat16)
-                )
+                    self._dev_scan = jnp.asarray(
+                        vals32.astype(ml_dtypes.bfloat16)
+                    )
+                    self._dev_scan_scales = None
             else:
                 self._dev_scan = None
+                self._dev_scan_scales = None
             self._dev_valid = jnp.asarray(self._valid)
             self._dirty_lo = self._dirty_hi = self._size
             self._mask_dirty = False
@@ -2376,8 +2427,19 @@ class FlatIndex:
                     self._dev_values, rows32.astype(self._device_dtype), lo
                 )
             if self._dev_scan is not None:
-                # update_rows casts to the buffer dtype internally
-                self._dev_scan = update_rows(self._dev_scan, rows32, lo)
+                if self._dev_scan.dtype == jnp.int8:
+                    s_rows, s_scales = quantize_rows_int8(rows32)
+                    self._dev_scan = update_rows(
+                        self._dev_scan, s_rows, lo
+                    )
+                    self._dev_scan_scales = update_rows(
+                        self._dev_scan_scales, s_scales, lo
+                    )
+                else:
+                    # update_rows casts to the buffer dtype internally
+                    self._dev_scan = update_rows(
+                        self._dev_scan, rows32, lo
+                    )
             self._dirty_lo = self._dirty_hi = self._size
         if self._mask_dirty:
             self._dev_valid = jnp.asarray(self._valid)
@@ -2512,6 +2574,7 @@ class FlatIndex:
             # free the f32 fallback cache (the whole point is capacity)
             self._dev_values = None
             self._dev_scan = None
+            self._dev_scan_scales = None
             self._precision_risky = False
             self._dirty_lo = self._dirty_hi = self._size
             self._mask_dirty = False
@@ -2682,25 +2745,41 @@ class FlatIndex:
         thr = float(env_number("VECTORLITE_IVF_GUARD_RECALL", 0.985))
         n_live = len(live)
         rng = np.random.default_rng(1)
-        ns = min(n_live, 65536)
-        pos = (
-            np.arange(n_live)
-            if ns == n_live
-            else np.sort(rng.choice(n_live, ns, replace=False))
-        )
-        srows = self._values64[live[pos]].astype(np.float32)
-        scell = assign[pos]
-        norms = np.linalg.norm(srows, axis=1)
-        norms = np.maximum(norms, 1e-30)
-        nq = min(64, ns // 8) or 1
-        qsel = rng.choice(ns, nq, replace=False)
-        q = srows[qsel] / norms[qsel, None]
-        # exact cosine top-k within the sample, self-hit excluded
-        k_t = min(10, ns - 1)
-        scores = (q @ srows.T) / norms[None, :]
-        scores[np.arange(nq), qsel] = -np.inf
-        truth = np.argpartition(-scores, k_t - 1, axis=1)[:, :k_t]
-        truth_cells = scell[truth]  # [nq, k_t]
+        # Truth MUST come from the full corpus, not a sample: a 65K
+        # sample of 8M leaves ~8 rows per locality neighborhood, so a
+        # sampled row's "within-sample top-10" is mostly cross-cluster
+        # near-strangers whose cells are uncorrelated with the probe
+        # window — the guard then refuses valid geometry at exactly
+        # the scale IVF exists for (round-5 8M drive: active=False on
+        # the clustered corpus that measures cell-recall 1.0 against
+        # full-corpus truth). 64 queries x n_live blocked f32 matmul
+        # costs ~10-20 s on one core — noise next to the k-means build.
+        nq = int(np.clip(n_live // 8, 1, 64))
+        qsel = rng.choice(n_live, nq, replace=False)
+        qrows = self._values64[live[qsel]].astype(np.float32)
+        qn = np.maximum(np.linalg.norm(qrows, axis=1, keepdims=True),
+                        1e-30)
+        q = qrows / qn
+        k_t = min(10, n_live - 1)
+        step = 1 << 20
+        top_s = np.full((nq, 0), 0.0, np.float32)
+        top_p = np.full((nq, 0), 0, np.int64)
+        for lo in range(0, n_live, step):
+            blk = self._values64[live[lo : lo + step]].astype(np.float32)
+            bn = np.maximum(np.linalg.norm(blk, axis=1), 1e-30)
+            s = (q @ blk.T) / bn[None, :]
+            m = s.shape[1]
+            kk = min(k_t + 1, m)  # +1 so the self-hit can be dropped
+            part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            top_s = np.concatenate(
+                [top_s, np.take_along_axis(s, part, axis=1)], axis=1
+            )
+            top_p = np.concatenate([top_p, part + lo], axis=1)
+        # drop self-hits, keep the global top-k_t positions (into live)
+        top_s = np.where(top_p == qsel[:, None], -np.inf, top_s)
+        keep = np.argpartition(-top_s, k_t - 1, axis=1)[:, :k_t]
+        truth = np.take_along_axis(top_p, keep, axis=1)
+        truth_cells = assign[truth]  # [nq, k_t]
         # query -> ranked cells by the serving surrogate (cosine)
         cents = np.asarray(self._ivf_centroids, dtype=np.float32)
         csq = np.maximum(np.einsum("cd,cd->c", cents, cents), 1e-30)
@@ -2964,6 +3043,7 @@ class FlatIndex:
                 )
             else:
                 self._dev_scan = None
+                self._dev_scan_scales = None
             self._dev_sqnorms = jax.device_put(sq, row_sharding(mesh, 1))
             self._dev_valid = jax.device_put(
                 self._valid, row_sharding(mesh, 1)
