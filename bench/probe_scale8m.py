@@ -183,10 +183,18 @@ def main():
     queries = rng.standard_normal((BATCH, D))
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
-    out = {"config": "scale8m_r4", "n": N, "calib_t0_ms": calibration()}
-    log(f"calibration anchor: {out['calib_t0_ms']} ms")
-
     path = os.path.join(os.path.dirname(__file__), "report_scale8m.json")
+    out = {}
+    if os.path.exists(path):
+        try:  # merge: section-only re-runs must not drop earlier work
+            with open(path) as f:
+                out = json.load(f)
+        except Exception:
+            out = {}
+    out.update(
+        {"config": "scale8m_r5", "n": N, "calib_t0_ms": calibration()}
+    )
+    log(f"calibration anchor: {out['calib_t0_ms']} ms")
 
     def checkpoint():
         # write-then-overwrite after every section: a timeout kill at

@@ -455,3 +455,63 @@ class TestMeshHNSW:
             use_device=True,
         )
         assert res[0][0].id == 3
+
+
+def test_sharded_ivf_probe(mesh, rng):
+    """Sharded-IVF stage (VERDICT r4 item 5): partitions sharded across
+    the mesh, per-shard probe + all-gather pool merge + one cross-shard
+    exact rescore. Probing every partition (nprobe_per_shard = C/n_dev)
+    must recover the exact top-k of the live corpus."""
+    from vectorlite_tpu.dist.sharding import sharded_search_ivf
+    from vectorlite_tpu.kernels import ivf as ivf_k
+
+    n_dev = 8
+    c, d, b, k = 16, 64, 4, 10
+    n = 1500  # live rows (rest of the layout is -1 pad)
+    rows64 = rng.normal(size=(n, d))
+    live = np.arange(n)
+    cents = ivf_k.train_centroids(
+        rows64.astype(np.float32), c, iters=4, chunk=500
+    )
+    assign = ivf_k.assign_rows(rows64, live, cents)
+    part_slots, extra_slots = ivf_k.build_layout(
+        assign, live, c, pad_factor=4.0
+    )  # wide pad: no overflow, the probe covers every live row
+    assert len(extra_slots) == 0
+    p_width = part_slots.shape[1]
+    ps = part_slots.reshape(-1)
+    rows32 = np.zeros((c * p_width, d), np.float32)
+    rows32[ps >= 0] = rows64[ps[ps >= 0]].astype(np.float32)
+    cap = 2048
+    vals32 = np.zeros((cap, d), np.float32)
+    vals32[:n] = rows64.astype(np.float32)
+
+    s, i = sharded_search_ivf(
+        jnp.asarray(rows32, jnp.bfloat16),
+        jnp.asarray(ps.astype(np.int32)),
+        jnp.asarray(np.einsum("nd,nd->n", rows32, rows32)),
+        jnp.asarray(ps >= 0),
+        cents,
+        jnp.sum(cents * cents, axis=1),
+        jnp.asarray(vals32),
+        jnp.ones(cap, bool),
+        jnp.asarray(rows64[:b].astype(np.float32)),
+        jnp.int32(n),
+        metric=SimilarityMetric.COSINE,
+        k=k,
+        k_sel=128,
+        nprobe_per_shard=c // n_dev,
+        p_width=p_width,
+        mesh=mesh,
+    )
+    # exact truth on the live rows
+    v = rows64
+    q = rows64[:b]
+    sc = (q @ v.T) / (
+        np.linalg.norm(q, axis=1, keepdims=True)
+        * np.linalg.norm(v, axis=1)[None, :]
+    )
+    truth = np.argsort(-sc, axis=1)[:, :k]
+    i_np = np.asarray(i)
+    for row in range(b):
+        assert set(i_np[row].tolist()) == set(truth[row].tolist())

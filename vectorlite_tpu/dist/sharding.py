@@ -321,3 +321,125 @@ def update_rows_sharded(
         out_specs=buf_spec,
         check_vma=False,
     )(buffer, rows, jnp.asarray(start, jnp.int32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k", "k_sel", "nprobe_per_shard", "p_width", "mesh",
+        "tombstones",
+    ),
+)
+def sharded_search_ivf(
+    part_rows: jax.Array,  # [C * P, D] bf16, sharded by partition blocks
+    part_slots: jax.Array,  # [C * P] int32 global slots (-1 pad), sharded
+    part_sqnorms: jax.Array,  # [C * P] f32, sharded
+    part_valid: jax.Array,  # [C * P] bool, sharded
+    centroids: jax.Array,  # [C, D] f32, row-sharded (C % n_dev == 0)
+    cent_sqnorms: jax.Array,  # [C] f32, row-sharded
+    values_exact: jax.Array,  # [cap, D] rung rows, ROW-sharded (slot order)
+    valid: jax.Array,  # [cap] bool, row-sharded
+    queries: jax.Array,  # [B, D] f32, replicated
+    size: jax.Array,  # scalar int32: live watermark (replicated)
+    *,
+    metric: SimilarityMetric,
+    k: int,
+    k_sel: int,
+    nprobe_per_shard: int,
+    p_width: int,
+    mesh: Mesh,
+    tombstones: bool = False,
+):
+    """IVF probe under the mesh (VERDICT r4 item 5's multi-chip scale
+    story): the partition-contiguous layout and its coarse centroids
+    shard by PARTITION blocks — each chip owns C/n_dev whole partitions,
+    so a probe stays one local [P, D] block read, never a cross-chip
+    gather. Per shard: rank the LOCAL centroids, probe the top
+    ``nprobe_per_shard`` local partitions (global probe width =
+    n_dev * nprobe_per_shard — the union of per-shard windows replaces
+    the single-chip global top-L, the same quota-per-region trade the
+    other sharded engines make), score the probed blocks, keep a local
+    surrogate-ranked candidate pool. Pools all-gather (tiny: [B, pool]
+    ids + scores), reduce to the global pool, and ONE exact-f32 rescore
+    runs on the slot-ordered rung rows — a [B, pool] cross-shard gather
+    XLA serves with collectives at negligible width, restoring exact
+    scores and lowest-slot tie-breaks (kernels/amk._exact_rescore_device,
+    the same contract every engine here honors).
+
+    The insert tail and overflow extras are the caller's to merge (the
+    single-chip layout keeps them host-side; at mesh scale they ride the
+    existing sharded brute engines over the same rung buffers)."""
+    from ..kernels.amk import _exact_rescore_device
+    from ..kernels.ivf import _rank_scores_rows, gather_score_xla
+    from ..kernels.amk import _matmul, _rank_scores
+
+    n_dev = int(mesh.devices.size)
+
+    def local_shard(pr, ps, psq, pok, cents, csq, q):
+        c_local = cents.shape[0]
+        nb = min(nprobe_per_shard, c_local)
+        qf = q.astype(jnp.float32)
+        cdot = _matmul(qf, cents)
+        crank = _rank_scores(cdot, metric, csq)
+        _, probe_ids = jax.lax.top_k(crank, nb)  # local partition ids
+        probe_ids = probe_ids.astype(jnp.int32)
+        # local probe: XLA gather formulation — under shard_map the
+        # Pallas scalar-prefetch kernel is per-device anyway, and the
+        # dryrun must also run on CPU meshes; the FlatIndex single-chip
+        # path keeps the Pallas kernel
+        dot = gather_score_xla(pr, probe_ids, qf, p_width=p_width)
+        b = qf.shape[0]
+        w = nb * p_width
+        dot = dot.reshape(b, w)
+        c_rows = pr.shape[0] // p_width
+        gsq = jnp.take(
+            psq.reshape(c_rows, p_width), probe_ids, axis=0
+        ).reshape(b, w)
+        gok = jnp.take(
+            pok.reshape(c_rows, p_width), probe_ids, axis=0
+        ).reshape(b, w)
+        gslots = jnp.take(
+            ps.reshape(c_rows, p_width), probe_ids, axis=0
+        ).reshape(b, w)
+        rank = jnp.where(gok, _rank_scores_rows(dot, metric, gsq), NEG_INF)
+        k_local = min(k_sel, w)
+        s_loc, sel = jax.lax.top_k(rank, k_local)
+        slots_loc = jnp.take_along_axis(gslots, sel, axis=1)
+        # all-gather the tiny pools; slots are already GLOBAL (the
+        # layout stores original slot numbers), so no shard offset
+        s_all = jax.lax.all_gather(s_loc, SHARD_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(
+            slots_loc, SHARD_AXIS, axis=1, tiled=True
+        )
+        k_pool = min(k_sel, s_all.shape[1])
+        _, pos = jax.lax.top_k(s_all, k_pool)
+        return jnp.take_along_axis(i_all, pos, axis=1)
+
+    pool = jax.shard_map(
+        local_shard,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS, None),
+            P(SHARD_AXIS),
+            P(None, None),
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )(
+        part_rows, part_slots, part_sqnorms, part_valid,
+        centroids, cent_sqnorms, queries,
+    )
+    pool = jnp.maximum(pool, 0).astype(jnp.int32)
+    return _exact_rescore_device(
+        pool,
+        values_exact,
+        valid if tombstones else None,
+        queries.astype(jnp.float32),
+        metric,
+        k,
+        size,
+    )

@@ -161,6 +161,9 @@ def bulk_build(index, start: int, count: int) -> None:
     present, vector rows already written to the shared buffers, id maps
     populated, metric has a matmul form.
     """
+    # engagement marker: benchmarks/tests assert the auto policy
+    # actually took this path (bench/bulk_1m.py --mode auto)
+    index._bulk_built = True
     import os
     import time
 

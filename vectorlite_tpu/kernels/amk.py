@@ -130,7 +130,8 @@ def _int8_scan_dot(queries, values_s8, scan_scales):
 
 
 def _exact_rescore_device(
-    i_sel, values_exact, valid, queries, metric, k, live_hi
+    i_sel, values_exact, valid, queries, metric, k, live_hi,
+    row_scales=None,
 ):
     """Gather the candidates' exact rows and re-score at f32 HIGHEST.
 
@@ -162,6 +163,11 @@ def _exact_rescore_device(
         axis=1,
     )
     rows = values_exact[i_sel].astype(jnp.float32)  # [B, k_sel, D]
+    if row_scales is not None:
+        # int8 storage rung: candidates dequantize to the same rows the
+        # brute int8 path ranks with; the index's host f64 rescore
+        # restores exactness for the returned k afterwards
+        rows = rows * row_scales[i_sel][..., None]
     queries = queries.astype(jnp.float32)
     dot = jnp.einsum(
         "bkd,bd->bk", rows, queries,

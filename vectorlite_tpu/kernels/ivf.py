@@ -232,10 +232,18 @@ def _gather_score_kernel(ids_ref, q_ref, rows_ref, out_ref):
     """One grid step = one (query, probe) pair: the probed partition's
     [P, D] block was DMA'd to VMEM by the BlockSpec index_map (which
     reads the scalar-prefetched partition id), so the body is just the
-    [P, D] x [D] contraction at f32 accumulation."""
+    [P, D] x [D] contraction at f32 accumulation.
+
+    int8 blocks (the quantized-rung composition) cast to f32 in VMEM —
+    HBM reads stay 1 byte/element, and the cast overlaps the block DMA
+    (the same trade pallas_scan._scores_tile measured 20x better than
+    Mosaic's s8 x s8 lowering). The per-row scales fold in OUTSIDE the
+    kernel (a [B, L, P] elementwise on the score tensor)."""
     del ids_ref  # consumed by the index_map
     q = q_ref[...]  # [1, D]
     rows = rows_ref[0]  # [P, D]
+    if rows.dtype == jnp.int8:
+        rows = rows.astype(jnp.float32)
     out_ref[0] = jax.lax.dot_general(
         q,
         rows,
@@ -279,8 +287,17 @@ def gather_score_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, l, p_width), jnp.float32),
         interpret=interpret,
-    )(part_ids, queries.astype(part_rows.dtype),
-      part_rows.reshape(c, p_width, d))
+    )(
+        part_ids,
+        # int8 blocks: queries STAY f32 (casting them to int8 would
+        # truncate); the kernel casts the rows up instead
+        (
+            queries.astype(jnp.float32)
+            if part_rows.dtype == jnp.int8
+            else queries.astype(part_rows.dtype)
+        ),
+        part_rows.reshape(c, p_width, d),
+    )
 
 
 def gather_score_xla(part_rows, part_ids, queries, *, p_width):
@@ -295,10 +312,15 @@ def gather_score_xla(part_rows, part_ids, queries, *, p_width):
     blocks = jnp.take(
         part_rows.reshape(c, p_width, d), part_ids, axis=0
     )  # [B, L, P, D]
+    q = (
+        queries.astype(jnp.float32)
+        if part_rows.dtype == jnp.int8
+        else queries.astype(part_rows.dtype).astype(jnp.float32)
+    )
     return jnp.einsum(
         "blpd,bd->blp",
         blocks.astype(jnp.float32),
-        queries.astype(part_rows.dtype).astype(jnp.float32),
+        q,
         preferred_element_type=jnp.float32,
     )
 
@@ -324,11 +346,14 @@ def ivf_search_topk_rescored(
     extra_slots: jax.Array,  # [E] int32
     extra_sqnorms: jax.Array,  # [E] f32
     extra_valid: jax.Array,  # [E] bool
-    values_exact: jax.Array,  # [cap, D] rung buffer (f32/bf16), slot order
+    values_exact: jax.Array,  # [cap, D] rung buffer (f32/bf16/int8 codes)
     valid: jax.Array,  # [cap] bool index validity mask
     queries: jax.Array,  # [B, D] f32
     tail_lo: jax.Array,  # scalar int32: first slot past the build
     size: jax.Array,  # scalar int32: append watermark (tail end)
+    part_scales: jax.Array | None = None,  # [C * P] f32 (int8 layout)
+    extra_scales: jax.Array | None = None,  # [E] f32 (int8 layout)
+    values_scales: jax.Array | None = None,  # [cap] f32 (int8 rung)
     *,
     metric: SimilarityMetric,
     k: int,
@@ -372,6 +397,12 @@ def ivf_search_topk_rescored(
     # leading [C, P] axis — contiguous P-wide runs, never element-wise)
     c = part_rows.shape[0] // p_width
     w = nprobe * p_width
+    if part_scales is not None:
+        # int8 layout: fold the per-row quantization scales into the
+        # raw code dots (block-gathered like every other side table)
+        dot = dot * jnp.take(
+            part_scales.reshape(c, p_width), probe_ids, axis=0
+        ).reshape(b, w)
     psq = jnp.take(
         part_sqnorms.reshape(c, p_width), probe_ids, axis=0
     ).reshape(b, w)
@@ -390,7 +421,11 @@ def ivf_search_topk_rescored(
 
     e = extra_rows.shape[0]
     if e:
-        edot = _matmul(qf, extra_rows)
+        if extra_rows.dtype == jnp.int8:
+            edot = _matmul(qf, extra_rows.astype(jnp.float32))
+            edot = edot * extra_scales[None, :]
+        else:
+            edot = _matmul(qf, extra_rows)
         erank = jnp.where(
             extra_valid[None, :],
             _rank_scores(edot, metric, extra_sqnorms),
@@ -410,6 +445,12 @@ def ivf_search_topk_rescored(
             values_exact, (start, 0), (tail_pad, values_exact.shape[1])
         )
         tslots = start + jnp.arange(tail_pad, dtype=jnp.int32)
+        if values_scales is not None:
+            # int8 rung: dequantize the tail slice (codes x scale) so
+            # tail scores live in the same space as the layout's
+            tscale = jax.lax.dynamic_slice(values_scales, (start,),
+                                           (tail_pad,))
+            trows = trows.astype(jnp.float32) * tscale[:, None]
         tdot = _matmul(qf, trows)
         tsq = jnp.sum(trows.astype(jnp.float32) ** 2, axis=1)
         tok = (tslots >= tail_lo) & (tslots < size) & valid[tslots]
@@ -434,7 +475,7 @@ def ivf_search_topk_rescored(
     # real-looking exact scores.
     return _exact_rescore_device(
         pool, values_exact, None if not tombstones else valid,
-        qf, metric, k, size,
+        qf, metric, k, size, row_scales=values_scales,
     )
 
 
