@@ -2642,11 +2642,13 @@ class FlatIndex:
         """Gate for the IVF partitioned scan (kernels/ivf.py): explicit
         opt-out via VECTORLITE_IVF=0, otherwise auto-engage on corpora
         large enough that brute-force per-batch reads dominate
-        (default 2M live rows; VECTORLITE_IVF_MIN_ROWS overrides — the
-        frontier measurements live in BASELINE.md round 4). Serves the
-        f32/bf16 rungs single-chip; the int8/PQ capacity rungs and mesh
-        sharding keep their existing engines (IVF-under-mesh and
-        IVF-PQ are future compositions)."""
+        (default 2M live rows; VECTORLITE_IVF_MIN_ROWS overrides —
+        frontier measurements: BASELINE.md round 5, 8M section). Serves
+        the f32/bf16 rungs AND the int8 capacity rung single-chip (the
+        int8 layout carries per-row scales); the PQ rung keeps its ADC
+        engine, and mesh serving keeps the sharded brute engines here
+        (the sharded-IVF probe stage lives in dist/sharding.py
+        sharded_search_ivf, exercised by the multichip dryrun)."""
         from ..utils import env_number
 
         if env_number("VECTORLITE_IVF", 1) != 1:

@@ -16,7 +16,8 @@ e.g. faiss IVFFlat):
 
 * **Partition blocks, not inverted lists.** Every partition is padded
   to one fixed width P (multiple of 128 lanes) inside a single
-  ``[C * P, D]`` bf16 matrix. A probe is then ONE contiguous
+  ``[C * P, D]`` bf16 (int8 + per-row scales on the quantized rung)
+  matrix. A probe is then ONE contiguous
   ``[P, D]`` block DMA — the gather is partition-granular, never
   row-granular, so HBM reads stay streaming-rate. Overflow rows past
   the pad width spill to a small dense "extra" matrix scanned like a
@@ -38,8 +39,8 @@ e.g. faiss IVFFlat):
   tail of rows appended since the last build lives in a power-of-2
   bucketed brute slice, so steady-state serving never recompiles.
 
-The quality knob is ``nprobe`` (the recall/traffic frontier is
-measured in BASELINE.md); correctness does not depend on the
+The quality knob is ``nprobe`` (the measured recall/traffic frontier
+lives in BASELINE.md round 5, 8M section); correctness does not depend on the
 clustering — a bad k-means only costs recall, and recall is measured,
 never assumed.
 
@@ -70,7 +71,7 @@ NEG_INF = float("-inf")
 PAD_FACTOR = 1.25
 
 #: probe width default; the measured frontier at 8M x 384 (BASELINE.md
-#: round 4) picks the serving operating point.
+#: round 5, 8M section) picks the serving operating point.
 NPROBE = 16
 
 
