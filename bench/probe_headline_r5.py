@@ -147,6 +147,35 @@ def main():
             scan_i8, scan_scales, k_sel=96, rt=0.99, augment=4, radius=2),
     }
 
+    # the round-5 Pallas tournament-merge selection (VERDICT r4 item 3:
+    # per-lane top-W VMEM accumulator across grid steps, no [B,N] ranks,
+    # no per-tile HBM winner dump) — measured against the amk frontier
+    from vectorlite_tpu.kernels.pallas_merge import (
+        pallas_search_merge_topk_rescored,
+    )
+
+    def merge_cfg(winners, tile_n):
+        def run():
+            return pallas_search_merge_topk_rescored(
+                scan_bf16,
+                values,
+                sqnorms,
+                valid,
+                queries,
+                metric=SimilarityMetric.COSINE,
+                k=K,
+                k_sel=128,
+                tile_n=tile_n,
+                winners=winners,
+                tombstones=False,
+                live_hi=live_hi,
+            )
+        return run
+
+    configs["merge_w2_t16k"] = merge_cfg(2, 16384)
+    configs["merge_w3_t16k"] = merge_cfg(3, 16384)
+    configs["merge_w2_t32k"] = merge_cfg(2, 32768)
+
     out = {"n": N, "batch": BATCH}
     for name, fn in configs.items():
         try:

@@ -74,6 +74,10 @@ def _merge_kernel(
     acc_s_ref,  # [W, B, 128] running top-W scores (constant index map:
     #   VMEM-resident across the whole sequential grid, flushed once)
     acc_i_ref,  # [W, B, 128] running top-W global row ids
+    scratch_ref,  # [B, TILE] f32 VMEM staging for the score tile:
+    #   Mosaic has no dynamic_slice lowering for VMEM *values* (the
+    #   pallas_l1 lesson, round 3), so the per-block loop reads pl.ds
+    #   slices of this ref instead of slicing the score array
     *,
     metric: SimilarityMetric,
     tile_n: int,
@@ -93,21 +97,15 @@ def _merge_kernel(
         sq_ref[:], metric, tile_n,
     )
     valid_row = valid_ref[:].reshape(1, tile_n) != 0
-    scores = jnp.where(valid_row, scores, NEG_INF)
+    scratch_ref[...] = jnp.where(valid_row, scores, NEG_INF)
 
     n_blk = tile_n // LANES
     tile_base = pl.program_id(0) * tile_n
-    # physical layout of [B, T] is already lane-tiled in 128s, so the
-    # [B, n_blk, 128] view is relayout-free; block j = columns
-    # [j*128, (j+1)*128) = rows tile_base + j*128 + lane
-    scores3 = scores.reshape(b, n_blk, LANES)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
 
     def body(j, carry):
         ms, is_ = carry  # tuples of W [B, 128] registers, sorted desc
-        c = jax.lax.dynamic_slice(
-            scores3, (0, j, 0), (b, 1, LANES)
-        ).reshape(b, LANES)
+        c = scratch_ref[:, pl.ds(j * LANES, LANES)]
         ic = tile_base + j * LANES + lane_ids
         new_ms, new_is = [], []
         # elementwise insertion network: rung w keeps max(m_w, best of
@@ -196,6 +194,7 @@ def pallas_search_merge_topk(
             jax.ShapeDtypeStruct((winners, b, LANES), jnp.float32),
             jax.ShapeDtypeStruct((winners, b, LANES), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((b, tile_n), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
