@@ -2025,7 +2025,7 @@ class FlatIndex:
                     and metric is not SimilarityMetric.MANHATTAN
                     and _amk_enabled()
                 ):
-                    from ..kernels.amk import K_SEL_MIN, recall_target
+                    from ..kernels.amk import k_sel_floor, recall_target
 
                     scan = (
                         self._dev_scan
@@ -2034,7 +2034,7 @@ class FlatIndex:
                     )
                     k_sel = min(
                         self._capacity,
-                        max(K_SEL_MIN, next_pow2(2 * k_pad)),
+                        max(k_sel_floor(), next_pow2(2 * k_pad)),
                     )
                     tomb = self._count != self._size
                     return sharded_search_amk(
@@ -2159,8 +2159,9 @@ class FlatIndex:
                     # present; bf16-storage results are additionally
                     # f64-re-scored on the host (_needs_rescore).
                     from ..kernels.amk import (
-                        K_SEL_MIN,
                         amk_search_topk_rescored,
+                        augment_default,
+                        k_sel_floor,
                         recall_target,
                     )
 
@@ -2171,7 +2172,7 @@ class FlatIndex:
                     )
                     k_sel = min(
                         self._capacity,
-                        max(K_SEL_MIN, next_pow2(2 * k_pad)),
+                        max(k_sel_floor(), next_pow2(2 * k_pad)),
                     )
                     tomb = self._count != self._size
                     return amk_search_topk_rescored(
@@ -2184,6 +2185,7 @@ class FlatIndex:
                         k=k_pad,
                         k_sel=k_sel,
                         recall_target=recall_target(),
+                        augment=augment_default(),
                         scan_scales=(
                             self._dev_scan_scales
                             if scan.dtype == jnp.int8

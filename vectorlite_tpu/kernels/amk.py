@@ -27,6 +27,26 @@ candidates, so candidate recall@10 is 0.994 at k_sel=32, 0.997 at 64,
 help (the floor is bf16 matmul precision, not reduction drops), widening
 the candidate pool does.
 
+Round-5 shipped frontier (int8 scan copy, 1M x 384 b=256 cosine,
+1024-query f64 truth = 10,240 hits — bench/report_headline_r5b.json):
+
+* default  k_sel=128 rt=0.99:  2.886 ms = **88.7K QPS**, recall 0.9998
+  (2/10240 missed; 256-query windows measure 1.0000)
+* turbo    k_sel=64  rt=0.99:  1.509 ms = **170K QPS**,  recall 0.9994
+  (VECTORLITE_AMK_KSEL=64)
+* rt=0.98  k_sel=128:          1.775 ms = 144K QPS,      recall 0.9994
+  (past rt~0.985 XLA re-tiles the PartialReduce: 128-row shards ->
+  fewer partial winners -> the aggregation stage that round 4 proved
+  superlinear in k_sel gets cheaper — the same knob from the other
+  side)
+
+The hand-written Pallas tournament-merge kernel (pallas_merge.py) —
+per-lane top-W accumulators VMEM-resident across grid steps, no [B,N]
+ranks — was the one untried attack on that aggregation cost; measured
+on silicon it is exact-ish but slower (w=2: 4.24 ms / 10 missed; w=3:
+5.56 ms / 1 missed), so ApproxTopK + exact rescore remains the shipped
+engine and 2.9 ms is the measured recall-0.9998 bound at k_sel=128.
+
 Reference semantics being reproduced: exhaustive scan + stable sort
 (reference: src/index/flat.rs:98-119).
 """
@@ -200,6 +220,36 @@ def _exact_rescore_device(
 _AUGMENT_RADIUS = 4
 
 
+def k_sel_floor() -> int:
+    """K_SEL_MIN with the VECTORLITE_AMK_KSEL env override.
+
+    64 is the measured turbo rung: 1.509 ms = 170K QPS at recall
+    0.9994 (6/10240) on the 1M int8 frontier — the ApproxTopK
+    aggregation stage is superlinear in k_sel (round-4 roofline), so
+    halving the pool nearly halves the whole dispatch. The 128 default
+    keeps the 0.9998 floor."""
+    from ..utils import env_number
+
+    return int(env_number("VECTORLITE_AMK_KSEL", K_SEL_MIN))
+
+
+def augment_default() -> int:
+    """Default augmentation width (VECTORLITE_AMK_AUGMENT override).
+
+    0 since round 5: the adversarial probe augmentation was built for
+    (1M rows, 20% in runs of 16 near-duplicates, queries aimed at run
+    prototypes — bench/probe_headline_r5b.py) measured aug=8 recovering
+    NOTHING: 45/10240 misses with augmentation vs 39-45 without, and
+    the misses reproduce identically on the conservative bf16+aug8
+    config, i.e. they are near-tie score artifacts among ~equal-score
+    duplicates, not shard-quota selection losses. Meanwhile aug=8 costs
+    ~10% latency on the iid frontier (3.163 vs 3.061 ms at k_sel=128).
+    The knob stays for corpora whose ingestion locality differs."""
+    from ..utils import env_number
+
+    return int(env_number("VECTORLITE_AMK_AUGMENT", 0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -218,7 +268,7 @@ def amk_search_topk_rescored(
     k: int,
     k_sel: int = K_SEL_MIN,
     recall_target: float = RECALL_TARGET,
-    augment: int = 8,
+    augment: int = 0,
     augment_radius: int = _AUGMENT_RADIUS,
     scan_scales: jax.Array | None = None,
     tombstones: bool = True,
