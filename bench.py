@@ -223,7 +223,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from vectorlite_tpu.core.metrics import SimilarityMetric
+    from vectorlite_tpu.core.metrics import (
+        SimilarityMetric,
+        quantize_rows_int8,
+    )
     from vectorlite_tpu.kernels.amk import amk_search_topk_rescored
     from vectorlite_tpu.kernels.pallas_scan import (
         pallas_search_block_topk_rescored,
@@ -240,7 +243,13 @@ def main() -> None:
     on_tpu = dev.platform == "tpu"
 
     values = jnp.asarray(values_f32)
-    values_scan = values.astype(jnp.bfloat16)
+    # the shipped default scan copy is int8 since round 5
+    # (index/flat.py _scan_copy_dtype): s8 x s8 -> s32 selection reads
+    # half the scan bytes of bf16 — kernel 2.89 vs 3.87 ms at 1M
+    # (bench/report_headline_r5b.json); the bf16 block path stays as
+    # the secondary below
+    values_scan, scan_scales = quantize_rows_int8(values)
+    values_bf16 = values.astype(jnp.bfloat16)
     sqnorms = jnp.sum(values * values, axis=-1)
     valid = jnp.ones(N, dtype=bool)
     queries = jnp.asarray(queries_f32)
@@ -251,8 +260,8 @@ def main() -> None:
     live_hi = jnp.asarray(np.int32(N))
 
     def run(rt=0.99):
-        # default large-corpus serving profile (index/flat.py): bf16
-        # scan copy -> fused matmul+ApproxTopK -> exact-f32 device
+        # default large-corpus serving profile (index/flat.py): int8
+        # scan copy -> fused s8-matmul+ApproxTopK -> exact-f32 device
         # rescore of the 128-candidate pool, one dispatch
         return amk_search_topk_rescored(
             values_scan,
@@ -264,13 +273,14 @@ def main() -> None:
             k=K,
             k_sel=128,
             recall_target=rt,
+            scan_scales=scan_scales,
             tombstones=False,
             live_hi=live_hi,
         )
 
     def run_block():
         return pallas_search_block_topk_rescored(
-            values_scan,
+            values_bf16,
             values,
             sqnorms,
             valid,

@@ -50,14 +50,21 @@ def log(m):
 def make_clustered(n, d, *, n_clusters=8192, seed=0):
     """Mixture-of-gaussians corpus with eigen-decaying within-cluster
     spread — the locality structure real embedding corpora have and
-    iid gaussian lacks (cluster std 0.35 vs unit centers keeps
-    within-cluster cosine ~0.8, between ~0)."""
+    iid gaussian lacks. Noise base 0.2 against unit centers puts the
+    total within-cluster noise variance at ~0.24 (sum of
+    0.04/(1+i) ~ 0.04 * H_384), i.e. measured same-cluster cosine
+    ~0.82, between ~0 — topical-cluster geometry. The round-4 version
+    of this generator scaled noise by a further 3x, which made the
+    noise norm (~2.5) swamp the unit centers: same-cluster cosine
+    measured 0.093, true neighbors scattered across cells, and the IVF
+    cell-recall guard refused the 'clustered' corpus — correctly
+    (bench round 5; the guard was validated by the bug)."""
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     # eigen-decay the noise so the data is anisotropic like real
     # embeddings (PCA spectrum ~ 1/sqrt(1+i))
-    scale = (0.35 / np.sqrt(1.0 + np.arange(d, dtype=np.float32))) * 3.0
+    scale = 0.2 / np.sqrt(1.0 + np.arange(d, dtype=np.float32))
     out = np.empty((n, d), dtype=np.float64)
     step = 1 << 20
     for lo in range(0, n, step):

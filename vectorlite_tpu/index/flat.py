@@ -179,7 +179,10 @@ _GUARD_DISPLACEMENT = 32.0
 
 
 def _bf16_selection_risky(
-    vals32: np.ndarray, valid: np.ndarray, size: int
+    vals32: np.ndarray,
+    valid: np.ndarray,
+    size: int,
+    competitor_rows: Optional[int] = None,
 ) -> bool:
     """Estimate whether bf16-precision candidate selection could displace
     true top-k members beyond the oversampled candidate pool
@@ -230,8 +233,14 @@ def _bf16_selection_risky(
 
     # per-rank gaps shrink ~linearly with corpus density: the sampled
     # statistic sees a len(take)-point subsample, the serving scan sees
-    # all live rows — correct the displacement estimate accordingly
-    density = live.size / len(take)
+    # all live rows — correct the displacement estimate accordingly.
+    # ``competitor_rows`` overrides the competing population for scans
+    # that rank within a bounded window (the IVF probed partitions):
+    # displacement risk scales with how many near-tied competitors the
+    # selection actually sees, not with corpus size
+    density = (
+        competitor_rows if competitor_rows is not None else live.size
+    ) / len(take)
     raw = displacement(rows)
     norms = np.linalg.norm(rows, axis=1, keepdims=True)
     normed = rows / np.maximum(norms, 1e-300)
@@ -1896,18 +1905,20 @@ class FlatIndex:
         caller outside it."""
         with self._dev_lock:
             self._sync_device()
-            if (
-                approx
-                and self._precision_risky
+            # auto-guard verdict from the last rebuild: f32 storage
+            # serves the exact exhaustive kernel on risky corpora
+            # (reduced-precision *storage* rungs keep their wider
+            # oversample + exact re-score — precision there is the
+            # capacity trade itself, not an optimization). Applied
+            # AFTER the IVF attempt below: an active IVF layout passed
+            # the window-scaled precision check in _ivf_build, so its
+            # bounded bf16 ranking is blessed even when full-corpus
+            # bf16 selection is not.
+            risky_f32 = (
+                self._precision_risky
                 and not self._quantized
                 and self._device_dtype == jnp.float32
-            ):
-                # auto-guard verdict from the last rebuild: f32 storage
-                # serves the exact exhaustive kernel on risky corpora
-                # (reduced-precision *storage* rungs keep their wider
-                # oversample + exact re-score — precision there is the
-                # capacity trade itself, not an optimization)
-                approx = False
+            )
             # metadata filter: intersect the validity mask the kernels
             # already consume (same shape/dtype -> no recompile; the
             # sharded mask matches the mesh layout via _where_dev).
@@ -1936,6 +1947,8 @@ class FlatIndex:
                 res = self._ivf_topk(queries, k_pad, metric)
                 if res is not None:
                     return res
+            if approx and risky_f32:
+                approx = False
             if self._pq_active:
                 # streaming ADC over the code matrix. Approximation
                 # sources, in order of measured impact: the code
@@ -2655,7 +2668,13 @@ class FlatIndex:
 
         if env_number("VECTORLITE_IVF", 1) != 1:
             return False
-        if self._mesh is not None or self._pq or self._precision_risky:
+        # NOTE: deliberately NOT vetoed by _precision_risky — that flag
+        # estimates displacement against the FULL corpus, and clustered
+        # geometry (IVF's home turf) trips it even where measured brute
+        # bf16 recall is 1.0000 (round-5 8M drive). IVF selection only
+        # competes within the probed window, so _ivf_build re-runs the
+        # same displacement statistic scaled to the window instead.
+        if self._mesh is not None or self._pq:
             return False
         if jax.default_backend() not in ("tpu", "cpu"):
             return False
@@ -2875,6 +2894,37 @@ class FlatIndex:
         cp, p_width = part_slots.shape[0] * part_slots.shape[1], (
             part_slots.shape[1]
         )
+        if self._precision_risky:
+            # The full-corpus displacement estimate refused reduced-
+            # precision selection, but IVF ranks within ~nprobe*P rows;
+            # re-run the same statistic with the window as the
+            # competing population (round-5: the clustered 8M corpus
+            # estimates risky at 8M competitors yet measures brute
+            # bf16 recall 1.0000 — the estimate is pessimistic by the
+            # density ratio). Refuse only if even the window fails.
+            base_np = int(
+                np.clip(
+                    int(env_number("VECTORLITE_IVF_NPROBE", _ivf.NPROBE)),
+                    1,
+                    c,
+                )
+            )
+            window_rows = max(base_np, floor) * p_width
+            if _bf16_selection_risky(
+                self._values64,
+                self._valid,
+                self._size,
+                competitor_rows=window_rows,
+            ):
+                self._ivf_refused_at = self._count
+                self._ivf_drop()
+                logger.info(
+                    "IVF guard: window-scaled precision displacement "
+                    "still above target at %d rows; keeping the exact "
+                    "engine",
+                    self._count,
+                )
+                return
         ps_flat = part_slots.reshape(-1)
         # layout dtype follows the rung: the int8 capacity rung gets an
         # int8 partition copy + per-row scales (capacity AND partitioned
