@@ -318,6 +318,50 @@ def test_guard_nprobe_floor_raises_serving_width(monkeypatch):
     assert hits / (10 * len(q)) >= 0.9
 
 
+def test_risky_estimate_scales_with_competitor_window():
+    """The bf16 displacement estimate must scale linearly with the
+    competing population (competitor_rows): a near-duplicate corpus
+    that is risky against the full corpus is NOT risky against an
+    IVF-probe-sized window (round-5 design: _ivf_build re-checks with
+    the window instead of inheriting the full-corpus refusal)."""
+    from vectorlite_tpu.index.flat import _bf16_selection_risky
+
+    rng = np.random.default_rng(11)
+    protos = 10.0 * rng.normal(size=(32, D))
+    rows = np.repeat(protos, 128, axis=0) + 0.3 * rng.normal(
+        size=(4096, D)
+    )
+    valid = np.ones(4096, dtype=bool)
+    # per-rank gaps within a 128-copy pile are small against the
+    # norm-10 score scale: full-corpus density makes the estimate
+    # refuse...
+    assert _bf16_selection_risky(rows.astype(np.float32), valid, 4096)
+    # ...but a probe-window population (a few hundred competitors)
+    # brings expected displacement inside the exact-rescore pool
+    assert not _bf16_selection_risky(
+        rows.astype(np.float32), valid, 4096, competitor_rows=256
+    )
+
+
+def test_risky_corpus_still_activates_ivf():
+    """A full-corpus _precision_risky verdict must not veto the IVF
+    build — the window-scaled re-check decides (round-5: the clustered
+    8M corpus estimated risky at 8M competitors while measuring brute
+    recall 1.0000; IVF ranks within ~nprobe*P rows)."""
+    vals = corpus(4096)
+    idx = FlatIndex(D)
+    idx.add_batch_arrays(np.arange(4096, dtype=np.uint64), vals)
+    idx.search_batch(vals[:1], k=1, metric=M.COSINE)
+    assert idx._ivf_active
+    # simulate the full-corpus guard verdict, force a layout rebuild
+    idx._ivf_drop()
+    idx._precision_risky = True
+    res = idx.search_batch(vals[:1], k=10, metric=M.COSINE)
+    assert idx._ivf_active and idx._ivf_refused_at == 0
+    truth_ids, _ = exact_topk(vals, vals[0], 10, M.COSINE)
+    assert {r.id for r in res[0]} == set(truth_ids.tolist())
+
+
 # --------------------------------------------------- int8 rung composition
 
 
