@@ -241,11 +241,14 @@ def _gather_score_kernel(ids_ref, q_ref, rows_ref, out_ref):
     Mosaic's s8 x s8 lowering). The per-row scales fold in OUTSIDE the
     kernel (a [B, L, P] elementwise on the score tensor)."""
     del ids_ref  # consumed by the index_map
-    q = q_ref[...]  # [1, D]
+    q = q_ref[0]  # [1, D] (block [1, 1, D]; the size-1 dims ride
+    # OUTSIDE the trailing two so Mosaic's (8, 128) tiling rule sees
+    # (1, D) == the overall array dims — the flat [B, D] layout with a
+    # (1, D) block failed lowering on silicon, round 5)
     rows = rows_ref[0]  # [P, D]
     if rows.dtype == jnp.int8:
         rows = rows.astype(jnp.float32)
-    out_ref[0] = jax.lax.dot_general(
+    out_ref[0, 0] = jax.lax.dot_general(
         q,
         rows,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -276,17 +279,22 @@ def gather_score_pallas(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, d), lambda bi, li, ids: (bi, 0)),
+                # queries ride as [B, 1, D] and the scores as
+                # [B, L, 1, P]: Mosaic requires the trailing two block
+                # dims to be 8/128-tiled or equal to the overall dims,
+                # so every size-1 block dim must sit outside them (the
+                # flat [B, D]/(1, D) spec failed hardware lowering)
+                pl.BlockSpec((1, 1, d), lambda bi, li, ids: (bi, 0, 0)),
                 pl.BlockSpec(
                     (1, p_width, d),
                     lambda bi, li, ids: (ids[bi, li], 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, p_width), lambda bi, li, ids: (bi, li, 0)
+                (1, 1, 1, p_width), lambda bi, li, ids: (bi, li, 0, 0)
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, l, p_width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, l, 1, p_width), jnp.float32),
         interpret=interpret,
     )(
         part_ids,
@@ -296,9 +304,9 @@ def gather_score_pallas(
             queries.astype(jnp.float32)
             if part_rows.dtype == jnp.int8
             else queries.astype(part_rows.dtype)
-        ),
+        )[:, None, :],
         part_rows.reshape(c, p_width, d),
-    )
+    ).reshape(b, l, p_width)
 
 
 def gather_score_xla(part_rows, part_ids, queries, *, p_width):
