@@ -212,8 +212,17 @@ def main():
 
     # ---------------- clustered corpus: IVF frontier ----------------
     if not args.skip_ivf:
-        log("[ivf] generating clustered 8M corpus...")
-        data = make_clustered(N, D)
+        # f32 corpus cache keyed by generator version + N: the 8M
+        # generation costs ~10 min of single-core wall per attempt and
+        # every consumer casts to f32 anyway
+        cache = f"/tmp/scale8m_clustered_b02_{N}.npy"
+        if os.path.exists(cache):
+            log(f"[ivf] loading cached corpus {cache}")
+            data = np.load(cache)
+        else:
+            log("[ivf] generating clustered 8M corpus...")
+            data = make_clustered(N, D).astype(np.float32)
+            np.save(cache, data)
         # queries from the corpus distribution (perturbed rows) — IVF
         # recall is meaningless for off-manifold iid queries
         qsel = rng.choice(N, BATCH, replace=False)
