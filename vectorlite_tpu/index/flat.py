@@ -2744,7 +2744,10 @@ class FlatIndex:
         self, live: np.ndarray, assign: np.ndarray
     ) -> Optional[int]:
         """Measured cell-recall auto-guard (the IVF analogue of
-        `_bf16_selection_risky`): partitioning only preserves recall
+        `_bf16_selection_risky`). ``assign`` is the per-live-row cell
+        the built layout actually stores each row in (spill-aware;
+        -1 = extras, counted as unconditional hits since every probe
+        scans the extras matrix). Partitioning only preserves recall
         when the corpus has locality structure — on iid high-D data the
         true neighbors' cells are nearly uncorrelated with the query's
         (measured 0.23 cell-recall at nprobe=16/C=512-rows-per-cell on
@@ -2814,8 +2817,15 @@ class FlatIndex:
         for mult in (1, 2, 4):
             l_probe = min(base * mult, c)
             window = order[:, :l_probe]
+            # cell -1 = the row lives in the extras matrix, which every
+            # probe brute-scans — an unconditional hit
             hits = sum(
-                float(np.isin(truth_cells[i], window[i]).sum())
+                float(
+                    (
+                        np.isin(truth_cells[i], window[i])
+                        | (truth_cells[i] < 0)
+                    ).sum()
+                )
                 for i in range(nq)
             )
             if hits / (nq * k_t) >= thr:
@@ -2866,8 +2876,34 @@ class FlatIndex:
             self._ivf_cent_sq = jnp.sum(
                 self._ivf_centroids * self._ivf_centroids, axis=1
             )
-        assign = _ivf.assign_rows(self._values64, live, self._ivf_centroids)
-        floor = self._ivf_guard_nprobe(live, assign)
+        # top-2 assignment: build_layout spills over-full cells' rows
+        # to their runner-up cell before falling to the brute-scanned
+        # extras (k-means skew on tight clusters measured 25% of a 2M
+        # corpus in extras under single assignment, round 5)
+        assign2 = _ivf.assign_rows(
+            self._values64, live, self._ivf_centroids, top2=True
+        )
+        part_slots, extra_slots = _ivf.build_layout(
+            assign2,
+            live,
+            c,
+            pad_factor=float(env_number("VECTORLITE_IVF_PAD", 1.25)),
+        )
+        cp, p_width = part_slots.shape[0] * part_slots.shape[1], (
+            part_slots.shape[1]
+        )
+        # the guard measures the layout that will actually serve:
+        # per-row placement derived from part_slots (spilled rows sit
+        # in their runner-up cell; -1 = extras, which every probe
+        # scans, so the guard counts them as unconditional hits)
+        cells_of = np.repeat(
+            np.arange(c, dtype=np.int32), p_width
+        )
+        flat_tmp = part_slots.reshape(-1)
+        in_layout = flat_tmp >= 0
+        slot_cell = np.full(self._size, -1, dtype=np.int32)
+        slot_cell[flat_tmp[in_layout]] = cells_of[in_layout]
+        floor = self._ivf_guard_nprobe(live, slot_cell[live])
         if floor is None:
             # measured cell-recall can't reach the bar within the probe
             # budget (e.g. iid high-D corpora, where ANY partitioning
@@ -2885,15 +2921,6 @@ class FlatIndex:
             )
             return
         self._ivf_nprobe_floor = floor
-        part_slots, extra_slots = _ivf.build_layout(
-            assign,
-            live,
-            c,
-            pad_factor=float(env_number("VECTORLITE_IVF_PAD", 1.25)),
-        )
-        cp, p_width = part_slots.shape[0] * part_slots.shape[1], (
-            part_slots.shape[1]
-        )
         if self._precision_risky:
             # The full-corpus displacement estimate refused reduced-
             # precision selection, but IVF ranks within ~nprobe*P rows;
